@@ -1,13 +1,108 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a deterministic DataFrame pipeline over the
+  * testdata tables in `dir`; `oracleSql` holds the equivalent DuckDB SQL.
+  * Column names are aliased identically on both sides (the driver sorts
+  * columns by name before hashing). Float aggregates are rounded to a
+  * declared precision inside the query (SURVEY.md §7 hard-parts policy).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.top3PerMktsegment(spark, "/root/testdata/sf0.001")
+
+  private def groups: Seq[graft.queries.QueryGroup] = Seq(
+    RelationalQueries, graft.queries.MatrixQueries, graft.queries.SparseTextQueries,
+    graft.queries.StatsQueries, graft.queries.RandomLabelQueries,
+    graft.queries.PipelineQueries)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.map(_.q).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    groups.map(_.sql).reduce(_ ++ _)
+}
+
+private object RelationalQueries extends graft.queries.QueryGroup {
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_top3_mktsegment" -> ((s, d) => Relational.top3PerMktsegment(s, d)),
+    "rel_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "rel_revenue_per_nation" -> ((s, d) => Relational.revenuePerNation(s, d)),
+    "rel_join_semi" -> ((s, d) => Relational.customersWithOrders(s, d)),
+    "rel_join_anti" -> ((s, d) => Relational.customersWithoutEvents(s, d)),
+    "rel_asof_last_signup" -> ((s, d) => Relational.lastSignupBeforeEvent(s, d)),
+    "rel_range_join_clicks" -> ((s, d) => Relational.clicksBeforePurchase(s, d)),
+    "rel_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
+    "rel_json_extract" -> ((s, d) => Relational.eventPropsExtract(s, d)),
+  )
+
+  val sql: Map[String, String] = Map(
+    "rel_top3_mktsegment" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_custkey, round(rev, 2) AS revenue, rnk
+        |FROM (SELECT c_mktsegment, c_custkey, rev,
+        |             row_number() OVER (PARTITION BY c_mktsegment
+        |                                ORDER BY rev DESC, c_custkey) AS rnk
+        |      FROM rev)
+        |WHERE rnk <= 3""".stripMargin,
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "rel_revenue_per_nation" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "rel_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "rel_join_anti" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)""".stripMargin,
+    "rel_asof_last_signup" ->
+      """SELECT e.event_id, max(s.ts) AS last_signup_ts, count(*) AS n_prior_signups
+        |FROM events e JOIN events s
+        |  ON s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts
+        |GROUP BY 1""".stripMargin,
+    "rel_range_join_clicks" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+        |  round(sum(c.value), 4) AS click_value
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |GROUP BY 1""".stripMargin,
+    "rel_rollup_revenue" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "rel_json_extract" ->
+      """SELECT event_id, upper(event_type) AS type_u, CAST(ts AS DATE) AS day,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0""".stripMargin,
+  )
 }

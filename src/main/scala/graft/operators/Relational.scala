@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational surface of the engine: scan → join → aggregate → window top-k.
+  *
+  * The reference has no relational joins (SURVEY.md §2.4) — these are the
+  * Catalyst built-ins declared as engine surface, plus the join shapes its
+  * matrix products lower to. Scale notes per query:
+  *  - dimension tables (region/nation/customer/supplier/part) are broadcast —
+  *    at 100 TB the fact table (lineitem) never shuffles for these joins;
+  *  - per-group top-k uses window rank, whose shuffle is keyed by the group
+  *    column only (the reference's batched select_k, matrix/select_k.cuh:75).
+  */
+object Relational {
+
+  /** Flagship: per-mktsegment top-3 customers by revenue.
+    * lineitem ⋈ orders ⋈ customer → groupBy-sum → window top-k
+    * (SURVEY.md §7 phase 1; select_k mapping of matrix/select_k.cuh:75).
+    */
+  def top3PerMktsegment(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val rev = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("rev").desc, col("c_custkey").asc)
+    rev.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("rev"), 2).as("revenue"), col("rnk"))
+  }
+
+  /** TPC-H Q1-shaped pricing summary: the `map_reduce` / grouped-fold shape
+    * (reference: linalg/map_reduce.cuh:86 fused with a keyed reduction).
+    * Partial aggregation is map-side; one shuffle on the 6-valued group key.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+
+  /** Revenue per nation through the full dimension chain; dims broadcast. */
+  def revenuePerNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join: customers having at least one order (EXISTS). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** Left-anti join: customers with no events (NOT EXISTS). */
+  def customersWithoutEvents(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val e = Tables.events(spark, dir)
+    c.join(e, c("c_custkey") === e("user_id"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** As-of-shaped self-join: per event, the most recent 'signup' event of the
+    * same user at or before it (declared via max-aggregate so ties are
+    * deterministic; DuckDB's ASOF JOIN computes the same relation).
+    * Keyed by user_id — the shuffle co-locates each user's history, the
+    * distributed shape an as-of merge needs at 100 TB.
+    */
+  def lastSignupBeforeEvent(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val s = e.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    e.join(s, e("user_id") === col("s_user") && col("s_ts") <= e("ts"))
+      .groupBy(col("event_id"))
+      .agg(max(col("s_ts")).as("last_signup_ts"), count(lit(1)).as("n_prior_signups"))
+  }
+
+  /** Range join: per purchase event, clicks of the same user in the
+    * preceding hour — the band-predicate join shape.
+    */
+  def clicksBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value").as("c_value"))
+    p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), round(sum(col("c_value")), 4).as("click_value"))
+  }
+
+  /** Rollup aggregation (grouping-sets surface, free in Catalyst). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
+
+  /** Scalar string/date/JSON function surface over events (SURVEY.md §2.3 —
+    * absent in the reference, declared free Catalyst-native engine surface).
+    */
+  def eventPropsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        upper(col("event_type")).as("type_u"),
+        to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k") % 7 === 0)
+}

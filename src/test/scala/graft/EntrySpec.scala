@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Smoke-level contract tests: every declared query runs and returns a
+  * deterministic, non-degenerate result on sf0.001. Numeric parity vs the
+  * DuckDB oracle is checked by scripts/check.py (mirrors the driver gate).
+  */
+class EntrySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has distinct non-null schema and runs on sf0.001") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.columns.distinct.length == df.columns.length, s"$name repeated column names")
+      df.count() // must execute without throwing
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracleSql without query: $extra")
+  }
+
+  test("top3 per segment has exactly <=3 rows per segment, ranked") {
+    val rows = SparkEntry.queries("rel_top3_mktsegment")(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    assert(bySeg.values.forall(_.length <= 3))
+    assert(rows.forall(_.getInt(3) <= 3))
+  }
+
+  test("queries are deterministic across re-execution") {
+    val df1 = SparkEntry.queries("rel_pricing_summary")(spark, sf).collect().map(_.toString).sorted
+    val df2 = SparkEntry.queries("rel_pricing_summary")(spark, sf).collect().map(_.toString).sorted
+    assert(df1.sameElements(df2))
+  }
+}
