@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ArrayMath._
+
+/** Dense matrix ops over the canonical `(id, vec ARRAY<DOUBLE>)` encoding
+  * (SURVEY.md §1.5, §2.2, §2.6). Each op is a declarative DataFrame
+  * transform: per-row lane work stays in codegen'd higher-order functions
+  * (no shuffle); cross-row ops shuffle only on their natural key.
+  */
+object MatrixOps {
+
+  /** slice: sub-matrix [r1,r2) × [c1,c2) —
+    * reference: cpp/include/raft/matrix/slice.cuh:46.
+    * Row predicate is pushed to the parquet scan; lane slice is per-row.
+    */
+  def slice(m: DataFrame, r1: Long, r2: Long, c1: Int, c2: Int): DataFrame =
+    m.where(col("id") >= r1 && col("id") < r2)
+      .select(col("id"), expr(s"slice(vec, ${c1 + 1}, ${c2 - c1})").as("vec"))
+
+  /** gather: out[i] = in[map[i]] — reference: cpp/include/raft/matrix/gather.cuh:206.
+    * A join against the (broadcastable) index table; Catalyst broadcasts
+    * when the map side is small, which is the common gather shape.
+    */
+  def gather(m: DataFrame, idxMap: DataFrame): DataFrame =
+    m.join(idxMap, m("id") === idxMap("src"))
+      .select(idxMap("dst").as("id"), m("vec"))
+
+  /** sample_rows: uniform row sample without replacement, exact n,
+    * reproducible independent of partitioning —
+    * reference: cpp/include/raft/matrix/sample_rows.cuh:30. RAFT's RNG is
+    * counter-based Philox (random/rng_device.cuh) precisely so results don't
+    * depend on launch shape; the Spark analog keys randomness off (id, seed)
+    * via a hash, never `rand()`.
+    */
+  def sampleRows(m: DataFrame, n: Int, seed: Long): DataFrame =
+    m.orderBy(md5(concat_ws(":", col("id"), lit(seed))), col("id")).limit(n)
+
+  /** Per-row top-k lanes with payload positions (batched select_k) —
+    * reference: cpp/include/raft/matrix/select_k.cuh:75; ties broken by
+    * lowest index (select_k guarantees stable order for sorted=true).
+    * Relational form: explode lanes, rank within row. The shuffle is keyed
+    * by row id only; at scale each group is d lanes (bounded, no skew).
+    */
+  def selectKPerRow(m: DataFrame, k: Int, largest: Boolean = true): DataFrame = {
+    val lanes = m.select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
+    val ord = if (largest) Seq(col("v").desc, col("pos").asc) else Seq(col("v").asc, col("pos").asc)
+    val w = Window.partitionBy(col("id")).orderBy(ord: _*)
+    lanes.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** sort_cols_per_row: sort each row's lanes —
+    * reference: cpp/include/raft/matrix/col_wise_sort.cuh:66. */
+  def sortLanes(m: DataFrame): DataFrame =
+    m.select(col("id"), sort_array(col("vec")).as("vec"))
+
+  /** col_reverse: flip lane order — reference: cpp/include/raft/matrix/reverse.cuh:29. */
+  def colReverse(m: DataFrame): DataFrame =
+    m.select(col("id"), reverse(col("vec")).as("vec"))
+
+  /** row_reverse: flip row order (re-key id -> n-1-id) —
+    * reference: cpp/include/raft/matrix/reverse.cuh:49. */
+  def rowReverse(m: DataFrame, n: Long): DataFrame =
+    m.select((lit(n - 1) - col("id")).as("id"), col("vec"))
+
+  /** shift rows down by 1 with a neighbor-carried value — the window
+    * lag/lead mapping of reference cpp/include/raft/matrix/shift.cuh:45.
+    * NOTE global order-by window: at 100 TB this runs as a range-partitioned
+    * sort (Spark plans a single-direction rangepartitioning), acceptable for
+    * the op's sequential semantics.
+    */
+  def shiftedRowSums(m: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("id"))
+    m.select(col("id"), rowSum(col("vec")).as("s"))
+      .select(col("id"), round(lag(col("s"), 1, 0.0).over(w), 4).as("prev_sum"))
+  }
+
+  /** eye: identity matrix in COO form —
+    * reference: cpp/include/raft/matrix/diagonal.cuh:92. */
+  def eye(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("row"), col("id").as("col"), lit(1.0).as("value"))
+
+  // ---- queries over the testdata `embeddings` table ----
+
+  /** Row norms L0/L1/L2/Linf in one pass — reference: linalg/norm.cuh:51,
+    * norm_types.hpp; one codegen'd fold per norm, no shuffle. */
+  def rowNorms(spark: SparkSession, dir: String): DataFrame =
+    Tables.vectors(spark, dir).select(
+      col("id"),
+      l0(col("vec")).as("l0"),
+      round(l1(col("vec")), 4).as("l1"),
+      round(l2(col("vec")), 4).as("l2"),
+      round(linf(col("vec")), 4).as("linf"))
+
+  /** Per-row argmax/argmin (0-based, lowest-index ties) —
+    * reference: matrix/argmax.cuh:28, argmin.cuh:28. */
+  def argmaxArgmin(spark: SparkSession, dir: String): DataFrame =
+    Tables.vectors(spark, dir).select(
+      col("id"),
+      argmax(col("vec")).as("amax"),
+      argmin(col("vec")).as("amin"))
+
+  /** Per-row fold stats (reduce along rows with fused ops) —
+    * reference: linalg/reduce.cuh:148 (main_op/reduce_op/final_op). */
+  def rowFoldStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.vectors(spark, dir).select(
+      col("id"),
+      round(rowSum(col("vec")), 4).as("rsum"),
+      round(rowMean(col("vec")), 6).as("rmean"),
+      round(rowMin(col("vec")), 4).as("rmin"),
+      round(rowMax(col("vec")), 4).as("rmax"))
+
+  /** Column-wise mean/var/min/max via lane explode + groupBy(pos) —
+    * reference: stats/mean.cuh:37, stddev.cuh:38, minmax.cuh:49.
+    * Map-side partial aggregation applies; shuffle carries d×32 partials,
+    * not n×d lanes (see StatsOps.colStatsViaAggregator for the
+    * single-pass Aggregator variant used at scale).
+    */
+  def colStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.vectors(spark, dir)
+      .select(posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(
+        round(avg(col("x")), 6).as("mean"),
+        round(var_samp(col("x")), 6).as("var"),
+        round(min(col("x")), 4).as("mn"),
+        round(max(col("x")), 4).as("mx"))
+
+  /** gemv y = A·w with a broadcast weight vector —
+    * reference: cpp/include/raft/linalg/gemv.cuh:44. The weight vector is a
+    * deterministic expression of the lane index so the oracle can rebuild it.
+    */
+  def gemvFixedWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w = transform(sequence(lit(0), lit(63)), j => pmod(j * 37, lit(97)).cast("double") / 97.0)
+    Tables.vectors(spark, dir)
+      .select(col("id"), round(dot(col("vec"), w), 4).as("y"))
+  }
+
+  /** Small gram block: pairwise dot products of the first 20 rows —
+    * the gemm-as-join mapping (reference: linalg/gemm.cuh:51; SURVEY §2.4).
+    */
+  def gramBlock(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.vectors(spark, dir).where(col("id") < 20)
+    val a = v.select(col("id").as("i"), col("vec").as("va"))
+    val b = v.select(col("id").as("j"), col("vec").as("vb"))
+    a.join(broadcast(b), col("i") <= col("j"))
+      .select(col("i"), col("j"), round(dot(col("va"), col("vb")), 4).as("dp"))
+  }
+
+  /** mean_center: subtract per-column means (first 30 rows emitted) —
+    * reference: cpp/include/raft/stats/mean_center.cuh:78. The mean vector
+    * is a one-row aggregate cross-joined (broadcast) back — the
+    * matrix_vector_op broadcast shape (linalg/matrix_vector_op.cuh:139).
+    */
+  def meanCenter(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.vectors(spark, dir)
+    val means = v.select(posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x")).as("m"))
+      .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+      .select(transform(array_sort(col("pm")), s => s.getField("m")).as("mean_vec"))
+    v.crossJoin(broadcast(means))
+      .where(col("id") < 30)
+      .select(col("id"),
+        roundLanes(sub(col("vec"), col("mean_vec")), 4).as("vec"))
+  }
+
+  /** L2 row-normalize (first 30 rows emitted) —
+    * reference: cpp/include/raft/linalg/normalize.cuh:48. */
+  def normalizeL2(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.vectors(spark, dir).where(col("id") < 30)
+    v.select(col("id"), roundLanes(normalize(col("vec"), l2(col("vec"))), 4).as("vec"))
+  }
+
+  /** threshold + L0: zero lanes |x| < eps, count survivors —
+    * reference: matrix/threshold.cuh:32 + L0 norm. */
+  def thresholdNnz(spark: SparkSession, dir: String, eps: Double): DataFrame =
+    Tables.vectors(spark, dir).select(
+      col("id"),
+      l0(threshold(col("vec"), lit(eps))).as("nnz"))
+}

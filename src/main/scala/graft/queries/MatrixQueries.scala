@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.MatrixOps
+import graft.functions.ArrayMath
+
+/** Driver-facing queries for the dense matrix layer (SURVEY.md §2.2, §2.5,
+  * §2.6) with DuckDB oracles. Lane indices are 0-based on both sides
+  * (generate_subscripts is 1-based, hence the -1 in the SQL).
+  */
+object MatrixQueries extends QueryGroup {
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mat_row_norms" -> ((s, d) => MatrixOps.rowNorms(s, d)),
+    "mat_argmax" -> ((s, d) => MatrixOps.argmaxArgmin(s, d)),
+    "mat_rowfold" -> ((s, d) => MatrixOps.rowFoldStats(s, d)),
+    "mat_colstats" -> ((s, d) => MatrixOps.colStats(s, d)),
+    "mat_gemv" -> ((s, d) => MatrixOps.gemvFixedWeights(s, d)),
+    "mat_gram_block" -> ((s, d) => MatrixOps.gramBlock(s, d)),
+    "mat_mean_center" -> ((s, d) => MatrixOps.meanCenter(s, d)),
+    "mat_normalize_l2" -> ((s, d) => MatrixOps.normalizeL2(s, d)),
+    "mat_threshold_nnz" -> ((s, d) => MatrixOps.thresholdNnz(s, d, 0.5)),
+    "mat_slice" -> ((s, d) => {
+      val sl = MatrixOps.slice(graft.Tables.vectors(s, d), 100L, 200L, 8, 16)
+      sl.select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
+    }),
+    "mat_select_k" -> ((s, d) => {
+      MatrixOps.selectKPerRow(graft.Tables.vectors(s, d).where(col("id") < 100), 4)
+        .select(col("id"), col("pos"), round(col("v"), 4).as("v"), col("rnk"))
+    }),
+    "mat_sort_lanes" -> ((s, d) => {
+      MatrixOps.sortLanes(graft.Tables.vectors(s, d).where(col("id") < 30))
+        .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
+    }),
+    "mat_col_reverse" -> ((s, d) => {
+      MatrixOps.colReverse(graft.Tables.vectors(s, d).where(col("id") < 30))
+        .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
+    }),
+    "mat_sample_rows" -> ((s, d) => {
+      MatrixOps.sampleRows(graft.Tables.vectors(s, d), 100, 7L)
+        .select(col("id"), col("label"))
+    }),
+    "mat_shift" -> ((s, d) => MatrixOps.shiftedRowSums(graft.Tables.vectors(s, d))),
+    "mat_eye" -> ((s, d) => MatrixOps.eye(s, 10L)),
+    "mat_gather" -> ((s, d) => {
+      val v = graft.Tables.vectors(s, d)
+      val idx = v.sparkSession.range(0, 1000)
+        .select((col("id") * 7).as("src"), col("id").as("dst"))
+      MatrixOps.gather(v, idx)
+        .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
+    }),
+  )
+
+  private val castLanes = "list_transform(embedding, f -> CAST(f AS DOUBLE))"
+
+  val sql: Map[String, String] = Map(
+    "mat_row_norms" ->
+      s"""SELECT vec_id AS id,
+         |  list_sum(list_transform($castLanes, x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END)) AS l0,
+         |  round(list_sum(list_transform($castLanes, x -> abs(x))), 4) AS l1,
+         |  round(sqrt(list_sum(list_transform($castLanes, x -> x*x))), 4) AS l2,
+         |  round(list_max(list_transform($castLanes, x -> abs(x))), 4) AS linf
+         |FROM embeddings""".stripMargin,
+    "mat_argmax" ->
+      """SELECT vec_id AS id,
+        |  list_position(embedding, list_max(embedding)) - 1 AS amax,
+        |  list_position(embedding, list_min(embedding)) - 1 AS amin
+        |FROM embeddings""".stripMargin,
+    "mat_rowfold" ->
+      s"""SELECT vec_id AS id,
+         |  round(list_sum($castLanes), 4) AS rsum,
+         |  round(list_sum($castLanes) / len(embedding), 6) AS rmean,
+         |  round(list_min($castLanes), 4) AS rmin,
+         |  round(list_max($castLanes), 4) AS rmax
+         |FROM embeddings""".stripMargin,
+    "mat_colstats" ->
+      """SELECT pos, round(avg(x), 6) AS mean, round(var_samp(x), 6) AS var,
+        |       round(min(x), 4) AS mn, round(max(x), 4) AS mx
+        |FROM (SELECT unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS pos
+        |      FROM embeddings)
+        |GROUP BY pos""".stripMargin,
+    "mat_gemv" ->
+      s"""SELECT vec_id AS id,
+         |  round(list_sum(list_transform(list_zip($castLanes,
+         |    [((j*37)%97)/97.0 FOR j IN range(64)]),
+         |    p -> p[1] * p[2])), 4) AS y
+         |FROM embeddings""".stripMargin,
+    "mat_gram_block" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+        |  round(list_sum(list_transform(list_zip(
+        |    list_transform(a.embedding, f -> CAST(f AS DOUBLE)),
+        |    list_transform(b.embedding, f -> CAST(f AS DOUBLE))),
+        |    p -> p[1] * p[2])), 4) AS dp
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id <= b.vec_id""".stripMargin,
+    "mat_mean_center" ->
+      """WITH m AS (
+        |  SELECT pos, avg(x) AS mu FROM
+        |    (SELECT unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
+        |            generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |  GROUP BY pos),
+        |lanes AS (
+        |  SELECT vec_id, unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings WHERE vec_id < 30)
+        |SELECT lanes.vec_id AS id,
+        |       list(round(lanes.x - m.mu, 4) ORDER BY lanes.pos) AS vec
+        |FROM lanes JOIN m ON lanes.pos = m.pos
+        |GROUP BY lanes.vec_id""".stripMargin,
+    "mat_normalize_l2" ->
+      s"""SELECT vec_id AS id,
+         |  CASE WHEN sqrt(list_sum(list_transform($castLanes, x -> x*x))) <> 0
+         |    THEN list_transform($castLanes,
+         |      x -> round(x / sqrt(list_sum(list_transform($castLanes, y -> y*y))), 4))
+         |    ELSE list_transform($castLanes, x -> round(x, 4)) END AS vec
+         |FROM embeddings WHERE vec_id < 30""".stripMargin,
+    "mat_threshold_nnz" ->
+      s"""SELECT vec_id AS id,
+         |  list_sum(list_transform($castLanes,
+         |    x -> CASE WHEN abs(x) < 0.5 THEN 0 ELSE (CASE WHEN x <> 0 THEN 1 ELSE 0 END) END)) AS nnz
+         |FROM embeddings""".stripMargin,
+    "mat_slice" ->
+      """SELECT vec_id AS id,
+        |  list_transform(embedding[9:16], f -> round(CAST(f AS DOUBLE), 4)) AS vec
+        |FROM embeddings WHERE vec_id >= 100 AND vec_id < 200""".stripMargin,
+    "mat_select_k" ->
+      """SELECT vec_id AS id, pos, round(x, 4) AS v, rnk FROM (
+        |  SELECT vec_id, pos, x,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY x DESC, pos) AS rnk
+        |  FROM (SELECT vec_id,
+        |               unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
+        |               generate_subscripts(embedding, 1) - 1 AS pos
+        |        FROM embeddings WHERE vec_id < 100))
+        |WHERE rnk <= 4""".stripMargin,
+    "mat_sort_lanes" ->
+      s"""SELECT vec_id AS id,
+         |  list_transform(list_sort($castLanes), x -> round(x, 4)) AS vec
+         |FROM embeddings WHERE vec_id < 30""".stripMargin,
+    "mat_col_reverse" ->
+      s"""SELECT vec_id AS id,
+         |  list_transform(list_reverse($castLanes), x -> round(x, 4)) AS vec
+         |FROM embeddings WHERE vec_id < 30""".stripMargin,
+    "mat_sample_rows" ->
+      """SELECT vec_id AS id, label FROM embeddings
+        |ORDER BY md5(concat_ws(':', vec_id, 7)), vec_id LIMIT 100""".stripMargin,
+    "mat_shift" ->
+      s"""SELECT vec_id AS id,
+         |  round(coalesce(lag(list_sum($castLanes), 1) OVER (ORDER BY vec_id), 0.0), 4) AS prev_sum
+         |FROM embeddings""".stripMargin,
+    "mat_eye" ->
+      "SELECT j AS row, j AS col, CAST(1.0 AS DOUBLE) AS value FROM range(10) t(j)",
+    "mat_gather" ->
+      """SELECT vec_id // 7 AS id,
+        |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4)) AS vec
+        |FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 7000""".stripMargin,
+  )
+}
