@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ArrayMath
+
+/** Sparse ops over the canonical COO table `(row, col, value)` — the
+  * "COO is an edge list" encoding (reference: cpp/include/raft/core/
+  * coo_matrix.hpp:87, SURVEY.md §1.5). Every op is pure relational algebra:
+  * group-by for reductions, join for products — the shapes Catalyst knows
+  * how to distribute, broadcast, and AQE-replan at 100 TB.
+  */
+object SparseOps {
+
+  /** coo_degree / coo_degree_nz: per-row nonzero count —
+    * reference: cpp/include/raft/sparse/linalg/degree.cuh:27-90. */
+  def degree(coo: DataFrame): DataFrame =
+    coo.groupBy(col("row")).agg(count(lit(1)).as("deg"), sum(col("value")).as("vsum"))
+
+  /** transpose: swap row/col — reference: cpp/include/raft/linalg/transpose.cuh:30
+    * (on the COO encoding a transpose is a projection, zero compute). */
+  def transpose(coo: DataFrame): DataFrame =
+    coo.select(col("col").as("row"), col("row").as("col"), col("value"))
+
+  /** max_duplicates: dedup (row,col) keeping the max value —
+    * reference: cpp/include/raft/sparse/op/reduce.cuh:39. */
+  def maxDuplicates(coo: DataFrame): DataFrame =
+    coo.groupBy(col("row"), col("col")).agg(max(col("value")).as("value"))
+
+  /** coo_remove_scalar: drop entries == s (or below a threshold) —
+    * reference: cpp/include/raft/sparse/op/filter.cuh:38. */
+  def removeBelow(coo: DataFrame, threshold: Double): DataFrame =
+    coo.where(col("value") >= threshold)
+
+  /** csr_row_slice: row range — reference: cpp/include/raft/sparse/op/slice.cuh:30.
+    * The predicate pushes down to the scan when the COO is stored
+    * row-partitioned/sorted (parquet min-max pruning).
+    */
+  def rowSlice(coo: DataFrame, r1: Long, r2: Long): DataFrame =
+    coo.where(col("row") >= r1 && col("row") < r2)
+
+  /** spmv y = A·w with w a deterministic function of the column index —
+    * reference: cpp/include/raft/sparse/linalg/spmm.hpp:42 (vector case).
+    * No join needed when w is an expression; with a materialized w table
+    * this is a broadcast join on col. Aggregation is keyed by row.
+    */
+  def spmvFixedWeights(coo: DataFrame): DataFrame =
+    coo.groupBy(col("row"))
+      .agg(round(sum(col("value") * (pmod(col("col") * 53, lit(101)).cast("double") / 101.0)), 4).as("y"))
+
+  /** spgemm AᵀA: column-column co-occurrence via self-join on row —
+    * the join+group-by lowering of gemm (reference: linalg/gemm.cuh:51,
+    * SURVEY.md §2.4; tested as spgemmi in cpp/tests/sparse/spgemmi.cu).
+    * Shuffle key = row on the join, (c1,c2) on the aggregate — both
+    * well-distributed when rows are bounded (orders have bounded lines).
+    */
+  def spgemmAtA(coo: DataFrame): DataFrame = {
+    val a = coo.select(col("row"), col("col").as("c1"), col("value").as("v1"))
+    val b = coo.select(col("row"), col("col").as("c2"), col("value").as("v2"))
+    a.join(b, Seq("row"))
+      .where(col("c1") <= col("c2"))
+      .groupBy(col("c1"), col("c2"))
+      .agg(round(sum(col("v1") * col("v2")), 2).as("dp"), count(lit(1)).as("nnz"))
+  }
+
+  /** sddmm: dense·dense sampled at a sparse pattern —
+    * reference: cpp/include/raft/sparse/linalg/sddmm.hpp:43 and
+    * masked_matmul.cuh:47. The pattern drives two joins against the dense
+    * vector table; only pattern-selected dot products are computed.
+    */
+  def sddmm(pattern: DataFrame, dense: DataFrame): DataFrame = {
+    val a = dense.select(col("id").as("i"), col("vec").as("va"))
+    val b = dense.select(col("id").as("j"), col("vec").as("vb"))
+    pattern.join(a, Seq("i")).join(b, Seq("j"))
+      .select(col("i"), col("j"), round(ArrayMath.dot(col("va"), col("vb")), 4).as("dp"))
+  }
+
+  /** Per-sparse-row top-k by value (select_k CSR) —
+    * reference: cpp/include/raft/sparse/matrix/select_k.cuh:64;
+    * ties broken by lowest column index. */
+  def selectKPerRow(coo: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("row")).orderBy(col("value").desc, col("col").asc)
+    coo.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Graph Laplacian L = D − A over a symmetric weighted edge list —
+    * reference: cpp/include/raft/sparse/linalg/laplacian.cuh:20.
+    * Diagonal = weighted degree; off-diagonal = negated weights; pure SQL
+    * union of two aggregates.
+    */
+  def laplacian(symEdges: DataFrame): DataFrame = {
+    val diag = symEdges.groupBy(col("row"))
+      .agg(sum(col("value")).as("value"))
+      .select(col("row"), col("row").as("col"), col("value"))
+    val off = symEdges.select(col("row"), col("col"), (-col("value")).as("value"))
+    diag.unionByName(off)
+  }
+
+  /** Symmetrize A := A + Aᵀ with duplicate-summing —
+    * reference: cpp/include/raft/sparse/linalg/symmetrize.cuh. */
+  def symmetrize(coo: DataFrame): DataFrame =
+    coo.unionByName(transpose(coo))
+      .groupBy(col("row"), col("col")).agg(sum(col("value")).as("value"))
+}

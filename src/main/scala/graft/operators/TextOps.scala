@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text/IR scoring over the `documents` table: tokenize → term-doc COO →
+  * TF-IDF / BM25 re-weighting, plus the training-data-pipeline text ops
+  * (token stats, quality scores, fingerprints, language ID).
+  *
+  * TF-IDF/BM25 match the reference formulas exactly
+  * (reference: cpp/include/raft/sparse/matrix/preprocessing.cuh:28-176 and
+  * detail/preprocessing.cuh transform_tfidf/transform_bm25):
+  *   tf      = ln(count)
+  *   idf     = ln(num_docs / df + 1)          (df = nnz entries per term)
+  *   tfidf   = tf · idf
+  *   bm25    = idf · (k1+1)·tf / (k1·(1−b + b·len/avglen) + tf),
+  *             k1 = 1.6, b = 0.75 (preprocessing.cuh:109-110)
+  */
+object TextOps {
+
+  /** Portable 32-bit string hash: first 8 hex chars of md5 as an integer.
+    * Used wherever randomness/fingerprints must be reproducible across
+    * engines and partitionings (the role Philox counters play in the
+    * reference, random/rng_device.cuh).
+    */
+  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Tokenize: lowercase, split on non-alphanumerics, drop empties. */
+  def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("tokens"))
+
+  /** Term-doc COO: (doc_id=row, term=col, tf=value). The lateral explode
+    * is map-side; the (doc,term) aggregation shuffles once.
+    */
+  def termDoc(docs: DataFrame): DataFrame =
+    tokenize(docs)
+      .select(col("doc_id"), explode(col("tokens")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** TF-IDF per the reference formula; terms with tf=1 get weight 0
+    * (tf = ln(count), as in transform_tfidf). */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val td = termDoc(docs)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+    val df = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    td.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(log(col("tf")) * log(col("n").cast("double") / col("df") + 1.0), 6).as("w"))
+  }
+
+  /** Okapi BM25 per the reference formula (k1=1.6, b=0.75). */
+  def bm25(docs: DataFrame, k1: Double = 1.6, b: Double = 0.75): DataFrame = {
+    val td = termDoc(docs)
+    val df = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val docLen = td.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val totals = td.agg(sum(col("tf")).as("total_len"),
+      countDistinct(col("doc_id")).as("n"))
+    val tf = log(col("tf"))
+    val idf = log(col("n").cast("double") / col("df") + 1.0)
+    val avglen = col("total_len") / col("n")
+    val bm = (lit(k1 + 1.0) * tf) /
+      (lit(k1) * (lit(1.0 - b) + lit(b) * (col("len") / avglen)) + tf)
+    td.join(broadcast(df), Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("term"), round(idf * bm, 6).as("w"))
+  }
+
+  /** Token count + quality heuristics (training-pipeline text analysis):
+    * token count, mean token length, stopword ratio, distinct-token ratio.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val toks = tokenize(docs)
+    toks.select(
+      col("doc_id"),
+      size(col("tokens")).as("n_tokens"),
+      round(aggregate(col("tokens"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(col("tokens")), 4).as("mean_tok_len"),
+      round(size(filter(col("tokens"), t => t.isin(stop.map(lit): _*).cast("boolean")))
+        .cast("double") / size(col("tokens")), 4).as("stopword_ratio"),
+      round(size(array_distinct(col("tokens"))).cast("double") / size(col("tokens")), 4)
+        .as("distinct_ratio"))
+  }
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * token h32 values, mod 1e9+7 (the rolling-hash fingerprint op of the
+    * training-pipeline surface; deterministic across partitionings).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    tokenize(docs).select(
+      col("doc_id"),
+      aggregate(col("tokens"), lit(7L),
+        (acc, t) => (acc * 131L + h32(t)) % 1000000007L).as("fp"))
+
+  /** N-gram language-ID heuristic: score = stopword-list hits per language,
+    * predict the argmax (ties: lexicographic language order). The testdata
+    * text is synthetic so this is exercised for determinism, not accuracy.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val lists = Map(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "fr" -> Seq("le", "la", "de", "et", "un"),
+      "de" -> Seq("der", "die", "das", "und", "ist"))
+    val toks = tokenize(docs)
+    val scores = lists.toSeq.sortBy(_._1).map { case (lang, words) =>
+      size(filter(col("tokens"), t => t.isin(words.map(lit): _*).cast("boolean"))).as(s"s_$lang")
+    }
+    val scored = toks.select(col("doc_id") +: scores: _*)
+    val langs = lists.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"s_$l").as("s"), lit(l).as("lang")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.select(col("doc_id"), best.getField("lang").as("pred_lang"),
+      greatest(langs.map(l => col(s"s_$l")): _*).as("score"))
+  }
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{SparseOps, TextOps}
+
+/** Sparse COO + text/IR queries (SURVEY.md §2.4, §2.5, §2.10).
+  * The COO fixture is lineitem re-encoded as (row=l_orderkey,
+  * col=l_partkey, value=sum(l_quantity)); oracles rebuild it as a CTE.
+  */
+object SparseTextQueries extends QueryGroup {
+
+  private val cooCte =
+    """WITH coo AS (
+      |  SELECT l_orderkey AS row, l_partkey AS col, sum(l_quantity) AS value
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  private val tokCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS tokens
+      |  FROM documents),
+      |td AS (
+      |  SELECT doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM toks, unnest(toks.tokens) AS t(term)
+      |  GROUP BY doc_id, t.term)""".stripMargin
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp_degree" -> ((s, d) => {
+      SparseOps.degree(Tables.cooOrdersParts(s, d))
+        .select(col("row"), col("deg"), round(col("vsum"), 2).as("vsum"))
+    }),
+    "sp_transpose_degree" -> ((s, d) => {
+      SparseOps.degree(SparseOps.transpose(Tables.cooOrdersParts(s, d)))
+        .select(col("row"), col("deg"), round(col("vsum"), 2).as("vsum"))
+    }),
+    "sp_spmv" -> ((s, d) => SparseOps.spmvFixedWeights(Tables.cooOrdersParts(s, d))),
+    "sp_spgemm_ata" -> ((s, d) => SparseOps.spgemmAtA(Tables.cooOrdersParts(s, d))),
+    "sp_select_k" -> ((s, d) => {
+      SparseOps.selectKPerRow(Tables.cooOrdersParts(s, d), 2)
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"), col("rnk"))
+    }),
+    "sp_remove_below" -> ((s, d) => {
+      SparseOps.removeBelow(Tables.cooOrdersParts(s, d), 45.0)
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"))
+    }),
+    "sp_row_slice" -> ((s, d) => {
+      SparseOps.rowSlice(Tables.cooOrdersParts(s, d), 100L, 300L)
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"))
+    }),
+    "sp_laplacian" -> ((s, d) => {
+      // co-occurrence graph on parts: edge (c1,c2) with weight = #orders
+      // containing both; symmetrized; Laplacian rows for col-keys < 200.
+      val coo = Tables.cooOrdersParts(s, d)
+      val a = coo.select(col("row"), col("col").as("c1"))
+      val b = coo.select(col("row"), col("col").as("c2"))
+      val edges = a.join(b, Seq("row")).where(col("c1") < col("c2"))
+        .groupBy(col("c1"), col("c2")).agg(count(lit(1)).cast("double").as("value"))
+        .select(col("c1").as("row"), col("c2").as("col"), col("value"))
+      SparseOps.laplacian(SparseOps.symmetrize(edges)).where(col("row") < 200)
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"))
+    }),
+    "sp_sddmm" -> ((s, d) => {
+      val pattern = s.range(0, 500).select(col("id").as("i"))
+        .crossJoin(s.range(0, 500).select(col("id").as("j")))
+        .where(col("i") < col("j") && pmod(col("i") * 31 + col("j"), lit(97)) === 0)
+      SparseOps.sddmm(pattern, Tables.vectors(s, d))
+    }),
+    "txt_term_doc" -> ((s, d) => {
+      TextOps.termDoc(Tables.documents(s, d)).where(col("doc_id") < 300)
+    }),
+    "txt_tfidf" -> ((s, d) => {
+      TextOps.tfidf(Tables.documents(s, d)).where(col("doc_id") < 300)
+    }),
+    "txt_bm25" -> ((s, d) => {
+      TextOps.bm25(Tables.documents(s, d)).where(col("doc_id") < 300)
+    }),
+    "txt_quality" -> ((s, d) => {
+      TextOps.quality(Tables.documents(s, d)).where(col("doc_id") < 1000)
+    }),
+    "txt_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "txt_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+  )
+
+  val sql: Map[String, String] = Map(
+    "sp_degree" ->
+      s"""$cooCte
+         |SELECT row, count(*) AS deg, round(sum(value), 2) AS vsum
+         |FROM coo GROUP BY row""".stripMargin,
+    "sp_transpose_degree" ->
+      s"""$cooCte
+         |SELECT col AS row, count(*) AS deg, round(sum(value), 2) AS vsum
+         |FROM coo GROUP BY col""".stripMargin,
+    "sp_spmv" ->
+      s"""$cooCte
+         |SELECT row, round(sum(value * ((col*53)%101)/101.0), 4) AS y
+         |FROM coo GROUP BY row""".stripMargin,
+    "sp_spgemm_ata" ->
+      s"""$cooCte
+         |SELECT a.col AS c1, b.col AS c2, round(sum(a.value*b.value), 2) AS dp,
+         |       count(*) AS nnz
+         |FROM coo a JOIN coo b ON a.row = b.row AND a.col <= b.col
+         |GROUP BY 1, 2""".stripMargin,
+    "sp_select_k" ->
+      s"""$cooCte
+         |SELECT row, col, round(value, 2) AS value, rnk FROM (
+         |  SELECT row, col, value,
+         |         row_number() OVER (PARTITION BY row ORDER BY value DESC, col) AS rnk
+         |  FROM coo)
+         |WHERE rnk <= 2""".stripMargin,
+    "sp_remove_below" ->
+      s"""$cooCte
+         |SELECT row, col, round(value, 2) AS value FROM coo WHERE value >= 45.0""".stripMargin,
+    "sp_row_slice" ->
+      s"""$cooCte
+         |SELECT row, col, round(value, 2) AS value FROM coo
+         |WHERE row >= 100 AND row < 300""".stripMargin,
+    "sp_laplacian" ->
+      s"""$cooCte,
+         |edges AS (
+         |  SELECT a.col AS row, b.col AS col, CAST(count(*) AS DOUBLE) AS value
+         |  FROM coo a JOIN coo b ON a.row = b.row AND a.col < b.col
+         |  GROUP BY 1, 2),
+         |sym AS (
+         |  SELECT row, col, sum(value) AS value FROM (
+         |    SELECT row, col, value FROM edges
+         |    UNION ALL SELECT col AS row, row AS col, value FROM edges)
+         |  GROUP BY 1, 2),
+         |lap AS (
+         |  SELECT row, row AS col, sum(value) AS value FROM sym GROUP BY row
+         |  UNION ALL SELECT row, col, -value FROM sym)
+         |SELECT row, col, round(value, 2) AS value FROM lap WHERE row < 200""".stripMargin,
+    "sp_sddmm" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+        |  round(list_sum(list_transform(list_zip(
+        |    list_transform(a.embedding, f -> CAST(f AS DOUBLE)),
+        |    list_transform(b.embedding, f -> CAST(f AS DOUBLE))),
+        |    p -> p[1] * p[2])), 4) AS dp
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+        |  AND (a.vec_id*31 + b.vec_id) % 97 = 0""".stripMargin,
+    "txt_term_doc" ->
+      s"""$tokCte
+         |SELECT doc_id, term, tf FROM td WHERE doc_id < 300""".stripMargin,
+    "txt_tfidf" ->
+      s"""$tokCte,
+         |df AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM td)
+         |SELECT td.doc_id, td.term,
+         |       round(ln(td.tf) * ln(CAST(n.n AS DOUBLE)/df.df + 1.0), 6) AS w
+         |FROM td, df, n WHERE td.term = df.term AND td.doc_id < 300""".stripMargin,
+    "txt_bm25" ->
+      s"""$tokCte,
+         |df AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+         |dl AS (SELECT doc_id, sum(tf) AS len FROM td GROUP BY doc_id),
+         |tot AS (SELECT sum(tf) AS total_len, count(DISTINCT doc_id) AS n FROM td)
+         |SELECT td.doc_id, td.term,
+         |  round(ln(CAST(tot.n AS DOUBLE)/df.df + 1.0) *
+         |        ((1.6 + 1.0) * ln(td.tf)) /
+         |        (1.6 * ((1.0 - 0.75) + 0.75 * (dl.len / (tot.total_len / tot.n))) + ln(td.tf)),
+         |        6) AS w
+         |FROM td, df, dl, tot
+         |WHERE td.term = df.term AND td.doc_id = dl.doc_id AND td.doc_id < 300""".stripMargin,
+    "txt_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents WHERE doc_id < 1000)
+        |SELECT doc_id,
+        |  len(tokens) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+        |        / len(tokens), 4) AS mean_tok_len,
+        |  round(CAST(len(list_filter(tokens,
+        |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |        / len(tokens), 4) AS stopword_ratio,
+        |  round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 4)
+        |    AS distinct_ratio
+        |FROM toks""".stripMargin,
+    "txt_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(tokens,
+        |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+        |    (a, c) -> (a * 131 + c) % 1000000007) AS fp
+        |FROM toks""".stripMargin,
+    "txt_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tokens, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(tokens, t -> t IN ('the','a','of','and','to'))) AS s_en,
+        |    len(list_filter(tokens, t -> t IN ('el','la','de','y','que'))) AS s_es,
+        |    len(list_filter(tokens, t -> t IN ('le','la','de','et','un'))) AS s_fr
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  greatest(s_de, s_en, s_es, s_fr) AS score
+        |FROM scored""".stripMargin,
+  )
+}
