@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ArrayMath
+
+/** Statistics & model-evaluation metrics (SURVEY.md §2.5, §2.9).
+  * Every metric is one aggregation pipeline: partial-aggregated map-side,
+  * merged on a handful of keys — the `main_op/reduce_op/final_op` triple of
+  * reference linalg/reduce.cuh:148 expressed as Catalyst aggregates.
+  *
+  * Label fixture: truth = embeddings.label (0..9), pred = vec_id % 10 —
+  * deterministic and oracle-reproducible.
+  */
+object StatsOps {
+
+  /** (truth, pred) pairs derived deterministically from embeddings. */
+  def labelPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id").as("id"),
+      col("label").cast("long").as("truth"),
+      pmod(col("vec_id"), lit(10)).as("pred"))
+
+  /** accuracy: fraction pred == truth — reference: stats/accuracy.cuh:49. */
+  def accuracy(spark: SparkSession, dir: String): DataFrame =
+    labelPairs(spark, dir).agg(
+      round(avg(when(col("pred") === col("truth"), 1.0).otherwise(0.0)), 6).as("accuracy"))
+
+  /** contingency_matrix: cross-tab counts —
+    * reference: stats/contingency_matrix.cuh:114. */
+  def contingency(spark: SparkSession, dir: String): DataFrame =
+    labelPairs(spark, dir).groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("cnt"))
+
+  /** Shannon entropy of the truth labeling — reference: stats/entropy.cuh:58. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = labelPairs(spark, dir).groupBy(col("truth")).agg(count(lit(1)).as("c"))
+    counts.agg(sum(col("c")).as("n"), sum(col("c") * log(col("c"))).as("clogc"))
+      .select(round(log(col("n")) - col("clogc") / col("n"), 6).as("entropy"))
+  }
+
+  /** mutual_info_score: MI of two labelings from the contingency matrix —
+    * reference: stats/mutual_info_score.cuh:59.
+    * MI = Σ_ij (n_ij/n) · ln(n·n_ij / (a_i·b_j)).
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val ct = contingency(spark, dir)
+    val ai = ct.groupBy(col("truth")).agg(sum(col("cnt")).as("a"))
+    val bj = ct.groupBy(col("pred")).agg(sum(col("cnt")).as("b"))
+    val n = ct.agg(sum(col("cnt")).as("n"))
+    ct.join(broadcast(ai), Seq("truth")).join(broadcast(bj), Seq("pred"))
+      .crossJoin(broadcast(n))
+      .agg(round(sum((col("cnt") / col("n")) *
+        log(col("n") * col("cnt") / (col("a") * col("b")))), 6).as("mi"))
+  }
+
+  /** rand_index + adjusted_rand_index (pair-counting agreement) —
+    * reference: stats/rand_index.cuh:49, adjusted_rand_index.cuh:61. */
+  def randIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ct = contingency(spark, dir).cache()
+    val sij = ct.agg(sum(col("cnt") * (col("cnt") - 1) / 2).as("sij"),
+      sum(col("cnt")).as("n"))
+    val si = ct.groupBy(col("truth")).agg(sum(col("cnt")).as("a"))
+      .agg(sum(col("a") * (col("a") - 1) / 2).as("si"))
+    val sj = ct.groupBy(col("pred")).agg(sum(col("cnt")).as("b"))
+      .agg(sum(col("b") * (col("b") - 1) / 2).as("sj"))
+    sij.crossJoin(si).crossJoin(sj)
+      .select(
+        round((col("n") * (col("n") - 1) / 2 + col("sij") * 2 - col("si") - col("sj"))
+          / (col("n") * (col("n") - 1) / 2), 6).as("rand_index"),
+        round((col("sij") - col("si") * col("sj") / (col("n") * (col("n") - 1) / 2)) /
+          ((col("si") + col("sj")) / 2 - col("si") * col("sj") / (col("n") * (col("n") - 1) / 2)),
+          6).as("ari"))
+  }
+
+  /** homogeneity / completeness / v_measure from conditional entropies —
+    * reference: stats/homogeneity_score.cuh:62, completeness_score.cuh:59,
+    * v_measure.cuh:62.
+    * H(C|K) = −Σ_ij (n_ij/n)·ln(n_ij/b_j); h = 1 − H(C|K)/H(C).
+    */
+  def vMeasure(spark: SparkSession, dir: String): DataFrame = {
+    val ct = contingency(spark, dir).cache()
+    val ai = ct.groupBy(col("truth")).agg(sum(col("cnt")).as("a"))
+    val bj = ct.groupBy(col("pred")).agg(sum(col("cnt")).as("b"))
+    val n = ct.agg(sum(col("cnt")).as("n"))
+    val joined = ct.join(broadcast(ai), Seq("truth"))
+      .join(broadcast(bj), Seq("pred")).crossJoin(broadcast(n))
+    val hck = joined.agg((-sum((col("cnt") / col("n")) * log(col("cnt") / col("b")))).as("hck"))
+    val hkc = joined.agg((-sum((col("cnt") / col("n")) * log(col("cnt") / col("a")))).as("hkc"))
+    val hc = ai.crossJoin(broadcast(n))
+      .agg((-sum((col("a") / col("n")) * log(col("a") / col("n")))).as("hc"))
+    val hk = bj.crossJoin(broadcast(n))
+      .agg((-sum((col("b") / col("n")) * log(col("b") / col("n")))).as("hk"))
+    val h = (lit(1.0) - col("hck") / col("hc")).as("homogeneity")
+    val c = (lit(1.0) - col("hkc") / col("hk")).as("completeness")
+    hck.crossJoin(hkc).crossJoin(hc).crossJoin(hk)
+      .select(h, c)
+      .select(round(col("homogeneity"), 6).as("homogeneity"),
+        round(col("completeness"), 6).as("completeness"),
+        round(lit(2.0) * col("homogeneity") * col("completeness")
+          / (col("homogeneity") + col("completeness")), 6).as("v_measure"))
+  }
+
+  /** KL divergence between truth and pred label distributions —
+    * reference: stats/kl_divergence.cuh:54 (Σ p·ln(p/q)). */
+  def klDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val lp = labelPairs(spark, dir)
+    val p = lp.groupBy(col("truth").as("k")).agg(count(lit(1)).as("pc"))
+    val qd = lp.groupBy(col("pred").as("k")).agg(count(lit(1)).as("qc"))
+    val n = lp.agg(count(lit(1)).as("n"))
+    p.join(qd, Seq("k")).crossJoin(broadcast(n))
+      .agg(round(sum((col("pc") / col("n")) * log(col("pc").cast("double") / col("qc"))), 6).as("kl"))
+  }
+
+  /** r2_score + regression metrics (MAE/MSE/median-AE) for a deterministic
+    * prediction pair: y = row sum of vec, ŷ = 2 × sum of first 32 lanes —
+    * reference: stats/r2_score.cuh:63, regression_metrics.cuh:67.
+    */
+  def regressionPair(spark: SparkSession, dir: String): DataFrame =
+    Tables.vectors(spark, dir).select(
+      col("id"),
+      ArrayMath.rowSum(col("vec")).as("y"),
+      (ArrayMath.rowSum(expr("slice(vec, 1, 32)")) * 2.0).as("yhat"))
+
+  def r2Score(spark: SparkSession, dir: String): DataFrame = {
+    val p = regressionPair(spark, dir)
+    val m = p.agg(avg(col("y")).as("ybar"))
+    p.crossJoin(broadcast(m))
+      .agg(sum(pow(col("y") - col("yhat"), 2)).as("ssres"),
+        sum(pow(col("y") - col("ybar"), 2)).as("sstot"))
+      .select(round(lit(1.0) - col("ssres") / col("sstot"), 6).as("r2"))
+  }
+
+  def regressionMetrics(spark: SparkSession, dir: String): DataFrame =
+    regressionPair(spark, dir)
+      .agg(
+        round(avg(abs(col("y") - col("yhat"))), 6).as("mae"),
+        round(avg(pow(col("y") - col("yhat"), 2)), 6).as("mse"),
+        round(expr("percentile(abs(y - yhat), 0.5)"), 6).as("median_ae"))
+
+  /** Fixed-width histogram of l_quantity — reference: stats/histogram.cuh:52.
+    * Bin = floor((x − lo)/width); pure group-by, map-side combinable. */
+  def histogram(spark: SparkSession, dir: String, lo: Double, width: Double): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(floor((col("l_quantity") - lo) / width).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+
+  /** Single-pass per-column mean+var (meanvar) over lineitem numerics —
+    * reference: stats/meanvar.cuh:39 (mergeable (n, Σx, Σx²) partials —
+    * exactly what Catalyst's avg/var_samp partials maintain). */
+  def meanVar(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(avg(col("l_quantity")), 6).as("qty_mean"),
+      round(var_samp(col("l_quantity")), 6).as("qty_var"),
+      round(avg(col("l_extendedprice")), 4).as("price_mean"),
+      round(var_samp(col("l_extendedprice")), 2).as("price_var"),
+      round(avg(col("l_discount")), 6).as("disc_mean"),
+      round(var_samp(col("l_discount")), 6).as("disc_var"))
+
+  /** Per-column min/max — reference: stats/minmax.cuh:49. */
+  def minMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(min(col("l_quantity")), 4).as("qty_min"),
+      round(max(col("l_quantity")), 4).as("qty_max"),
+      round(min(col("l_extendedprice")), 4).as("price_min"),
+      round(max(col("l_extendedprice")), 4).as("price_max"))
+
+  /** weighted_mean: Σ(w·x)/Σw — reference: stats/weighted_mean.cuh:36. */
+  def weightedMean(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(sum(col("l_quantity") * col("l_extendedprice")) / sum(col("l_quantity")), 4)
+        .as("wmean_price"))
+
+  /** Covariance matrix (3×3) of (l_quantity, l_extendedprice, l_discount) —
+    * reference: stats/cov.cuh:38. Emitted as COO (i, j, cov). At large d the
+    * scale path is a gram-matrix TypedImperativeAggregate (SURVEY §4); for
+    * d=3 the pairwise covar_samp aggregate is one pass.
+    */
+  def covariance(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = for { i <- cols.indices; j <- cols.indices if i <= j } yield
+      round(covar_samp(col(cols(i)), col(cols(j))), 4).as(s"c_${i}_$j")
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val entries = for { i <- cols.indices; j <- cols.indices if i <= j } yield
+      struct(lit(i).as("i"), lit(j).as("j"), col(s"c_${i}_$j").as("cov"))
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cov").as("cov"))
+  }
+
+  /** cluster_dispersion: Σ_k n_k·‖c_k − c‖² over label clusters —
+    * reference: stats/dispersion.cuh:40. Centroids via lane explode +
+    * two-level aggregation; everything stays keyed by (label, pos).
+    */
+  def clusterDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val lanes = Tables.vectors(spark, dir)
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
+    val cent = lanes.groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("ck"), count(lit(1)).as("nk"))
+    val glob = lanes.groupBy(col("pos")).agg(avg(col("x")).as("c"))
+    cent.join(broadcast(glob), Seq("pos"))
+      .agg(round(sum(col("nk") * pow(col("ck") - col("c"), 2)), 4).as("dispersion"))
+  }
+
+  /** Mean silhouette score over the first 100 vectors —
+    * reference: stats/silhouette_score.cuh:91. Blocked cross-join of
+    * pairwise distances (the batched variant's strategy), then per-point
+    * a(i)/b(i) aggregation.
+    */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.vectors(spark, dir).where(col("id") < 100)
+      .select(col("id"), col("vec"), col("label"))
+    val a = v.select(col("id").as("i"), col("vec").as("va"), col("label").as("la"))
+    val b = v.select(col("id").as("j"), col("vec").as("vb"), col("label").as("lb"))
+    val pair = a.join(broadcast(b), col("i") =!= col("j"))
+      .select(col("i"), col("la"), col("lb"),
+        sqrt(greatest(ArrayMath.foldSum(ArrayMath.sub(col("va"), col("vb")), x => x * x), lit(0.0)))
+          .as("dist"))
+    val perCluster = pair.groupBy(col("i"), col("la"), col("lb"))
+      .agg(avg(col("dist")).as("mean_d"))
+    val ai = perCluster.where(col("la") === col("lb"))
+      .select(col("i"), col("mean_d").as("a_i"))
+    val bi = perCluster.where(col("la") =!= col("lb"))
+      .groupBy(col("i")).agg(min(col("mean_d")).as("b_i"))
+    ai.join(bi, Seq("i"))
+      .select(col("i"), ((col("b_i") - col("a_i")) / greatest(col("a_i"), col("b_i"))).as("s"))
+      .agg(round(avg(col("s")), 6).as("silhouette"))
+  }
+}

@@ -12,10 +12,6 @@ trait QueryGroup {
   def sql: Map[String, String]
 }
 
-object StatsQueries extends QueryGroup {
-  val q: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val sql: Map[String, String] = Map()
-}
 object RandomLabelQueries extends QueryGroup {
   val q: Map[String, (SparkSession, String) => DataFrame] = Map()
   val sql: Map[String, String] = Map()

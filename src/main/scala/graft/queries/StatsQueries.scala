@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.StatsOps
+
+/** Stats & model-evaluation metric queries (SURVEY.md §2.9) with DuckDB
+  * oracles. Label fixture: truth=embeddings.label, pred=vec_id%10.
+  */
+object StatsQueries extends QueryGroup {
+
+  private val lpCte =
+    """WITH lp AS (
+      |  SELECT vec_id AS id, CAST(label AS BIGINT) AS truth, vec_id % 10 AS pred
+      |  FROM embeddings)""".stripMargin
+
+  private val ctCte =
+    s"""$lpCte,
+       |ct AS (SELECT truth, pred, count(*) AS cnt FROM lp GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM ct),
+       |ai AS (SELECT truth, CAST(sum(cnt) AS DOUBLE) AS a FROM ct GROUP BY truth),
+       |bj AS (SELECT pred, CAST(sum(cnt) AS DOUBLE) AS b FROM ct GROUP BY pred)""".stripMargin
+
+  private val pairCte =
+    """WITH p AS (
+      |  SELECT vec_id AS id,
+      |    list_sum(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS y,
+      |    2.0 * list_sum(list_transform(embedding[1:32], f -> CAST(f AS DOUBLE))) AS yhat
+      |  FROM embeddings)""".stripMargin
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_accuracy" -> ((s, d) => StatsOps.accuracy(s, d)),
+    "stat_contingency" -> ((s, d) => StatsOps.contingency(s, d)),
+    "stat_entropy" -> ((s, d) => StatsOps.entropy(s, d)),
+    "stat_mutual_info" -> ((s, d) => StatsOps.mutualInfo(s, d)),
+    "stat_rand_index" -> ((s, d) => StatsOps.randIndex(s, d)),
+    "stat_v_measure" -> ((s, d) => StatsOps.vMeasure(s, d)),
+    "stat_kl" -> ((s, d) => StatsOps.klDivergence(s, d)),
+    "stat_r2" -> ((s, d) => StatsOps.r2Score(s, d)),
+    "stat_regression" -> ((s, d) => StatsOps.regressionMetrics(s, d)),
+    "stat_histogram" -> ((s, d) => StatsOps.histogram(s, d, 0.0, 5.0)),
+    "stat_meanvar" -> ((s, d) => StatsOps.meanVar(s, d)),
+    "stat_minmax" -> ((s, d) => StatsOps.minMax(s, d)),
+    "stat_weighted_mean" -> ((s, d) => StatsOps.weightedMean(s, d)),
+    "stat_cov" -> ((s, d) => StatsOps.covariance(s, d)),
+    "stat_dispersion" -> ((s, d) => StatsOps.clusterDispersion(s, d)),
+    "stat_silhouette" -> ((s, d) => StatsOps.silhouette(s, d)),
+  )
+
+  val sql: Map[String, String] = Map(
+    "stat_accuracy" ->
+      s"""$lpCte
+         |SELECT round(avg(CASE WHEN pred = truth THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+         |FROM lp""".stripMargin,
+    "stat_contingency" ->
+      s"""$lpCte
+         |SELECT truth, pred, count(*) AS cnt FROM lp GROUP BY 1, 2""".stripMargin,
+    "stat_entropy" ->
+      s"""$lpCte,
+         |c AS (SELECT truth, CAST(count(*) AS DOUBLE) AS c FROM lp GROUP BY truth)
+         |SELECT round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy FROM c""".stripMargin,
+    "stat_mutual_info" ->
+      s"""$ctCte
+         |SELECT round(sum((ct.cnt / tot.n) * ln(tot.n * ct.cnt / (ai.a * bj.b))), 6) AS mi
+         |FROM ct, tot, ai, bj
+         |WHERE ct.truth = ai.truth AND ct.pred = bj.pred""".stripMargin,
+    "stat_rand_index" ->
+      s"""$ctCte,
+         |s AS (SELECT
+         |  (SELECT sum(cnt*(cnt-1)/2.0) FROM ct) AS sij,
+         |  (SELECT sum(a*(a-1)/2.0) FROM ai) AS si,
+         |  (SELECT sum(b*(b-1)/2.0) FROM bj) AS sj,
+         |  (SELECT n FROM tot) AS n)
+         |SELECT
+         |  round((n*(n-1)/2.0 + 2*sij - si - sj) / (n*(n-1)/2.0), 6) AS rand_index,
+         |  round((sij - si*sj/(n*(n-1)/2.0)) /
+         |        ((si + sj)/2.0 - si*sj/(n*(n-1)/2.0)), 6) AS ari
+         |FROM s""".stripMargin,
+    "stat_v_measure" ->
+      s"""$ctCte,
+         |hx AS (SELECT
+         |  -(SELECT sum((ct.cnt/tot.n) * ln(ct.cnt/bj.b)) FROM ct, tot, bj
+         |     WHERE ct.pred = bj.pred) AS hck,
+         |  -(SELECT sum((ct.cnt/tot.n) * ln(ct.cnt/ai.a)) FROM ct, tot, ai
+         |     WHERE ct.truth = ai.truth) AS hkc,
+         |  -(SELECT sum((a/n) * ln(a/n)) FROM ai, tot) AS hc,
+         |  -(SELECT sum((b/n) * ln(b/n)) FROM bj, tot) AS hk),
+         |hcv AS (SELECT 1.0 - hck/hc AS h, 1.0 - hkc/hk AS c FROM hx)
+         |SELECT round(h, 6) AS homogeneity, round(c, 6) AS completeness,
+         |       round(2.0*h*c/(h+c), 6) AS v_measure
+         |FROM hcv""".stripMargin,
+    "stat_kl" ->
+      s"""$lpCte,
+         |p AS (SELECT truth AS k, CAST(count(*) AS DOUBLE) AS pc FROM lp GROUP BY 1),
+         |qd AS (SELECT pred AS k, CAST(count(*) AS DOUBLE) AS qc FROM lp GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lp)
+         |SELECT round(sum((pc/n.n) * ln(pc/qc)), 6) AS kl
+         |FROM p, qd, n WHERE p.k = qd.k""".stripMargin,
+    "stat_r2" ->
+      s"""$pairCte,
+         |m AS (SELECT avg(y) AS ybar FROM p)
+         |SELECT round(1.0 - sum((y-yhat)*(y-yhat)) / sum((y-ybar)*(y-ybar)), 6) AS r2
+         |FROM p, m""".stripMargin,
+    "stat_regression" ->
+      s"""$pairCte
+         |SELECT round(avg(abs(y-yhat)), 6) AS mae,
+         |       round(avg((y-yhat)*(y-yhat)), 6) AS mse,
+         |       round(quantile_cont(abs(y-yhat), 0.5), 6) AS median_ae
+         |FROM p""".stripMargin,
+    "stat_histogram" ->
+      """SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bin, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "stat_meanvar" ->
+      """SELECT round(avg(l_quantity), 6) AS qty_mean,
+        |  round(var_samp(l_quantity), 6) AS qty_var,
+        |  round(avg(l_extendedprice), 4) AS price_mean,
+        |  round(var_samp(l_extendedprice), 2) AS price_var,
+        |  round(avg(l_discount), 6) AS disc_mean,
+        |  round(var_samp(l_discount), 6) AS disc_var
+        |FROM lineitem""".stripMargin,
+    "stat_minmax" ->
+      """SELECT round(min(l_quantity), 4) AS qty_min, round(max(l_quantity), 4) AS qty_max,
+        |  round(min(l_extendedprice), 4) AS price_min,
+        |  round(max(l_extendedprice), 4) AS price_max
+        |FROM lineitem""".stripMargin,
+    "stat_weighted_mean" ->
+      """SELECT round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4) AS wmean_price
+        |FROM lineitem""".stripMargin,
+    "stat_cov" ->
+      """SELECT 0 AS i, 0 AS j, round(covar_samp(l_quantity, l_quantity), 4) AS cov FROM lineitem
+        |UNION ALL SELECT 0, 1, round(covar_samp(l_quantity, l_extendedprice), 4) FROM lineitem
+        |UNION ALL SELECT 0, 2, round(covar_samp(l_quantity, l_discount), 4) FROM lineitem
+        |UNION ALL SELECT 1, 1, round(covar_samp(l_extendedprice, l_extendedprice), 4) FROM lineitem
+        |UNION ALL SELECT 1, 2, round(covar_samp(l_extendedprice, l_discount), 4) FROM lineitem
+        |UNION ALL SELECT 2, 2, round(covar_samp(l_discount, l_discount), 4) FROM lineitem""".stripMargin,
+    "stat_dispersion" ->
+      """WITH lanes AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos, avg(x) AS ck, count(*) AS nk
+        |         FROM lanes GROUP BY 1, 2),
+        |gm AS (SELECT pos, avg(x) AS c FROM lanes GROUP BY pos)
+        |SELECT round(sum(nk * (ck - c) * (ck - c)), 4) AS dispersion
+        |FROM cent JOIN gm ON cent.pos = gm.pos""".stripMargin,
+    "stat_silhouette" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, list_transform(embedding, f -> CAST(f AS DOUBLE)) AS vec,
+        |         label
+        |  FROM embeddings WHERE vec_id < 100),
+        |pair AS (
+        |  SELECT a.id AS i, a.label AS la, b.label AS lb,
+        |    sqrt(list_sum(list_transform(list_zip(a.vec, b.vec),
+        |         p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM v a JOIN v b ON a.id <> b.id),
+        |pc AS (SELECT i, la, lb, avg(dist) AS mean_d FROM pair GROUP BY 1, 2, 3),
+        |a_i AS (SELECT i, mean_d AS a FROM pc WHERE la = lb),
+        |b_i AS (SELECT i, min(mean_d) AS b FROM pc WHERE la <> lb GROUP BY i)
+        |SELECT round(avg((b - a) / greatest(a, b)), 6) AS silhouette
+        |FROM a_i JOIN b_i ON a_i.i = b_i.i""".stripMargin,
+  )
+}
