@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Label/identity operations (SURVEY.md §2.7) —
+  * reference: cpp/include/raft/label/classlabels.cuh, merge_labels.cuh. */
+object LabelOps {
+
+  /** getUniquelabels: sorted distinct labels —
+    * reference: label/classlabels.cuh:31. */
+  def uniqueLabels(df: DataFrame, labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label")).distinct()
+
+  /** make_monotonic: remap labels to dense 0..k-1, order-preserving —
+    * reference: label/classlabels.cuh:81. dense_rank over the distinct
+    * label set; the rank table is tiny → broadcast back when remapping rows.
+    */
+  def makeMonotonic(df: DataFrame, labelCol: String): DataFrame = {
+    val w = Window.orderBy(col("label"))
+    df.select(col(labelCol).as("label")).distinct()
+      .withColumn("dense", dense_rank().over(w) - 1)
+  }
+
+  /** getOvrlabels: one-vs-rest binarization —
+    * reference: label/classlabels.cuh:55. */
+  def oneVsRest(df: DataFrame, labelCol: String, idCol: String, cls: Long): DataFrame =
+    df.select(col(idCol).as("id"),
+      when(col(labelCol) === cls, 1).otherwise(0).as("ovr"))
+
+  /** Connected components by iterative min-label propagation — the
+    * merge_labels fixpoint (reference: label/merge_labels.cuh:47, noted
+    * "used in connected components"). Each round: every node adopts the min
+    * label in its closed neighborhood; converges in O(diameter) rounds.
+    * Edges must be symmetric. Caching + local checkpoints keep lineage flat
+    * (the iterative-driver pattern of SURVEY.md §4).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neigh = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("comp"))
+      val m1 = labels.unionByName(neigh)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+      // pointer-jumping (comp := comp[comp]) halves the remaining diameter
+      // each round -> O(log n) rounds instead of O(diameter)
+      val parent = m1.select(col("node").as("pnode"), col("comp").as("pcomp"))
+      val next = m1.join(parent, m1("comp") === col("pnode"), "left")
+        .select(m1("node"), coalesce(col("pcomp"), m1("comp")).as("comp"))
+        .localCheckpoint(true) // truncate lineage across iterations
+      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
+        .where(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

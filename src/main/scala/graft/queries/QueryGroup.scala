@@ -12,10 +12,6 @@ trait QueryGroup {
   def sql: Map[String, String]
 }
 
-object RandomLabelQueries extends QueryGroup {
-  val q: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val sql: Map[String, String] = Map()
-}
 object PipelineQueries extends QueryGroup {
   val q: Map[String, (SparkSession, String) => DataFrame] = Map()
   val sql: Map[String, String] = Map()

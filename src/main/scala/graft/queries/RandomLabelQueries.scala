@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{LabelOps, RandomOps}
+import graft.Tables
+
+/** RNG / generator / label-op queries (SURVEY.md §2.11, §2.1, §2.7).
+  * Every random draw is a pure function of (id, seed, stream) via the
+  * md5-prefix hash, so the DuckDB oracle reproduces the exact bits.
+  */
+object RandomLabelQueries extends QueryGroup {
+
+  /** DuckDB uniform(0,1) for the same (id,seed,stream) counter as Spark. */
+  private def u(id: String, stream: String, seed: Long = 42): String =
+    s"((CAST(('0x' || substr(md5(concat_ws(':', $id, $seed, '$stream')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+  private def h(id: String, stream: String, seed: Long = 42): String =
+    s"CAST(('0x' || substr(md5(concat_ws(':', $id, $seed, '$stream')), 1, 8)) AS BIGINT)"
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rng_uniform" -> ((s, d) => s.range(1000).select(col("id"),
+      round(RandomOps.uniform(col("id"), 42, "u", 0.0, 1.0), 6).as("u"))),
+    "rng_normal" -> ((s, d) => s.range(1000).select(col("id"),
+      round(RandomOps.normal(col("id"), 42, "n"), 6).as("z"))),
+    "rng_bernoulli" -> ((s, d) => s.range(1000).select(col("id"),
+      RandomOps.bernoulli(col("id"), 42, "b", 0.3).as("b"))),
+    "rng_uniform_int" -> ((s, d) => s.range(1000).select(col("id"),
+      RandomOps.uniformInt(col("id"), 42, "i", 10, 20).as("k"))),
+    "rng_dists" -> ((s, d) => s.range(500).select(col("id"),
+      round(RandomOps.exponential(col("id"), 42, "e", 2.0), 6).as("expo"),
+      round(RandomOps.gumbel(col("id"), 42, "g", 0.0, 1.0), 6).as("gum"),
+      round(RandomOps.logistic(col("id"), 42, "l", 0.0, 1.0), 6).as("logi"),
+      round(RandomOps.rayleigh(col("id"), 42, "r", 1.0), 6).as("ray"),
+      round(RandomOps.laplace(col("id"), 42, "p", 0.0, 1.0), 6).as("lap"),
+      round(RandomOps.lognormal(col("id"), 42, "o", 0.0, 0.5), 6).as("lgn"))),
+    "rng_permute" -> ((s, d) =>
+      RandomOps.permute(Tables.customer(s, d).select(col("c_custkey")), "c_custkey", 9)
+        .select(col("ord"), col("c_custkey"))),
+    "rng_sample_weighted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"))
+      RandomOps.sampleWithoutReplacement(li, col("rid"), col("l_quantity"), 50, 42)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "gen_blobs" -> ((s, d) => {
+      val b = RandomOps.makeBlobs(s, 500, 8, 4, 42)
+      b.select(col("id"), col("cluster"),
+        graft.functions.ArrayMath.roundLanes(col("vec"), 6).as("vec"))
+    }),
+    "gen_regression" -> ((s, d) => RandomOps.makeRegression(s, 1000, 4, 42)),
+    "gen_rmat" -> ((s, d) => RandomOps.rmat(s, 1000, 8, 42)),
+    "label_unique" -> ((s, d) =>
+      LabelOps.uniqueLabels(Tables.customer(s, d), "c_mktsegment")),
+    "label_monotonic" -> ((s, d) => {
+      val relabeled = Tables.embeddings(s, d)
+        .select((col("label") * 3 + 1).cast("long").as("y"))
+      LabelOps.makeMonotonic(relabeled, "y")
+    }),
+    "label_ovr" -> ((s, d) =>
+      LabelOps.oneVsRest(Tables.embeddings(s, d), "label", "vec_id", 3L)),
+    "label_cc" -> ((s, d) => {
+      // chain graph in blocks of 50: closed-form components for the oracle
+      val edges = s.range(200).where(pmod(col("id"), lit(50)) =!= 49)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      LabelOps.connectedComponents(edges).select(col("node"), col("comp"))
+    }),
+  )
+
+  private def rmatSql(nEdges: Int, scale: Int, seed: Long,
+      a: Double, b: Double, c: Double): String = {
+    val srcBits = (0 until scale).map { l =>
+      s"(CASE WHEN ${u("id", s"r$l", seed)} >= ${a + b} THEN ${1L << (scale - 1 - l)} ELSE 0 END)"
+    }.mkString(" + ")
+    val dstBits = (0 until scale).map { l =>
+      val pTop = (1.0 - a - b - c) / (1.0 - a - b)
+      val pBot = b / (a + b)
+      s"""(CASE WHEN ${u("id", s"q$l", seed)} <
+         |  (CASE WHEN ${u("id", s"r$l", seed)} >= ${a + b} THEN $pTop ELSE $pBot END)
+         |THEN ${1L << (scale - 1 - l)} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"SELECT id AS eid, $srcBits AS src, $dstBits AS dst FROM range($nEdges) t(id)"
+  }
+
+  val sql: Map[String, String] = Map(
+    "rng_uniform" ->
+      s"SELECT id, round(${u("id", "u")}, 6) AS u FROM range(1000) t(id)",
+    "rng_normal" ->
+      s"""SELECT id, round(sqrt(-2.0 * ln(${u("id", "n~1")})) *
+         |cos(2.0 * pi() * ${u("id", "n~2")}), 6) AS z FROM range(1000) t(id)""".stripMargin,
+    "rng_bernoulli" ->
+      s"SELECT id, CAST(${u("id", "b")} < 0.3 AS INT) AS b FROM range(1000) t(id)",
+    "rng_uniform_int" ->
+      s"SELECT id, ${h("id", "i")} % 10 + 10 AS k FROM range(1000) t(id)",
+    "rng_dists" ->
+      s"""SELECT id,
+         |  round(-ln(${u("id", "e")}) / 2.0, 6) AS expo,
+         |  round(-ln(-ln(${u("id", "g")})), 6) AS gum,
+         |  round(ln(${u("id", "l")} / (1.0 - ${u("id", "l")})), 6) AS logi,
+         |  round(sqrt(-2.0 * ln(${u("id", "r")})), 6) AS ray,
+         |  round(-sign(${u("id", "p")} - 0.5) * ln(1.0 - 2.0 * abs(${u("id", "p")} - 0.5)), 6) AS lap,
+         |  round(exp(0.5 * sqrt(-2.0 * ln(${u("id", "o~1")})) *
+         |        cos(2.0 * pi() * ${u("id", "o~2")})), 6) AS lgn
+         |FROM range(500) t(id)""".stripMargin,
+    "rng_permute" ->
+      """SELECT row_number() OVER (ORDER BY md5(concat_ws(':', c_custkey, 9)), c_custkey) AS ord,
+        |       c_custkey
+        |FROM customer""".stripMargin,
+    "rng_sample_weighted" ->
+      s"""SELECT l_orderkey, l_linenumber FROM lineitem
+         |ORDER BY ln(${u("l_orderkey * 8 + l_linenumber", "swr")}) / l_quantity DESC,
+         |         l_orderkey * 8 + l_linenumber
+         |LIMIT 50""".stripMargin,
+    "gen_blobs" -> {
+      val u1 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b1')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+      val u2 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b2')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+      s"""SELECT id, id % 4 AS cluster,
+         |  [round(CAST(((id % 4) * 7 + j) % 5 AS DOUBLE) * 10.0 +
+         |         sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2), 6)
+         |   FOR j IN range(8)] AS vec
+         |FROM range(500) t(id)""".stripMargin
+    },
+    "gen_regression" -> {
+      val terms = (0 until 4).map { j =>
+        s"(-1.0 + ${u("id", s"x$j")} * 2.0) * ${j + 1.0}"
+      }.mkString(" + ")
+      s"""SELECT id, round($terms +
+         |  sqrt(-2.0 * ln(${u("id", "eps~1")})) * cos(2.0 * pi() * ${u("id", "eps~2")}) * 0.1,
+         |  6) AS y
+         |FROM range(1000) t(id)""".stripMargin
+    },
+    "gen_rmat" -> rmatSql(1000, 8, 42, 0.57, 0.19, 0.19),
+    "label_unique" -> "SELECT DISTINCT c_mktsegment AS label FROM customer",
+    "label_monotonic" ->
+      """WITH dl AS (SELECT DISTINCT CAST(label*3+1 AS BIGINT) AS label FROM embeddings)
+        |SELECT label, dense_rank() OVER (ORDER BY label) - 1 AS dense FROM dl""".stripMargin,
+    "label_ovr" ->
+      """SELECT vec_id AS id, CASE WHEN label = 3 THEN 1 ELSE 0 END AS ovr
+        |FROM embeddings""".stripMargin,
+    "label_cc" ->
+      "SELECT id AS node, (id // 50) * 50 AS comp FROM range(200) t(id)",
+  )
+}
