@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayMath
+import graft.operators.TextOps.h32
+
+/** Similarity search over the embedding column. Brute-force cosine top-k is
+  * the exact baseline (block cross-join + per-query top-k); the
+  * random-hyperplane LSH variant is the scale path — each vector maps to a
+  * bucket, and the search joins only same-bucket candidates, turning the
+  * O(n·q) scan into an equi-join the planner distributes by bucket.
+  * (The reference's ANN moved to cuVS; pairwise-distance + select_k remain
+  * its primitives — matrix/select_k.cuh:75 over a distance matrix.)
+  */
+object AnnOps {
+
+  def cosine(a: Column, b: Column): Column = ArrayMath.cosine(a, b)
+
+  /** Exact top-k cosine neighbors for the query rows (id < nQueries). */
+  def bruteForceTopK(vectors: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = vectors.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val c = vectors.select(col("id").as("nid"), col("vec").as("nv"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** Deterministic random hyperplane h (0-centered uniform lanes), seeded. */
+  def hyperplane(h: Int, d: Int, seed: Long): Column =
+    transform(sequence(lit(0), lit(d - 1)), j =>
+      (h32(concat_ws(":", lit(h), j, lit(seed), lit("hp"))) + lit(0.5)) / lit(4294967296.0)
+        - lit(0.5))
+
+  /** Sign-bucket of a vector under nPlanes hyperplanes. The dot products
+    * use a strict left fold so bucket bits are bit-identical across
+    * engines and partitionings. */
+  def lshBucket(vec: Column, nPlanes: Int, d: Int, seed: Long): Column =
+    (0 until nPlanes).map { h =>
+      when(ArrayMath.dot(vec, hyperplane(h, d, seed)) >= 0.0, lit(1 << h)).otherwise(0)
+    }.reduce(_ + _)
+
+  /** Multi-table LSH ANN: `nTables` independent sign-buckets; candidates
+    * share the query's bucket in ANY table (union of probes), then exact
+    * top-k within candidates. The candidate join is an equi-join on
+    * (table, bucket) — distributable by bucket at 100 TB; nTables trades
+    * recall vs candidate volume (the reference's IVF n_probes knob).
+    */
+  def lshTopK(vectors: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 4,
+      d: Int = 64, seed: Long = 11, nTables: Int = 4): DataFrame = {
+    val tables = array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col("vec"), nPlanes, d, seed + t * 1000L).as("bucket"))
+    }: _*)
+    val bucketed = vectors.select(col("id"), col("vec"), explode(tables).as("tb"))
+      .select(col("id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = bucketed.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"), col("tbl"), col("bucket"))
+    val c = bucketed.select(col("id").as("nid"), col("vec").as("nv"), col("tbl"), col("bucket"))
+    val cand = q.join(c, Seq("tbl", "bucket")).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand.select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** neighborhood_recall: |exact ∩ approx| / k per query, averaged —
+    * reference: stats/neighborhood_recall.cuh:77. */
+  def recallVsExact(vectors: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val exact = bruteForceTopK(vectors, nQueries, k).select(col("qid"), col("nid"))
+    val approx = lshTopK(vectors, nQueries, k).select(col("qid"), col("nid"))
+    exact.join(approx, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      .agg(round(avg(col("hits").cast("double") / k), 4).as("recall"))
+  }
+}

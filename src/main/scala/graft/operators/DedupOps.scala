@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps.h32
+
+/** Document deduplication for training-data pipelines: exact (hash),
+  * MinHash+LSH banding, SimHash, and direct n-gram Jaccard.
+  *
+  * Scale design: MinHash signatures are 16 independent min-aggregates over
+  * the shingle table (one shuffle keyed by doc); LSH banding turns the
+  * quadratic near-dup search into an equi-join on (band, signature) — the
+  * same bucket-join shape a 1000-executor job needs at 100 TB. Only
+  * candidate pairs (same band) pay the exact-Jaccard verification join.
+  */
+object DedupOps {
+
+  val P: Long = 2147483647L // 2^31-1, modulus for the affine permutations
+
+  /** Exact dedup summary over md5(text): corpus size vs distinct payloads. */
+  def exactDedupStats(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"))
+
+  /** Distinct 3-token shingles per doc: (doc_id, hs = h32(shingle)). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokenize(docs).where(size(col("tokens")) >= 3)
+    toks.select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("tokens")) - 3),
+          i => concat_ws(" ", element_at(col("tokens"), i + 1),
+            element_at(col("tokens"), i + 2), element_at(col("tokens"), i + 3))))
+        .as("s"))
+      .distinct()
+      .select(col("doc_id"), h32(col("s")).as("hs"))
+  }
+
+  /** MinHash signatures: mh_i = min((a_i·hs + b_i) mod P), a_i=2i+1,
+    * b_i=12345i+7, i < nPerm. One aggregate pass over the shingle table. */
+  def minhash(sh: DataFrame, nPerm: Int = 16): DataFrame = {
+    val aggs = (0 until nPerm).map { i =>
+      min(pmod(col("hs") * (2L * i + 1L) + (12345L * i + 7L), lit(P))).as(s"mh_$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: nPerm/rowsPerBand bands; band signature = ":"-joined
+    * minhash values. Returns (doc_id, band, sig). */
+  def lshBands(mh: DataFrame, nPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bands = (0 until nPerm / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+          .as("sig"))
+    }
+    mh.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs from shared LSH buckets, then exact-Jaccard verified
+    * at `threshold`. Returns (a, b, jac) with a < b.
+    */
+  def minhashDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).cache()
+    val bands = lshBands(minhash(sh))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    jaccardOf(cand, sh).where(col("jac") >= threshold)
+  }
+
+  /** Exact Jaccard for given (a,b) pairs via shingle-set joins. */
+  def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+      .where(col("ha") === col("hb"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jac"))
+  }
+
+  /** Direct pairwise n-gram Jaccard (the brute-force oracle path; use on
+    * bounded blocks only — LSH is the scale path). */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    val pairs = sh.select(col("doc_id").as("a")).distinct()
+      .join(sh.select(col("doc_id").as("b")).distinct(), col("a") < col("b"))
+    jaccardOf(pairs, sh).where(col("jac") >= threshold)
+  }
+
+  /** 16-bit SimHash over token counts: bit j set iff
+    * Σ_tokens tf·(±1 per bit j of h32(token)) > 0. Exact integer sums —
+    * order-independent, reproducible anywhere. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val td = TextOps.termDoc(docs)
+      .select(col("doc_id"), col("tf").cast("long").as("tf"), h32(col("term")).as("ht"))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("ht"), j) % 2 === 1, col("tf")).otherwise(-col("tf"))).as(s"s_$j")
+    }
+    td.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s_$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _).as("sim"))
+  }
+}

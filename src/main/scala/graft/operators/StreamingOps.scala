@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface over the `events` table (SURVEY.md §2.12). The
+  * reference has no streaming subsystem; what carries over is its
+  * incremental-friendly aggregates — single-pass meanvar
+  * (stats/meanvar.cuh:39) becomes mergeable (n, Σx, Σx²) state in
+  * flatMapGroupsWithState. Batch twins of each windowed aggregation are
+  * exposed as oracle-checked queries; the genuinely streaming paths
+  * (watermark, state timeout) run in StreamingSpec against MemoryStream.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windows per event type (batch twin of the
+    * readStream → groupBy(window(...)) aggregation). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sval"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("sval"))
+
+  /** Sliding 1-hour windows hopping every 30 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
+
+  /** Sessionization with a 30-minute inactivity gap — batch gaps-and-islands
+    * (lag + running sum), keyed by user: the deterministic twin of
+    * session_window/flatMapGroupsWithState sessionization.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  // ---- genuinely streaming paths (driven by StreamingSpec) ----
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class MeanVarState(n: Long, sum: Double, sumSq: Double)
+  case class MeanVarOut(event_type: String, n: Long, mean: Double, variance: Double)
+
+  /** Watermarked tumbling-window aggregation as a streaming Dataset. */
+  def streamingTumbling(events: Dataset[Ev]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
+
+  /** Streaming meanvar: mergeable (n, Σx, Σx²) state per key — the
+    * reference's single-pass meanvar as flatMapGroupsWithState. */
+  def streamingMeanVar(events: Dataset[Ev]): Dataset[MeanVarOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[MeanVarState, MeanVarOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Ev], state: GroupState[MeanVarState]) =>
+          val s0 = state.getOption.getOrElse(MeanVarState(0L, 0.0, 0.0))
+          val s = rows.foldLeft(s0) { (acc, e) =>
+            MeanVarState(acc.n + 1, acc.sum + e.value, acc.sumSq + e.value * e.value)
+          }
+          state.update(s)
+          val mean = s.sum / s.n
+          val varia = if (s.n > 1) (s.sumSq - s.n * mean * mean) / (s.n - 1) else 0.0
+          Iterator(MeanVarOut(key, s.n, mean, varia))
+      }
+  }
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators._
+
+/** Training-data-pipeline queries: dedup, ANN, multimodal plumbing,
+  * streaming batch-twins. Oracle parity notes:
+  *  - all random projections / signatures derive from the md5-prefix hash;
+  *  - dot products and norms use strict left folds on BOTH engines so
+  *    ranking comparisons (top-k, sign buckets) are bit-identical.
+  */
+object PipelineQueries extends QueryGroup {
+
+  // ---- shared DuckDB fragments ----
+
+  private val shCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS tokens
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3] AS s
+      |  FROM toks, unnest(range(len(tokens) - 2)) AS t(i)
+      |  WHERE len(tokens) >= 3),
+      |sh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hs FROM sh0)""".stripMargin
+
+  /** Strict left-fold dot product of two double lists (matches Spark's
+    * `aggregate` lane order exactly). */
+  private def foldDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> p[1] * p[2])), (s, x) -> s + x)"
+  private def foldSq(a: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (s, x) -> s + x)"
+
+  private val vCte =
+    """v AS (SELECT vec_id AS id,
+      |  list_transform(embedding, f -> CAST(f AS DOUBLE)) AS vec FROM embeddings)""".stripMargin
+
+  private def cosExpr(va: String, vb: String): String =
+    s"CASE WHEN sqrt(${foldSq(va)}) * sqrt(${foldSq(vb)}) <> 0.0 THEN " +
+      s"${foldDot(va, vb)} / (sqrt(${foldSq(va)}) * sqrt(${foldSq(vb)})) ELSE 0.0 END"
+
+  /** Hyperplane lane j of plane h under table seed (matches
+    * AnnOps.hyperplane with seed 11 + 1000·table). */
+  private def hpLane(h: Int, seed: Long): String =
+    s"((CAST(('0x' || substr(md5(concat_ws(':', $h, j, $seed, 'hp')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 - 0.5)"
+
+  private def bucketExpr(seed: Long): String =
+    (0 until 4).map { h =>
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  [vec[j+1] * ${hpLane(h, seed)} FOR j IN range(64)]), (s, x) -> s + x) >= 0.0
+         | THEN ${1 << h} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  private val bucketCte = {
+    val cols = (0 until 4).map(t => s"${bucketExpr(11L + t * 1000L)} AS b$t").mkString(", ")
+    s"b AS (SELECT id, vec, $cols FROM v)"
+  }
+
+  private val anyBucketMatch =
+    (0 until 4).map(t => s"q.b$t = c.b$t").mkString(" OR ")
+
+  // ---- queries ----
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dedup_exact" -> ((s, d) => DedupOps.exactDedupStats(Tables.documents(s, d))),
+    "pipe_minhash_lsh" -> ((s, d) => DedupOps.minhashDupPairs(Tables.documents(s, d), 0.5)),
+    "pipe_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
+    "pipe_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccard(Tables.documents(s, d).where(col("doc_id") < 300), 0.8)),
+    "pipe_ann_brute" -> ((s, d) => AnnOps.bruteForceTopK(Tables.vectors(s, d), 5, 10)),
+    "pipe_ann_lsh" -> ((s, d) => AnnOps.lshTopK(Tables.vectors(s, d), 5, 5)),
+    "pipe_ann_recall" -> ((s, d) => AnnOps.recallVsExact(Tables.vectors(s, d), 5, 10)),
+    "pipe_mm_decode" -> ((s, d) =>
+      MultimodalOps.decodeStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()),
+    "pipe_mm_frames" -> ((s, d) =>
+      MultimodalOps.frameSample(Tables.documents(s, d).where(col("doc_id") < 200))),
+    "pipe_stream_tumbling" -> ((s, d) => StreamingOps.tumblingCounts(Tables.events(s, d))),
+    "pipe_stream_sliding" -> ((s, d) => StreamingOps.slidingCounts(Tables.events(s, d))),
+    "pipe_stream_session" -> ((s, d) => StreamingOps.sessionize(Tables.events(s, d))),
+  )
+
+  // ---- oracles ----
+
+  private val simhashSums = (0 until 16).map(j =>
+    s"sum(CASE WHEN (ht >> $j) & 1 = 1 THEN tf ELSE -tf END) AS s_$j").mkString(", ")
+  private val simhashBits = (0 until 16).map(j =>
+    s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  val sql: Map[String, String] = Map(
+    "pipe_dedup_exact" ->
+      "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "pipe_minhash_lsh" ->
+      s"""$shCte,
+         |mh AS (
+         |  SELECT doc_id, i, min((hs * (2*i+1) + (12345*i+7)) % 2147483647) AS mh
+         |  FROM sh, unnest(range(16)) AS p(i) GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, string_agg(mh, ':' ORDER BY i) AS sig
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS inter FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+         |  WHERE sa.hs = sb.hs GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         |SELECT i.a, i.b, round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jac
+         |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5""".stripMargin,
+    "pipe_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             t -> t <> '') AS tokens
+         |  FROM documents),
+         |td AS (
+         |  SELECT doc_id, t.term, count(*) AS tf,
+         |         CAST(('0x' || substr(md5(t.term), 1, 8)) AS BIGINT) AS ht
+         |  FROM toks, unnest(toks.tokens) AS t(term)
+         |  GROUP BY doc_id, t.term),
+         |sums AS (SELECT doc_id, $simhashSums FROM td GROUP BY doc_id)
+         |SELECT doc_id, $simhashBits AS sim FROM sums""".stripMargin,
+    "pipe_ngram_jaccard" ->
+      s"""$shCte,
+         |shl AS (SELECT * FROM sh WHERE doc_id < 300),
+         |inter AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+         |  FROM shl a JOIN shl b ON a.hs = b.hs AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1)
+         |SELECT i.a, i.b, round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jac
+         |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.8""".stripMargin,
+    "pipe_ann_brute" ->
+      s"""WITH $vCte,
+         |scored AS (
+         |  SELECT q.id AS qid, c.id AS nid, ${cosExpr("q.vec", "c.vec")} AS cos
+         |  FROM v q JOIN v c ON q.id < 5 AND q.id <> c.id),
+         |ranked AS (
+         |  SELECT qid, nid, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+         |  FROM scored)
+         |SELECT qid, nid, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    "pipe_ann_lsh" ->
+      s"""WITH $vCte,
+         |$bucketCte,
+         |scored AS (
+         |  SELECT q.id AS qid, c.id AS nid, ${cosExpr("q.vec", "c.vec")} AS cos
+         |  FROM b q JOIN b c ON ($anyBucketMatch) AND q.id < 5 AND q.id <> c.id),
+         |ranked AS (
+         |  SELECT qid, nid, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+         |  FROM scored)
+         |SELECT qid, nid, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "pipe_ann_recall" ->
+      s"""WITH $vCte,
+         |$bucketCte,
+         |ex AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.id AS qid, c.id AS nid,
+         |           row_number() OVER (PARTITION BY q.id
+         |             ORDER BY ${cosExpr("q.vec", "c.vec")} DESC, c.id) AS rnk
+         |    FROM v q JOIN v c ON q.id < 5 AND q.id <> c.id)
+         |  WHERE rnk <= 10),
+         |ap AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.id AS qid, c.id AS nid,
+         |           row_number() OVER (PARTITION BY q.id
+         |             ORDER BY ${cosExpr("q.vec", "c.vec")} DESC, c.id) AS rnk
+         |    FROM b q JOIN b c ON ($anyBucketMatch) AND q.id < 5 AND q.id <> c.id)
+         |  WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT ex.qid, count(*) AS hits FROM ex JOIN ap
+         |    ON ex.qid = ap.qid AND ex.nid = ap.nid
+         |  GROUP BY 1)
+         |SELECT round(avg(CAST(hits AS DOUBLE) / 10), 4) AS recall FROM hits""".stripMargin,
+    "pipe_mm_decode" ->
+      """SELECT doc_id, length(text) AS n_bytes,
+        |  64 + length(text) % 577 AS width,
+        |  64 + (length(text) * 7) % 419 AS height,
+        |  3 AS channels, md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "pipe_mm_frames" ->
+      """SELECT doc_id, i AS frame_idx, i * 200 AS offset,
+        |  md5(substr(text, i * 200 + 1, 200)) AS frame_md5
+        |FROM documents, unnest(range((length(text) + 199) // 200)) AS t(i)
+        |WHERE doc_id < 200""".stripMargin,
+    "pipe_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |  count(*) AS cnt, round(sum(value), 4) AS sval
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "pipe_stream_sliding" ->
+      """WITH assigned AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w0,
+        |         event_type FROM events)
+        |SELECT w0 AS wstart, event_type, count(*) AS cnt
+        |FROM assigned GROUP BY 1, 2""".stripMargin,
+    "pipe_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessed AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM flagged)
+        |SELECT user_id, sess_no, min(ts) AS sess_start, max(ts) AS sess_end,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM sessed GROUP BY 1, 2""".stripMargin,
+  )
+}

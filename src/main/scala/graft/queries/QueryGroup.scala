@@ -12,7 +12,3 @@ trait QueryGroup {
   def sql: Map[String, String]
 }
 
-object PipelineQueries extends QueryGroup {
-  val q: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val sql: Map[String, String] = Map()
-}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnOps, DedupOps, LabelOps, RandomOps}
+
+/** Behavior tests for the pipeline ops whose guarantees go beyond what the
+  * oracle hash-compare shows: RNG partition-invariance, LSH recall quality,
+  * CC correctness on a known graph, R-MAT invariants.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("hash RNG is invariant under repartitioning") {
+    val a = spark.range(1000)
+      .select(col("id"), RandomOps.uniform(col("id"), 42, "u", 0.0, 1.0).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = spark.range(1000).repartition(13)
+      .select(col("id"), RandomOps.uniform(col("id"), 42, "u", 0.0, 1.0).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("uniform RNG moments are sane") {
+    val m = spark.range(20000)
+      .select(RandomOps.uniform(col("id"), 1, "m", 0.0, 1.0).as("u"))
+      .agg(avg(col("u")).as("m"), variance(col("u")).as("v")).collect().head
+    assert(math.abs(m.getDouble(0) - 0.5) < 0.01)
+    assert(math.abs(m.getDouble(1) - 1.0 / 12) < 0.01)
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = DedupOps.minhashDupPairs(docs, 0.5).collect()
+    assert(pairs.nonEmpty, "expected planted near-dups in documents")
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("LSH ANN recall vs brute force is reasonable") {
+    val recall = AnnOps.recallVsExact(graft.Tables.vectors(spark, sf), 5, 10)
+      .collect().head.getDouble(0)
+    assert(recall > 0.2, s"LSH recall suspiciously low: $recall") // 4-bit buckets
+  }
+
+  test("connected components labels a two-component graph correctly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val comp = LabelOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("rmat edges are within bounds and deterministic") {
+    val e1 = RandomOps.rmat(spark, 500, 8, 42).collect().map(_.toString).sorted
+    val e2 = RandomOps.rmat(spark, 500, 8, 42).collect().map(_.toString).sorted
+    assert(e1.sameElements(e2))
+    val bounds = RandomOps.rmat(spark, 500, 8, 42)
+      .agg(max(col("src")).as("ms"), max(col("dst")).as("md"),
+        min(col("src")).as("ns"), min(col("dst")).as("nd")).collect().head
+    assert(bounds.getLong(0) < 256 && bounds.getLong(1) < 256)
+    assert(bounds.getLong(2) >= 0 && bounds.getLong(3) >= 0)
+  }
+
+  test("rmat degree distribution is skewed (power-law-ish)") {
+    val deg = RandomOps.rmat(spark, 2000, 8, 7)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("mx"), avg(col("d")).as("av")).collect().head
+    assert(deg.getLong(0) > 3 * deg.getDouble(1), "R-MAT should concentrate edges")
+  }
+}

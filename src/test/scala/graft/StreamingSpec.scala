@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.StreamingOps
+import graft.operators.StreamingOps.Ev
+
+/** Drives the genuinely-streaming paths (watermarked window agg, stateful
+  * meanvar) through MemoryStream and checks them against their batch twins.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def mkEvents(): Seq[Ev] = {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 200).map { i =>
+      Ev(i.toLong, new Timestamp(t0 + i * 137000L), i % 7L,
+        Seq("click", "view", "purchase")(i % 3), (i % 13) * 0.5)
+    }
+  }
+
+  test("streaming tumbling-window counts match the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.streamingTumbling(input.toDS())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumble_out").start()
+    try {
+      input.addData(mkEvents())
+      query.processAllAvailable()
+      val streamed = spark.table("tumble_out")
+        .select(col("wstart"), col("event_type"), col("cnt"))
+        .collect().map(_.toString).sorted
+      val batch = mkEvents().toDF()
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch))
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("streaming meanvar state matches single-pass batch moments") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.streamingMeanVar(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("meanvar_out").start()
+    try {
+      // two micro-batches: state must merge across them
+      val (first, second) = mkEvents().splitAt(120)
+      input.addData(first)
+      query.processAllAvailable()
+      input.addData(second)
+      query.processAllAvailable()
+      // last update per key is the final state
+      val finalRows = spark.table("meanvar_out")
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n"), col("mean"), col("variance"))).as("s"))
+        .select(col("event_type"), col("s.n"), col("s.mean"), col("s.variance"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+          BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+      val batch = mkEvents().toDF()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("mean"),
+          var_samp(col("value")).as("variance"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+          BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+      assert(finalRows == batch)
+    } finally query.stop()
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.streamingTumbling(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      input.addData(Seq(Ev(1, new Timestamp(t0), 1, "click", 1.0),
+        Ev(2, new Timestamp(t0 + 10 * 3600 * 1000L), 1, "click", 1.0)))
+      query.processAllAvailable()
+      // event 8 hours behind the max-seen ts (watermark = 2h) → dropped
+      input.addData(Seq(Ev(3, new Timestamp(t0 + 2 * 3600 * 1000L), 1, "click", 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq(Ev(4, new Timestamp(t0 + 20 * 3600 * 1000L), 1, "click", 1.0)))
+      query.processAllAvailable()
+      val emitted = spark.table("late_out")
+        .select(col("wstart"), col("cnt")).collect()
+        .map(r => (r.getTimestamp(0).getTime - t0) / 3600000L -> r.getLong(1)).toMap
+      assert(emitted.get(0L).contains(1L)) // late event NOT counted
+    } finally query.stop()
+  }
+}
