@@ -180,4 +180,44 @@ object MatrixOps {
     Tables.vectors(spark, dir).select(
       col("id"),
       l0(threshold(col("vec"), lit(eps))).as("nnz"))
+
+  /** reduce_rows_by_key: Σ of vectors per key via the custom vector_sum
+    * Aggregator — reference: linalg/reduce_rows_by_key.cuh:141. One shuffle
+    * carrying (#keys × d) partials, not n×d lanes; emitted exploded for the
+    * oracle compare. */
+  def reduceRowsByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.vectors(spark, dir)
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorAgg.vectorSum(col("vec")).as("vsum"))
+      .select(col("label"), posexplode(col("vsum")).as(Seq("pos", "s")))
+      .select(col("label"), col("pos"), round(col("s"), 4).as("s"))
+
+  /** reduce_cols_by_key: out[i,k] = Σ_{j: j mod 4 = k} in[i,j] — an in-row
+    * indexed fold, no shuffle at all —
+    * reference: linalg/reduce_cols_by_key.cuh:40. */
+  def reduceColsByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.vectors(spark, dir)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(3)), k =>
+          aggregate(zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
+              (x, i) => when(pmod(i, lit(4)) === k, x).otherwise(0.0)),
+            lit(0.0), (acc, x) => acc + x)))
+        .as(Seq("k", "s")))
+      .select(col("id"), col("k"), round(col("s"), 4).as("s"))
+
+  /** ratio: each row's share of the global sum —
+    * reference: matrix/ratio.cuh:31 (x/sum(x) over the whole matrix). */
+  def rowRatio(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.vectors(spark, dir).select(col("id"), rowSum(col("vec")).as("rs"))
+    val tot = v.agg(sum(col("rs")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .select(col("id"), round(col("rs") / col("tot"), 8).as("ratio"))
+  }
+
+  /** scatter: out[map[i]] = in[i] with a bijective expression map —
+    * reference: cpp/include/raft/matrix/scatter.cuh:41. */
+  def scatterRowSums(spark: SparkSession, dir: String, n: Long): DataFrame =
+    Tables.vectors(spark, dir)
+      .select(pmod(col("id") * 7, lit(n)).as("id"),
+        round(rowSum(col("vec")), 4).as("rsum"))
 }

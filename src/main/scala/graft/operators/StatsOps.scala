@@ -202,6 +202,32 @@ object StatsOps {
       .agg(round(sum(col("nk") * pow(col("ck") - col("c"), 2)), 4).as("dispersion"))
   }
 
+  /** popc: total population count over a bigint column —
+    * reference: util/popc.cuh:23, core/bitset.hpp:124 (bitset.count). */
+  def popCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(sum(bit_count(col("l_orderkey"))).as("popc"))
+
+  /** information_criterion (AIC/AICc/BIC) per label from the Gaussian MLE
+    * log-likelihood of lane 0 — reference: stats/information_criterion.cuh:85,
+    * IC_Type stats_types.hpp:63. k=2 parameters (μ, σ²).
+    */
+  def informationCriterion(spark: SparkSession, dir: String): DataFrame = {
+    val x0 = Tables.vectors(spark, dir)
+      .select(col("label"), element_at(col("vec"), 1).as("x"))
+    val k = 2.0
+    x0.groupBy(col("label"))
+      .agg(count(lit(1)).cast("double").as("n"), var_pop(col("x")).as("v"))
+      .select(col("label"),
+        (lit(-0.5) * col("n") * (log(lit(2 * math.Pi) * col("v")) + 1.0)).as("ll"),
+        col("n"))
+      .select(col("label"),
+        round(lit(2 * k) - col("ll") * 2.0, 4).as("aic"),
+        round(lit(2 * k) - col("ll") * 2.0
+          + lit(2 * k * (k + 1)) / (col("n") - k - 1), 4).as("aicc"),
+        round(log(col("n")) * k - col("ll") * 2.0, 4).as("bic"))
+  }
+
   /** Mean silhouette score over the first 100 vectors —
     * reference: stats/silhouette_score.cuh:91. Blocked cross-join of
     * pairwise distances (the batched variant's strategy), then per-point

@@ -49,6 +49,10 @@ object MatrixQueries extends QueryGroup {
       MatrixOps.gather(v, idx)
         .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
     }),
+    "mat_reduce_rows_by_key" -> ((s, d) => MatrixOps.reduceRowsByKey(s, d)),
+    "mat_reduce_cols_by_key" -> ((s, d) => MatrixOps.reduceColsByKey(s, d)),
+    "mat_ratio" -> ((s, d) => MatrixOps.rowRatio(s, d)),
+    "mat_scatter" -> ((s, d) => MatrixOps.scatterRowSums(s, d, 500L)),
   )
 
   private val castLanes = "list_transform(embedding, f -> CAST(f AS DOUBLE))"
@@ -154,5 +158,26 @@ object MatrixQueries extends QueryGroup {
       """SELECT vec_id // 7 AS id,
         |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4)) AS vec
         |FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 7000""".stripMargin,
+    "mat_reduce_rows_by_key" ->
+      """SELECT label, pos, round(sum(x), 4) AS s
+        |FROM (SELECT label,
+        |             unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
+    "mat_reduce_cols_by_key" ->
+      """SELECT vec_id AS id, pos % 4 AS k, round(sum(x), 4) AS s
+        |FROM (SELECT vec_id,
+        |             unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS pos
+        |      FROM embeddings)
+        |GROUP BY vec_id, pos % 4""".stripMargin,
+    "mat_ratio" ->
+      s"""WITH rs AS (SELECT vec_id AS id, list_sum($castLanes) AS rs FROM embeddings),
+         |tot AS (SELECT sum(rs) AS tot FROM rs)
+         |SELECT id, round(rs / tot, 8) AS ratio FROM rs, tot""".stripMargin,
+    "mat_scatter" ->
+      s"""SELECT (vec_id * 7) % 500 AS id, round(list_sum($castLanes), 4) AS rsum
+         |FROM embeddings""".stripMargin,
   )
 }

@@ -45,6 +45,8 @@ object StatsQueries extends QueryGroup {
     "stat_cov" -> ((s, d) => StatsOps.covariance(s, d)),
     "stat_dispersion" -> ((s, d) => StatsOps.clusterDispersion(s, d)),
     "stat_silhouette" -> ((s, d) => StatsOps.silhouette(s, d)),
+    "stat_popc" -> ((s, d) => StatsOps.popCount(s, d)),
+    "stat_info_criterion" -> ((s, d) => StatsOps.informationCriterion(s, d)),
   )
 
   val sql: Map[String, String] = Map(
@@ -143,6 +145,19 @@ object StatsQueries extends QueryGroup {
         |gm AS (SELECT pos, avg(x) AS c FROM lanes GROUP BY pos)
         |SELECT round(sum(nk * (ck - c) * (ck - c)), 4) AS dispersion
         |FROM cent JOIN gm ON cent.pos = gm.pos""".stripMargin,
+    "stat_popc" ->
+      "SELECT sum(bit_count(l_orderkey)) AS popc FROM lineitem",
+    "stat_info_criterion" ->
+      """WITH x0 AS (
+        |  SELECT label, CAST(embedding[1] AS DOUBLE) AS x FROM embeddings),
+        |m AS (SELECT label, CAST(count(*) AS DOUBLE) AS n, var_pop(x) AS v
+        |      FROM x0 GROUP BY label),
+        |ll AS (SELECT label, n, -0.5 * n * (ln(2 * pi() * v) + 1.0) AS ll FROM m)
+        |SELECT label,
+        |  round(4.0 - 2.0 * ll, 4) AS aic,
+        |  round(4.0 - 2.0 * ll + 12.0 / (n - 3.0), 4) AS aicc,
+        |  round(2.0 * ln(n) - 2.0 * ll, 4) AS bic
+        |FROM ll""".stripMargin,
     "stat_silhouette" ->
       """WITH v AS (
         |  SELECT vec_id AS id, list_transform(embedding, f -> CAST(f AS DOUBLE)) AS vec,
