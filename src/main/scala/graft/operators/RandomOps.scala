@@ -100,6 +100,27 @@ object RandomOps {
     spark.range(n).select(col("id"), round(y, 6).as("y"))
   }
 
+  /** multi_variable_gaussian: x = L·z with L the Cholesky factor of a fixed
+    * SPD Σ (local d×d decomposition, distributed per-row transform) —
+    * reference: random/multi_variable_gaussian.cuh:28. */
+  def cholesky3(sigma: Array[Array[Double]]): Array[Array[Double]] = {
+    val l = Array.ofDim[Double](3, 3)
+    for (i <- 0 until 3; j <- 0 to i) {
+      val s = (0 until j).map(t => l(i)(t) * l(j)(t)).sum
+      if (i == j) l(i)(j) = math.sqrt(sigma(i)(i) - s)
+      else l(i)(j) = (sigma(i)(j) - s) / l(j)(j)
+    }
+    l
+  }
+
+  def multiVariableGaussian(spark: SparkSession, n: Long, seed: Long,
+      l: Array[Array[Double]]): DataFrame = {
+    val z = (0 until 3).map(i => normal(col("id"), seed, s"m$i"))
+    val x = (0 until 3).map(i => (0 to i).map(j => lit(l(i)(j)) * z(j)).reduce(_ + _))
+    spark.range(n).select(col("id") +: x.zipWithIndex.map { case (c, i) =>
+      round(c, 6).as(s"x$i") }: _*)
+  }
+
   /** rmat_rectangular_gen: R-MAT power-law edges by recursive bisection —
     * reference: random/rmat_rectangular_generator.cuh:86. One row per edge,
     * each bit of (src,dst) decided by a counter-hash draw against the

@@ -47,24 +47,196 @@ object SolverOps {
     * distributed-Gram + local-eig split as the reference's svdEig path
     * (linalg/svd.cuh:93, eig.cuh:121) and MLlib's computeSVD.
     */
-  def topEigenGram(spark: SparkSession, dir: String): Double = {
-    val vecs = Tables.vectors(spark, dir).select(col("vec"))
+  def topEigenGram(spark: SparkSession, dir: String): Double =
+    breeze.linalg.eigSym(gramMatrix(Tables.vectors(spark, dir)))
+      .eigenvalues.toArray.max
+
+  /** QR: R factor of the tall-skinny matrix via RowMatrix.tallSkinnyQR —
+    * reference: linalg/qr.cuh:73 (qr_get_qr). Emitted as upper-triangular
+    * COO (i, j, r). Sign convention: rows flipped so diag(R) ≥ 0
+    * (deterministic across BLAS implementations — the reference's
+    * sign_flip normalization, matrix/sign_flip.cuh:30). */
+  def qrR(spark: SparkSession, dir: String): DataFrame = {
+    val r = toRowMatrix(Tables.vectors(spark, dir)).tallSkinnyQR(computeQ = false).R
+    val d = r.numCols
+    val rows = for {
+      i <- 0 until r.numRows
+      sign = if (r(i, i) < 0) -1.0 else 1.0
+      j <- i until d
+    } yield (i, j, BigDecimal(sign * r(i, j)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    spark.createDataFrame(rows).toDF("i", "j", "r")
+  }
+
+  /** Least squares x̂ = (AᵀA)⁻¹Aᵀy: one treeAggregate pass accumulates the
+    * d×d normal matrix + d-vector partials; local solve on the driver —
+    * reference: linalg/lstsq.cuh:72 (lstsqEig path). */
+  def lstsq(data: DataFrame): Array[Double] = {
+    // data: (vec ARRAY<DOUBLE>, y DOUBLE)
+    val d = data.head().getSeq[Double](0).length
+    val acc = data.select(col("vec"), col("y")).rdd.treeAggregate(new Array[Double](d * d + d))(
+      seqOp = (a, row) => {
+        val x = row.getSeq[Double](0); val y = row.getDouble(1)
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { a(i * d + j) += x(i) * x(j); j += 1 }
+          a(d * d + i) += x(i) * y
+          i += 1
+        }
+        a
+      },
+      combOp = (a, b) => { var k = 0; while (k < a.length) { a(k) += b(k); k += 1 }; a })
+    val ata = new breeze.linalg.DenseMatrix(d, d, acc.take(d * d))
+    val aty = breeze.linalg.DenseVector(acc.drop(d * d))
+    (ata \ aty).toArray
+  }
+
+  /** One distributed pass accumulating the d×d Gram matrix XᵀX
+    * (the cov/gram treeAggregate of SURVEY §4; d² buffer, d bounded). */
+  def gramMatrix(vectors: DataFrame): breeze.linalg.DenseMatrix[Double] = {
+    val vecs = vectors.select(col("vec"))
     val d = vecs.head().getSeq[Double](0).length
-    val gram = vecs.rdd.treeAggregate(new Array[Double](d * d))(
-      seqOp = (acc, row) => {
+    val acc = vecs.rdd.treeAggregate(new Array[Double](d * d))(
+      seqOp = (a, row) => {
         val x = row.getSeq[Double](0)
         var i = 0
         while (i < d) {
-          val xi = x(i)
-          var j = 0
-          while (j < d) { acc(i * d + j) += xi * x(j); j += 1 }
+          val xi = x(i); var j = 0
+          while (j < d) { a(i * d + j) += xi * x(j); j += 1 }
           i += 1
         }
-        acc
+        a
       },
-      combOp = (a, b) => { var k = 0; while (k < d * d) { a(k) += b(k); k += 1 }; a })
-    val m = new breeze.linalg.DenseMatrix(d, d, gram)
-    breeze.linalg.eigSym(m).eigenvalues.toArray.max
+      combOp = (a, b) => { var t = 0; while (t < a.length) { a(t) += b(t); t += 1 }; a })
+    new breeze.linalg.DenseMatrix(d, d, acc)
+  }
+
+  /** Randomized SVD (Halko et al.) with q power iterations over the
+    * distributed Gram: σᵢ(A) = √eig of the projected QᵀGQ where Q spans
+    * GᵠΩ — reference: linalg/rsvd.cuh:41 (rsvd_fixed_rank; symmetric form
+    * rsvd.cuh:98). One distributed pass (Gram) + local randomized
+    * projection; for d beyond driver memory the two-pass Y = AΩ / B = QᵀA
+    * variant replaces the local part (documented future work).
+    */
+  def rsvdSingularValues(vectors: DataFrame, k: Int, p: Int = 8,
+      q: Int = 2, seed: Long = 5): Seq[Double] = {
+    import breeze.linalg._
+    val g = gramMatrix(vectors)
+    val d = g.rows
+    val l = k + p
+    val rng = new scala.util.Random(seed)
+    var y = DenseMatrix.tabulate(d, l)((_, _) => rng.nextGaussian())
+    for (_ <- 0 to q) y = g * y
+    val qr.QR(qm, _) = qr.reduced(y)
+    val m = qm.t * (g * qm)
+    eigSym((m + m.t) / 2.0).eigenvalues.toArray.sorted.reverse.take(k)
+      .map(e => math.sqrt(math.max(e, 0.0))).toSeq
+  }
+
+  /** eigsh: k smallest eigenpairs of a sparse symmetric matrix via Lanczos
+    * with full reorthogonalization — reference: sparse/solver/lanczos.cuh:35
+    * (lanczos_compute_eigenpairs; detail lanczos_smallest:402). The Spark
+    * shape mirrors SURVEY §3.1: each iteration's SpMV is a broadcast-join of
+    * the COO table against the current basis vector; the m×m tridiagonal
+    * eig is local. Basis vectors live on the driver (n ≤ ~1e6 per vector;
+    * restart-style variants shard them — documented future work).
+    */
+  def eigshSmallest(coo: DataFrame, n: Int, k: Int, m: Int = 40,
+      seed: Long = 3): Seq[Double] = {
+    val spark = coo.sparkSession
+    val edges = coo.select(col("row"), col("col"), col("value")).cache()
+    edges.count()
+    def spmv(v: Array[Double]): Array[Double] = {
+      val bv = spark.sparkContext.broadcast(v)
+      val out = edges.rdd.treeAggregate(new Array[Double](n))(
+        seqOp = (a, r) => {
+          a(r.getLong(0).toInt) += r.getDouble(2) * bv.value(r.getLong(1).toInt); a
+        },
+        combOp = (a, b) => { var i = 0; while (i < n) { a(i) += b(i); i += 1 }; a })
+      bv.destroy(); out
+    }
+    val steps = math.min(m, n)
+    val q = Array.ofDim[Double](steps + 1, n)
+    val alpha = new Array[Double](steps)
+    val beta = new Array[Double](steps)
+    // deterministic start vector
+    val rng = new scala.util.Random(seed)
+    q(0) = Array.fill(n)(rng.nextGaussian())
+    val n0 = math.sqrt(q(0).map(x => x * x).sum)
+    q(0) = q(0).map(_ / n0)
+    var actual = steps
+    var j = 0
+    while (j < steps) {
+      var w = spmv(q(j))
+      alpha(j) = (0 until n).map(i => w(i) * q(j)(i)).sum
+      // full reorthogonalization against all previous basis vectors
+      for (t <- 0 to j) {
+        val d = (0 until n).map(i => w(i) * q(t)(i)).sum
+        var i = 0; while (i < n) { w(i) -= d * q(t)(i); i += 1 }
+      }
+      beta(j) = math.sqrt(w.map(x => x * x).sum)
+      if (beta(j) < 1e-12) { actual = j + 1; j = steps }
+      else { q(j + 1) = w.map(_ / beta(j)); j += 1 }
+    }
+    edges.unpersist()
+    val t = breeze.linalg.DenseMatrix.zeros[Double](actual, actual)
+    for (i <- 0 until actual) {
+      t(i, i) = alpha(i)
+      if (i + 1 < actual) { t(i, i + 1) = beta(i); t(i + 1, i) = beta(i) }
+    }
+    breeze.linalg.eigSym(t).eigenvalues.toArray.sorted.take(k).toSeq
+  }
+
+  /** linear_assignment: min-cost perfect matching via the Hungarian
+    * algorithm with potentials (driver-local; the reference solves dense
+    * n×n LAP on one GPU, solver/linear_assignment.cuh:60 — SURVEY §2.4
+    * notes n ≤ ~1e4 driver-local as the plan; distributed auction variant
+    * is future work). Returns assignment (row → col).
+    */
+  def hungarian(cost: Array[Array[Double]]): (Array[Int], Double) = {
+    val n = cost.length
+    val INF = Double.MaxValue / 4
+    val u = new Array[Double](n + 1)
+    val v = new Array[Double](n + 1)
+    val p = new Array[Int](n + 1) // p(j) = row matched to column j (1-based)
+    val way = new Array[Int](n + 1)
+    for (i <- 1 to n) {
+      p(0) = i
+      var j0 = 0
+      val minv = Array.fill(n + 1)(INF)
+      val used = new Array[Boolean](n + 1)
+      var done = false
+      while (!done) {
+        used(j0) = true
+        val i0 = p(j0); var delta = INF; var j1 = -1
+        for (j <- 1 to n if !used(j)) {
+          val cur = cost(i0 - 1)(j - 1) - u(i0) - v(j)
+          if (cur < minv(j)) { minv(j) = cur; way(j) = j0 }
+          if (minv(j) < delta) { delta = minv(j); j1 = j }
+        }
+        for (j <- 0 to n) {
+          if (used(j)) { u(p(j)) += delta; v(j) -= delta }
+          else minv(j) -= delta
+        }
+        j0 = j1
+        if (p(j0) == 0) done = true
+      }
+      while (j0 != 0) { val j1 = way(j0); p(j0) = p(j1); j0 = j1 }
+    }
+    val assign = new Array[Int](n)
+    for (j <- 1 to n) if (p(j) > 0) assign(p(j) - 1) = j - 1
+    val total = (0 until n).map(i => cost(i)(assign(i))).sum
+    (assign, total)
+  }
+
+  /** LAP over a deterministic hash cost matrix, as a DataFrame result. */
+  def lapAssignment(spark: SparkSession, n: Int): DataFrame = {
+    val cost = Array.tabulate(n, n)((i, j) => ((i * 31 + j * 17) % 97) / 97.0)
+    val (assign, total) = hungarian(cost)
+    val rows = (0 until n).map(i => (i, assign(i),
+      BigDecimal(cost(i)(assign(i))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    spark.createDataFrame(rows).toDF("row", "col", "cost")
   }
 
   /** Borůvka minimum spanning forest over a COO edge list —

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ArrayMath
+
+/** Spectral partition-quality metrics + embedding-quality scores
+  * (SURVEY.md §2.8 spectral analyze*, §2.9 trustworthiness).
+  */
+object SpectralOps {
+
+  /** Symmetric part co-occurrence graph (both directions) with
+    * cluster labels c = node % 5 — the fixture for partition metrics. */
+  def partGraph(spark: SparkSession, dir: String): DataFrame = {
+    val coo = Tables.cooOrdersParts(spark, dir)
+    val a = coo.select(col("row"), col("col").as("c1"))
+    val b = coo.select(col("row"), col("col").as("c2"))
+    val edges = a.join(b, Seq("row")).where(col("c1") < col("c2"))
+      .groupBy(col("c1"), col("c2")).agg(count(lit(1)).cast("double").as("value"))
+      .select(col("c1").as("src"), col("c2").as("dst"), col("value"))
+    edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("value")))
+  }
+
+  /** analyzePartition: per-cluster size + edge-cut weight —
+    * reference: spectral/partition.cuh:38 (detail/partition.hpp:48-91
+    * computes cost = Σ cut weight per cluster over cluster sizes). */
+  def analyzePartition(spark: SparkSession, dir: String): DataFrame = {
+    val g = partGraph(spark, dir)
+      .select(col("src"), col("dst"), col("value"),
+        pmod(col("src"), lit(5)).as("cs"), pmod(col("dst"), lit(5)).as("cd"))
+    val sizes = g.select(col("src"), col("cs")).distinct()
+      .groupBy(col("cs").as("cluster")).agg(count(lit(1)).as("size"))
+    val cut = g.where(col("cs") =!= col("cd"))
+      .groupBy(col("cs").as("cluster"))
+      .agg(round(sum(col("value")), 2).as("cut_weight"))
+    sizes.join(cut, Seq("cluster"), "left")
+      .select(col("cluster"), col("size"),
+        coalesce(col("cut_weight"), lit(0.0)).as("cut_weight"))
+  }
+
+  /** analyzeModularity: Q = Σ_c (e_c/m₂ − (d_c/m₂)²) over the symmetric
+    * edge list (m₂ = total weight both directions) —
+    * reference: spectral/modularity_maximization.cuh:31. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val g = partGraph(spark, dir)
+      .select(col("src"), col("dst"), col("value"),
+        pmod(col("src"), lit(5)).as("cs"), pmod(col("dst"), lit(5)).as("cd"))
+    val m2 = g.agg(sum(col("value")).as("m2"))
+    val perC = g.groupBy(col("cs").as("cluster"))
+      .agg(sum(when(col("cs") === col("cd"), col("value")).otherwise(0.0)).as("ec"),
+        sum(col("value")).as("dc"))
+    perC.crossJoin(broadcast(m2))
+      .agg(round(sum(col("ec") / col("m2") - pow(col("dc") / col("m2"), 2)), 6)
+        .as("modularity"))
+  }
+
+  /** trustworthiness_score: rank-penalty of neighbors the projection
+    * invents — reference: stats/trustworthiness_score.cuh:31.
+    * Original space = full 64-d vec; embedded = first 8 lanes; n=100, k=5.
+    * T = 1 − 2/(n·k·(2n−3k−1)) · Σ_i Σ_{j∈kNN_emb(i)} max(0, rank_orig(i,j) − k).
+    */
+  def trustworthiness(spark: SparkSession, dir: String, n: Int = 100, k: Int = 5): DataFrame = {
+    val v = Tables.vectors(spark, dir).where(col("id") < n)
+      .select(col("id"), col("vec"), expr("slice(vec, 1, 8)").as("emb"))
+    val a = v.select(col("id").as("i"), col("vec").as("va"), col("emb").as("ea"))
+    val b = v.select(col("id").as("j"), col("vec").as("vb"), col("emb").as("eb"))
+    val pairs = a.join(broadcast(b), col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        ArrayMath.foldSum(ArrayMath.sub(col("va"), col("vb")), x => x * x).as("d_orig"),
+        ArrayMath.foldSum(ArrayMath.sub(col("ea"), col("eb")), x => x * x).as("d_emb"))
+    val wOrig = Window.partitionBy(col("i")).orderBy(col("d_orig").asc, col("j").asc)
+    val wEmb = Window.partitionBy(col("i")).orderBy(col("d_emb").asc, col("j").asc)
+    val ranked = pairs
+      .withColumn("r_orig", row_number().over(wOrig))
+      .withColumn("r_emb", row_number().over(wEmb))
+    val penalty = ranked.where(col("r_emb") <= k)
+      .agg(sum(greatest(col("r_orig") - k, lit(0))).as("pen"))
+    val norm = 2.0 / (n.toDouble * k * (2 * n - 3 * k - 1))
+    penalty.select(round(lit(1.0) - lit(norm) * col("pen"), 6).as("trustworthiness"))
+  }
+}

@@ -59,6 +59,9 @@ object RandomLabelQueries extends QueryGroup {
     }),
     "label_ovr" -> ((s, d) =>
       LabelOps.oneVsRest(Tables.embeddings(s, d), "label", "vec_id", 3L)),
+    "rng_mvn" -> ((s, d) => RandomOps.multiVariableGaussian(s, 500, 42,
+      RandomOps.cholesky3(Array(Array(4.0, 2.0, 1.0), Array(2.0, 3.0, 0.5),
+        Array(1.0, 0.5, 2.0))))),
     "label_cc" -> ((s, d) => {
       // chain graph in blocks of 50: closed-form components for the oracle
       val edges = s.range(200).where(pmod(col("id"), lit(50)) =!= 49)
@@ -130,6 +133,17 @@ object RandomLabelQueries extends QueryGroup {
          |FROM range(1000) t(id)""".stripMargin
     },
     "gen_rmat" -> rmatSql(1000, 8, 42, 0.57, 0.19, 0.19),
+    "rng_mvn" -> {
+      val l = graft.operators.RandomOps.cholesky3(Array(
+        Array(4.0, 2.0, 1.0), Array(2.0, 3.0, 0.5), Array(1.0, 0.5, 2.0)))
+      def z(i: Int) =
+        s"(sqrt(-2.0 * ln(${u("id", s"m$i~1")})) * cos(2.0 * pi() * ${u("id", s"m$i~2")}))"
+      val xs = (0 until 3).map { i =>
+        val terms = (0 to i).map(j => s"${l(i)(j)} * ${z(j)}").mkString(" + ")
+        s"round($terms, 6) AS x$i"
+      }.mkString(", ")
+      s"SELECT id, $xs FROM range(500) t(id)"
+    },
     "label_unique" -> "SELECT DISTINCT c_mktsegment AS label FROM customer",
     "label_monotonic" ->
       """WITH dl AS (SELECT DISTINCT CAST(label*3+1 AS BIGINT) AS label FROM embeddings)

@@ -31,11 +31,77 @@ object SolverQueries extends QueryGroup {
         BigDecimal.RoundingMode.HALF_UP).toDouble))).toDF("lambda1")
     }),
     "solver_mst" -> ((s, d) => SolverOps.boruvkaMst(mstFixture(s))),
+    "solver_partition" -> ((s, d) => graft.operators.SpectralOps.analyzePartition(s, d)),
+    "solver_modularity" -> ((s, d) => graft.operators.SpectralOps.modularity(s, d)),
+    "solver_qr" -> ((s, d) => SolverOps.qrR(s, d)),
+    "solver_lstsq" -> ((s, d) => {
+      val v = graft.Tables.vectors(s, d)
+      val pair = v.select(expr("slice(vec, 1, 8)").as("vec"),
+        graft.functions.ArrayMath.rowSum(col("vec")).as("y"))
+      val x = SolverOps.lstsq(pair)
+      s.createDataFrame(x.toSeq.zipWithIndex.map { case (v, i) =>
+        (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+        .toDF("j", "coef")
+    }),
+    "solver_rsvd" -> ((s, d) => {
+      val sv = SolverOps.rsvdSingularValues(graft.Tables.vectors(s, d), 5)
+      s.createDataFrame(sv.zipWithIndex.map { case (v, i) =>
+        (i, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+        .toDF("i", "sigma")
+    }),
+    "solver_eigsh" -> ((s, d) => {
+      // symmetric Laplacian of the 30-node chain graph (known spectrum)
+      val chain = s.range(29).select(col("id").as("row"), (col("id") + 1).as("col"),
+        lit(-1.0).as("value"))
+      val sym = chain.unionByName(chain.select(col("col").as("row"),
+        col("row").as("col"), col("value")))
+      val deg = s.range(30).select(col("id").as("row"), col("id").as("col"),
+        org.apache.spark.sql.functions.when(col("id") === 0 || col("id") === 29, 1.0)
+          .otherwise(2.0).as("value"))
+      val lap = sym.unionByName(deg)
+      val ev = SolverOps.eigshSmallest(lap, 30, 3)
+      s.createDataFrame(ev.zipWithIndex.map { case (v, i) =>
+        (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+        .toDF("i", "eig")
+    }),
+    "solver_lap" -> ((s, d) => SolverOps.lapAssignment(s, 50)),
   )
+
+  private val graphCte =
+    """WITH coo AS (
+      |  SELECT l_orderkey AS row, l_partkey AS col, sum(l_quantity) AS value
+      |  FROM lineitem GROUP BY 1, 2),
+      |e0 AS (
+      |  SELECT a.col AS src, b.col AS dst, CAST(count(*) AS DOUBLE) AS value
+      |  FROM coo a JOIN coo b ON a.row = b.row AND a.col < b.col
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT src, dst, value, src % 5 AS cs, dst % 5 AS cd FROM (
+      |    SELECT src, dst, value FROM e0
+      |    UNION ALL SELECT dst AS src, src AS dst, value FROM e0))""".stripMargin
 
   val sql: Map[String, String] = Map(
     "solver_mst" ->
       """SELECT i AS src, i + 1 AS dst, CAST(1.0 AS DOUBLE) AS value
         |FROM range(99) t(i)""".stripMargin,
+    "solver_partition" ->
+      s"""$graphCte,
+         |sizes AS (
+         |  SELECT cs AS cluster, count(*) AS size FROM
+         |    (SELECT DISTINCT src, cs FROM g) GROUP BY 1),
+         |cut AS (
+         |  SELECT cs AS cluster, round(sum(value), 2) AS cut_weight
+         |  FROM g WHERE cs <> cd GROUP BY 1)
+         |SELECT sizes.cluster, sizes.size, coalesce(cut.cut_weight, 0.0) AS cut_weight
+         |FROM sizes LEFT JOIN cut ON sizes.cluster = cut.cluster""".stripMargin,
+    "solver_modularity" ->
+      s"""$graphCte,
+         |m AS (SELECT sum(value) AS m2 FROM g),
+         |pc AS (
+         |  SELECT cs, sum(CASE WHEN cs = cd THEN value ELSE 0.0 END) AS ec,
+         |         sum(value) AS dc
+         |  FROM g GROUP BY cs)
+         |SELECT round(sum(ec/m.m2 - (dc/m.m2)*(dc/m.m2)), 6) AS modularity
+         |FROM pc, m""".stripMargin,
   )
 }

@@ -47,6 +47,7 @@ object StatsQueries extends QueryGroup {
     "stat_silhouette" -> ((s, d) => StatsOps.silhouette(s, d)),
     "stat_popc" -> ((s, d) => StatsOps.popCount(s, d)),
     "stat_info_criterion" -> ((s, d) => StatsOps.informationCriterion(s, d)),
+    "stat_trustworthiness" -> ((s, d) => graft.operators.SpectralOps.trustworthiness(s, d)),
   )
 
   val sql: Map[String, String] = Map(
@@ -147,6 +148,28 @@ object StatsQueries extends QueryGroup {
         |FROM cent JOIN gm ON cent.pos = gm.pos""".stripMargin,
     "stat_popc" ->
       "SELECT sum(bit_count(l_orderkey)) AS popc FROM lineitem",
+    "stat_trustworthiness" -> {
+      def foldD(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, x) -> s + x)"
+      val n = 100; val k = 5
+      val norm = 2.0 / (n.toDouble * k * (2 * n - 3 * k - 1))
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, list_transform(embedding, f -> CAST(f AS DOUBLE)) AS vec,
+         |         list_transform(embedding[1:8], f -> CAST(f AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id < $n),
+         |pairs AS (
+         |  SELECT a.id AS i, b.id AS j,
+         |    ${foldD("a.vec", "b.vec")} AS d_orig,
+         |    ${foldD("a.emb", "b.emb")} AS d_emb
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |ranked AS (
+         |  SELECT i, j,
+         |    row_number() OVER (PARTITION BY i ORDER BY d_orig, j) AS r_orig,
+         |    row_number() OVER (PARTITION BY i ORDER BY d_emb, j) AS r_emb
+         |  FROM pairs)
+         |SELECT round(1.0 - $norm * sum(greatest(r_orig - $k, 0)), 6) AS trustworthiness
+         |FROM ranked WHERE r_emb <= $k""".stripMargin
+    },
     "stat_info_criterion" ->
       """WITH x0 AS (
         |  SELECT label, CAST(embedding[1] AS DOUBLE) AS x FROM embeddings),

@@ -1,0 +1,89 @@
+package graft
+
+import breeze.linalg.{svd => bsvd, DenseMatrix, DenseVector, eigSym}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SolverOps
+
+/** Golden-value checks for QR/lstsq/rSVD/Lanczos/LAP against Breeze and
+  * brute force (the reference's pytest-vs-scipy tier).
+  */
+class Solver2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val localMatrix: DenseMatrix[Double] = {
+    val rows = graft.Tables.vectors(spark, sf).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    DenseMatrix(rows: _*)
+  }
+
+  test("tallSkinnyQR R reproduces A = QR up to sign (RtR = AtA)") {
+    val r = SolverOps.qrR(spark, sf).collect()
+      .map(x => ((x.getInt(0), x.getInt(1)), x.getDouble(2))).toMap
+    val d = localMatrix.cols
+    // RᵀR must equal AᵀA regardless of Q sign conventions
+    val ata = localMatrix.t * localMatrix
+    for (i <- 0 until d; j <- i until d) {
+      val rtr = (0 to i).map(t => r.getOrElse((t, i), 0.0) * r.getOrElse((t, j), 0.0)).sum
+      assert(math.abs(rtr - ata(i, j)) / (math.abs(ata(i, j)) + 1.0) < 1e-3,
+        s"RtR($i,$j)=$rtr vs AtA=${ata(i, j)}")
+    }
+  }
+
+  test("distributed lstsq matches Breeze normal-equation solve") {
+    val pair = graft.Tables.vectors(spark, sf)
+      .select(expr("slice(vec, 1, 8)").as("vec"),
+        graft.functions.ArrayMath.rowSum(col("vec")).as("y"))
+    val got = SolverOps.lstsq(pair)
+    val rows = pair.collect()
+    val a = DenseMatrix(rows.map(_.getSeq[Double](0).toArray): _*)
+    val y = DenseVector(rows.map(_.getDouble(1)))
+    val expected = (a.t * a) \ (a.t * y)
+    got.zip(expected.toArray).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"$g vs $e")
+    }
+  }
+
+  test("randomized SVD matches exact SVD on decaying-spectrum data") {
+    // blobs have a few dominant directions — the regime rSVD targets
+    val blobs = graft.operators.RandomOps.makeBlobs(spark, 500, 16, 3, 9L)
+      .select(col("id"), col("vec"))
+    val got = SolverOps.rsvdSingularValues(blobs, 3)
+    val local = DenseMatrix(blobs.orderBy(col("id")).select(col("vec"))
+      .collect().map(_.getSeq[Double](0).toArray): _*)
+    val exact = bsvd(local).S.toArray.take(3)
+    got.zip(exact).foreach { case (g, e) =>
+      assert(math.abs(g - e) / e < 0.02, s"rsvd sigma $g vs exact $e")
+    }
+  }
+
+  test("Lanczos smallest eigenvalues of the chain Laplacian match closed form") {
+    import spark.implicits._
+    val chain = spark.range(29).select(col("id").as("row"), (col("id") + 1).as("col"),
+      lit(-1.0).as("value"))
+    val sym = chain.unionByName(chain.select(col("col").as("row"),
+      col("row").as("col"), col("value")))
+    val deg = spark.range(30).select(col("id").as("row"), col("id").as("col"),
+      when(col("id") === 0 || col("id") === 29, 1.0).otherwise(2.0).as("value"))
+    val got = SolverOps.eigshSmallest(sym.unionByName(deg), 30, 3)
+    // path-graph Laplacian eigenvalues: 2 - 2cos(pi*k/n), k = 0..n-1
+    val exact = (0 until 3).map(k => 2.0 - 2.0 * math.cos(math.Pi * k / 30))
+    got.zip(exact).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"eig $g vs $e")
+    }
+  }
+
+  test("Hungarian LAP matches brute force on 7x7") {
+    val n = 7
+    val cost = Array.tabulate(n, n)((i, j) => ((i * 31 + j * 17 + i * j) % 53) / 53.0)
+    val (_, total) = SolverOps.hungarian(cost)
+    val best = (0 until n).permutations
+      .map(p => p.zipWithIndex.map { case (j, i) => cost(i)(j) }.sum).min
+    assert(math.abs(total - best) < 1e-12)
+  }
+
+  test("LAP assignment is a permutation") {
+    val rows = SolverOps.lapAssignment(spark, 50).collect()
+    assert(rows.map(_.getInt(1)).distinct.length == 50)
+  }
+}
