@@ -57,6 +57,22 @@ object MatrixOps {
   def sortLanes(m: DataFrame): DataFrame =
     m.select(col("id"), sort_array(col("vec")).as("vec"))
 
+  /** sort_cols_per_row with key payload: sort (value, index) pairs so the
+    * permutation is recoverable — the sort_keys variant of
+    * col_wise_sort.cuh:66. */
+  def sortLanesWithKeys(m: DataFrame): DataFrame =
+    m.select(col("id"),
+      array_sort(arrays_zip(col("vec").as("v"),
+        sequence(lit(0), size(col("vec")) - 1).as("k"))).as("sorted"))
+      .select(col("id"),
+        col("sorted.v").as("vals"), col("sorted.k").as("keys"))
+
+  /** gather_if: gather rows by map with a predicate on map entries —
+    * reference: cpp/include/raft/matrix/gather.cuh:123 (gather_if). */
+  def gatherIf(m: DataFrame, idxMap: DataFrame, pred: Column): DataFrame =
+    m.join(idxMap.where(pred), m("id") === idxMap("src"))
+      .select(idxMap("dst").as("id"), m("vec"))
+
   /** col_reverse: flip lane order — reference: cpp/include/raft/matrix/reverse.cuh:29. */
   def colReverse(m: DataFrame): DataFrame =
     m.select(col("id"), reverse(col("vec")).as("vec"))

@@ -49,6 +49,16 @@ object StreamingOps {
         count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Native session_window sessionization (streaming-capable form of
+    * sessionize; merge semantics: events merge when gap < 30 min strictly).
+    */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("n_events"), col("sum_value"))
+
   // ---- genuinely streaming paths (driven by StreamingSpec) ----
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

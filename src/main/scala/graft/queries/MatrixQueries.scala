@@ -49,6 +49,33 @@ object MatrixQueries extends QueryGroup {
       MatrixOps.gather(v, idx)
         .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
     }),
+    "mat_gemv_native" -> ((s, d) => {
+      // same weights as mat_gemv, through the codegen'd ArrayDot Expression
+      val w = transform(sequence(lit(0), lit(63)),
+        j => pmod(j * 37, lit(97)).cast("double") / 97.0)
+      graft.Tables.vectors(s, d).select(col("id"),
+        round(graft.functions.ArrayDot.dot(col("vec"), w), 4).as("y"))
+    }),
+    "mat_sort_keys" -> ((s, d) => {
+      MatrixOps.sortLanesWithKeys(graft.Tables.vectors(s, d).where(col("id") < 30))
+        .select(col("id"), ArrayMath.roundLanes(col("vals"), 4).as("vals"), col("keys"))
+    }),
+    "mat_gather_if" -> ((s, d) => {
+      val v = graft.Tables.vectors(s, d)
+      val idx = v.sparkSession.range(0, 1000)
+        .select((col("id") * 3).as("src"), col("id").as("dst"))
+      MatrixOps.gatherIf(v, idx, col("src") % 2 === 0)
+        .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
+    }),
+    "mat_eltwise" -> ((s, d) => {
+      val v = graft.Tables.vectors(s, d)
+      val r = reverse(col("vec"))
+      v.select(col("id"),
+        round(ArrayMath.rowSum(ArrayMath.add(col("vec"), r)), 4).as("add_sum"),
+        round(ArrayMath.rowSum(ArrayMath.sub(col("vec"), r)), 4).as("sub_sum"),
+        round(ArrayMath.rowSum(ArrayMath.mul(col("vec"), r)), 4).as("mul_sum"),
+        round(ArrayMath.rowSum(ArrayMath.axpy(lit(2.0), col("vec"), r)), 4).as("axpy_sum"))
+    }),
     "mat_reduce_rows_by_key" -> ((s, d) => MatrixOps.reduceRowsByKey(s, d)),
     "mat_reduce_cols_by_key" -> ((s, d) => MatrixOps.reduceColsByKey(s, d)),
     "mat_ratio" -> ((s, d) => MatrixOps.rowRatio(s, d)),
@@ -158,6 +185,37 @@ object MatrixQueries extends QueryGroup {
       """SELECT vec_id // 7 AS id,
         |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4)) AS vec
         |FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 7000""".stripMargin,
+    "mat_gemv_native" ->
+      s"""SELECT vec_id AS id,
+         |  round(list_sum(list_transform(list_zip($castLanes,
+         |    [((j*37)%97)/97.0 FOR j IN range(64)]),
+         |    p -> p[1] * p[2])), 4) AS y
+         |FROM embeddings""".stripMargin,
+    "mat_sort_keys" ->
+      """WITH lanes AS (
+        |  SELECT vec_id, unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
+        |         generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings WHERE vec_id < 30)
+        |SELECT vec_id AS id,
+        |  list(round(x, 4) ORDER BY x, pos) AS vals,
+        |  list(pos ORDER BY x, pos) AS keys
+        |FROM lanes GROUP BY vec_id""".stripMargin,
+    "mat_gather_if" ->
+      """SELECT vec_id // 3 AS id,
+        |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4)) AS vec
+        |FROM embeddings
+        |WHERE vec_id % 3 = 0 AND vec_id % 2 = 0 AND vec_id < 3000""".stripMargin,
+    "mat_eltwise" ->
+      s"""SELECT vec_id AS id,
+         |  round(list_sum(list_transform(list_zip($castLanes, list_reverse($castLanes)),
+         |    p -> p[1] + p[2])), 4) AS add_sum,
+         |  round(list_sum(list_transform(list_zip($castLanes, list_reverse($castLanes)),
+         |    p -> p[1] - p[2])), 4) AS sub_sum,
+         |  round(list_sum(list_transform(list_zip($castLanes, list_reverse($castLanes)),
+         |    p -> p[1] * p[2])), 4) AS mul_sum,
+         |  round(list_sum(list_transform(list_zip($castLanes, list_reverse($castLanes)),
+         |    p -> 2.0 * p[1] + p[2])), 4) AS axpy_sum
+         |FROM embeddings""".stripMargin,
     "mat_reduce_rows_by_key" ->
       """SELECT label, pos, round(sum(x), 4) AS s
         |FROM (SELECT label,

@@ -79,6 +79,8 @@ object PipelineQueries extends QueryGroup {
     "pipe_stream_tumbling" -> ((s, d) => StreamingOps.tumblingCounts(Tables.events(s, d))),
     "pipe_stream_sliding" -> ((s, d) => StreamingOps.slidingCounts(Tables.events(s, d))),
     "pipe_stream_session" -> ((s, d) => StreamingOps.sessionize(Tables.events(s, d))),
+    "pipe_stream_session_fn" -> ((s, d) =>
+      StreamingOps.sessionWindowCounts(Tables.events(s, d))),
   )
 
   // ---- oracles ----
@@ -200,6 +202,21 @@ object PipelineQueries extends QueryGroup {
         |         event_type FROM events)
         |SELECT w0 AS wstart, event_type, count(*) AS cnt
         |FROM assigned GROUP BY 1, 2""".stripMargin,
+    "pipe_stream_session_fn" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessed AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM sessed GROUP BY user_id, sess_no""".stripMargin,
     "pipe_stream_session" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

@@ -61,6 +61,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(bounds.getLong(2) >= 0 && bounds.getLong(3) >= 0)
   }
 
+  test("native ArrayDot is bit-identical to the fold-based dot") {
+    import graft.functions.{ArrayDot, ArrayMath}
+    val v = graft.Tables.vectors(spark, sf)
+    val both = v.select(
+      ArrayDot.dot(col("vec"), reverse(col("vec"))).as("native"),
+      ArrayMath.dot(col("vec"), reverse(col("vec"))).as("fold"))
+    assert(both.where(col("native") =!= col("fold")).count() == 0)
+  }
+
   test("rmat degree distribution is skewed (power-law-ish)") {
     val deg = RandomOps.rmat(spark, 2000, 8, 7)
       .groupBy(col("src")).agg(count(lit(1)).as("d"))
