@@ -42,7 +42,9 @@ object Tables {
   def vectors(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir).select(
       col("vec_id").as("id"),
-      transform(col("embedding"), x => x.cast("double")).as("vec"),
+      // array-level Cast (codegen-able) — a transform() lambda here would
+      // knock every downstream projection out of whole-stage codegen
+      col("embedding").cast("array<double>").as("vec"),
       col("label"))
 
   /** Sparse COO canonical form derived from lineitem:

@@ -50,9 +50,10 @@ object MatrixQueries extends QueryGroup {
         .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
     }),
     "mat_gemv_native" -> ((s, d) => {
-      // same weights as mat_gemv, through the codegen'd ArrayDot Expression
-      val w = transform(sequence(lit(0), lit(63)),
-        j => pmod(j * 37, lit(97)).cast("double") / 97.0)
+      // same weights as mat_gemv, through the codegen'd ArrayDot Expression;
+      // the weight vector is a literal array (CreateArray is codegen-able,
+      // unlike transform/sequence HOFs) so the whole projection fuses.
+      val w = array((0 until 64).map(j => lit(((j * 37) % 97) / 97.0)): _*)
       graft.Tables.vectors(s, d).select(col("id"),
         round(graft.functions.ArrayDot.dot(col("vec"), w), 4).as("y"))
     }),
