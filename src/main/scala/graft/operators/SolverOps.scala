@@ -188,6 +188,32 @@ object SolverOps {
     breeze.linalg.eigSym(t).eigenvalues.toArray.sorted.take(k).toSeq
   }
 
+  /** cholesky_rank1_update: L ← chol(LLᵀ + xxᵀ) in O(d²) without
+    * refactorizing — reference: linalg/cholesky_r1_update.cuh:116.
+    * Driver-local (d×d), the incremental-aggregate building block for
+    * streaming covariance factors. */
+  def choleskyRank1Update(l: breeze.linalg.DenseMatrix[Double],
+      x: breeze.linalg.DenseVector[Double]): breeze.linalg.DenseMatrix[Double] = {
+    val out = l.copy
+    val w = x.copy
+    val d = w.length
+    var i = 0
+    while (i < d) {
+      val r = math.sqrt(out(i, i) * out(i, i) + w(i) * w(i))
+      val c = r / out(i, i)
+      val s = w(i) / out(i, i)
+      out(i, i) = r
+      var j = i + 1
+      while (j < d) {
+        out(j, i) = (out(j, i) + s * w(j)) / c
+        w(j) = c * w(j) - s * out(j, i)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** linear_assignment: min-cost perfect matching via the Hungarian
     * algorithm with potentials (driver-local; the reference solves dense
     * n×n LAP on one GPU, solver/linear_assignment.cuh:60 — SURVEY §2.4

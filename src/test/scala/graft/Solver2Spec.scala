@@ -73,6 +73,19 @@ class Solver2Spec extends AnyFunSuite {
     }
   }
 
+  test("cholesky rank-1 update equals refactorization") {
+    val rng = new scala.util.Random(4)
+    val d = 6
+    val m = DenseMatrix.tabulate(d, d)((_, _) => rng.nextGaussian())
+    val a = m * m.t + DenseMatrix.eye[Double](d) * (d * 1.0)
+    val x = DenseVector.tabulate(d)(_ => rng.nextGaussian())
+    val updated = SolverOps.choleskyRank1Update(breeze.linalg.cholesky(a), x)
+    val direct = breeze.linalg.cholesky(a + x * x.t)
+    for (i <- 0 until d; j <- 0 to i)
+      assert(math.abs(updated(i, j) - direct(i, j)) < 1e-9,
+        s"L($i,$j): ${updated(i, j)} vs ${direct(i, j)}")
+  }
+
   test("Hungarian LAP matches brute force on 7x7") {
     val n = 7
     val cost = Array.tabulate(n, n)((i, j) => ((i * 31 + j * 17 + i * j) % 53) / 53.0)
