@@ -146,15 +146,32 @@ object SolverOps {
       seed: Long = 3): Seq[Double] = {
     val spark = coo.sparkSession
     val edges = coo.select(col("row"), col("col"), col("value")).cache()
-    edges.count()
+    val nnz = edges.count()
+    // size-based dispatch (the reference's kAuto-style heuristic,
+    // matrix/detail/select_k-inl.cuh:38): per-iteration job overhead
+    // dominates below ~1e6 nnz, so small matrices run the SpMV locally;
+    // large ones use the distributed treeAggregate.
+    val localEdges: Array[(Int, Int, Double)] =
+      if (nnz <= 1000000L)
+        edges.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+      else null
     def spmv(v: Array[Double]): Array[Double] = {
-      val bv = spark.sparkContext.broadcast(v)
-      val out = edges.rdd.treeAggregate(new Array[Double](n))(
-        seqOp = (a, r) => {
-          a(r.getLong(0).toInt) += r.getDouble(2) * bv.value(r.getLong(1).toInt); a
-        },
-        combOp = (a, b) => { var i = 0; while (i < n) { a(i) += b(i); i += 1 }; a })
-      bv.destroy(); out
+      if (localEdges != null) {
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < localEdges.length) {
+          val e = localEdges(i); out(e._1) += e._3 * v(e._2); i += 1
+        }
+        out
+      } else {
+        val bv = spark.sparkContext.broadcast(v)
+        val out = edges.rdd.treeAggregate(new Array[Double](n))(
+          seqOp = (a, r) => {
+            a(r.getLong(0).toInt) += r.getDouble(2) * bv.value(r.getLong(1).toInt); a
+          },
+          combOp = (a, b) => { var i = 0; while (i < n) { a(i) += b(i); i += 1 }; a })
+        bv.destroy(); out
+      }
     }
     val steps = math.min(m, n)
     val q = Array.ofDim[Double](steps + 1, n)

@@ -81,6 +81,13 @@ object PipelineQueries extends QueryGroup {
     "pipe_stream_session" -> ((s, d) => StreamingOps.sessionize(Tables.events(s, d))),
     "pipe_stream_session_fn" -> ((s, d) =>
       StreamingOps.sessionWindowCounts(Tables.events(s, d))),
+    "pipe_kmeans" -> ((s, d) => {
+      val (assigned, centroids) = ClusterOps.kmeans(Tables.vectors(s, d), 8, 5)
+      val inert = ClusterOps.inertia(assigned, centroids)
+      assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .withColumn("inertia", round(lit(inert), 2))
+    }),
+    "pipe_ann_ivf" -> ((s, d) => ClusterOps.ivfTopK(Tables.vectors(s, d), 5, 10)),
   )
 
   // ---- oracles ----

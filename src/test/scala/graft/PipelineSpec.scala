@@ -61,6 +61,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(bounds.getLong(2) >= 0 && bounds.getLong(3) >= 0)
   }
 
+  test("kmeans is deterministic and inertia decreases with iterations") {
+    import graft.operators.ClusterOps
+    val v = graft.Tables.vectors(spark, sf)
+    val (a1, c1) = ClusterOps.kmeans(v, 8, 5)
+    val (a2, c2) = ClusterOps.kmeans(v, 8, 5)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(a1.collect().map(_.toString).sorted
+      .sameElements(a2.collect().map(_.toString).sorted))
+    val (a0, c0) = ClusterOps.kmeans(v, 8, 1)
+    assert(ClusterOps.inertia(a1, c1) <= ClusterOps.inertia(a0, c0) + 1e-9)
+  }
+
+  test("IVF ANN recall vs brute force is strong (nprobe=4/16)") {
+    import graft.operators.{AnnOps, ClusterOps}
+    val v = graft.Tables.vectors(spark, sf)
+    val exact = AnnOps.bruteForceTopK(v, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ClusterOps.ivfTopK(v, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall > 0.5, s"IVF recall too low: $recall")
+  }
+
   test("native ArrayDot is bit-identical to the fold-based dot") {
     import graft.functions.{ArrayDot, ArrayMath}
     val v = graft.Tables.vectors(spark, sf)
