@@ -93,6 +93,20 @@ object DedupOps {
     jaccardOf(pairs, sh).where(col("jac") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs (exact, blocked cross-join) —
+    * the embedding-space dedup mode of the training-pipeline surface. The
+    * scale path blocks by LSH/IVF cell first (AnnOps/ClusterOps); this
+    * exact form is the oracle-checkable baseline. */
+  def embeddingNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("id").as("a"), col("vec").as("va"))
+    val b = vectors.select(col("id").as("b"), col("vec").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.ArrayMath.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** 16-bit SimHash over token counts: bit j set iff
     * Σ_tokens tf·(±1 per bit j of h32(token)) > 0. Exact integer sums —
     * order-independent, reproducible anywhere. */

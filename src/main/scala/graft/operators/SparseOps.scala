@@ -77,6 +77,29 @@ object SparseOps {
       .select(col("i"), col("j"), round(ArrayMath.dot(col("va"), col("vb")), 4).as("dp"))
   }
 
+  /** General spgemm C = A·B via join on the contraction index —
+    * reference: cuSPARSE spgemm (tested cpp/tests/sparse/spgemmi.cu);
+    * the same equi-join + hash-aggregate lowering as AᵀA, shuffled on the
+    * shared dimension.
+    */
+  def spgemm(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("row"), col("col").as("k"), col("value").as("va"))
+      .join(b.select(col("row").as("k"), col("col"), col("value").as("vb")), Seq("k"))
+      .groupBy(col("row"), col("col"))
+      .agg(sum(col("va") * col("vb")).as("value"))
+
+  /** masked_matmul: (A·Bᵀ) ⊙ bitmask — the mask is a predicate over (i,j)
+    * materialized as a pattern table; only masked-in dot products compute —
+    * reference: cpp/include/raft/sparse/linalg/masked_matmul.cuh:47. */
+  def maskedMatmul(dense: DataFrame, maskPred: org.apache.spark.sql.Column,
+      n: Long): DataFrame = {
+    val spark = dense.sparkSession
+    val pattern = spark.range(n).select(col("id").as("i"))
+      .crossJoin(spark.range(n).select(col("id").as("j")))
+      .where(col("i") < col("j") && maskPred)
+    sddmm(pattern, dense)
+  }
+
   /** Per-sparse-row top-k by value (select_k CSR) —
     * reference: cpp/include/raft/sparse/matrix/select_k.cuh:64;
     * ties broken by lowest column index. */

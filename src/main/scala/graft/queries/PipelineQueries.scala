@@ -81,6 +81,8 @@ object PipelineQueries extends QueryGroup {
     "pipe_stream_session" -> ((s, d) => StreamingOps.sessionize(Tables.events(s, d))),
     "pipe_stream_session_fn" -> ((s, d) =>
       StreamingOps.sessionWindowCounts(Tables.events(s, d))),
+    "pipe_embed_neardup" -> ((s, d) =>
+      DedupOps.embeddingNearDups(Tables.vectors(s, d), 0.45)),
     "pipe_kmeans" -> ((s, d) => {
       val (assigned, centroids) = ClusterOps.kmeans(Tables.vectors(s, d), 8, 5)
       val inert = ClusterOps.inertia(assigned, centroids)
@@ -186,6 +188,11 @@ object PipelineQueries extends QueryGroup {
          |    ON ex.qid = ap.qid AND ex.nid = ap.nid
          |  GROUP BY 1)
          |SELECT round(avg(CAST(hits AS DOUBLE) / 10), 4) AS recall FROM hits""".stripMargin,
+    "pipe_embed_neardup" ->
+      s"""WITH $vCte
+         |SELECT a.id AS a, b.id AS b, round(${cosExpr("a.vec", "b.vec")}, 4) AS cos
+         |FROM v a JOIN v b ON a.id < b.id
+         |WHERE ${cosExpr("a.vec", "b.vec")} >= 0.45""".stripMargin,
     "pipe_mm_decode" ->
       """SELECT doc_id, length(text) AS n_bytes,
         |  64 + length(text) % 577 AS width,

@@ -61,6 +61,19 @@ object SparseTextQueries extends QueryGroup {
       SparseOps.laplacian(SparseOps.symmetrize(edges)).where(col("row") < 200)
         .select(col("row"), col("col"), round(col("value"), 2).as("value"))
     }),
+    "sp_spgemm_ab" -> ((s, d) => {
+      // A: order×part (qty); B: part×supp (line count); C = A·B, orders < 2000
+      val li = Tables.lineitem(s, d)
+      val a = Tables.cooOrdersParts(s, d)
+      val b = li.groupBy(col("l_partkey").as("row"), col("l_suppkey").as("col"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      SparseOps.spgemm(a, b).where(col("row") < 2000)
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"))
+    }),
+    "sp_masked_matmul" -> ((s, d) => {
+      SparseOps.maskedMatmul(Tables.vectors(s, d).where(col("id") < 500),
+        pmod(col("i") * 7 + col("j") * 13, lit(11)) === 0, 500L)
+    }),
     "sp_sddmm" -> ((s, d) => {
       val pattern = s.range(0, 500).select(col("id").as("i"))
         .crossJoin(s.range(0, 500).select(col("id").as("j")))
@@ -131,6 +144,22 @@ object SparseTextQueries extends QueryGroup {
          |  SELECT row, row AS col, sum(value) AS value FROM sym GROUP BY row
          |  UNION ALL SELECT row, col, -value FROM sym)
          |SELECT row, col, round(value, 2) AS value FROM lap WHERE row < 200""".stripMargin,
+    "sp_spgemm_ab" ->
+      s"""$cooCte,
+         |b AS (SELECT l_partkey AS k, l_suppkey AS col, CAST(count(*) AS DOUBLE) AS vb
+         |      FROM lineitem GROUP BY 1, 2)
+         |SELECT coo.row, b.col, round(sum(coo.value * b.vb), 2) AS value
+         |FROM coo JOIN b ON coo.col = b.k
+         |WHERE coo.row < 2000 GROUP BY 1, 2""".stripMargin,
+    "sp_masked_matmul" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+        |  round(list_sum(list_transform(list_zip(
+        |    list_transform(a.embedding, f -> CAST(f AS DOUBLE)),
+        |    list_transform(b.embedding, f -> CAST(f AS DOUBLE))),
+        |    p -> p[1] * p[2])), 4) AS dp
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+        |  AND (a.vec_id*7 + b.vec_id*13) % 11 = 0""".stripMargin,
     "sp_sddmm" ->
       """SELECT a.vec_id AS i, b.vec_id AS j,
         |  round(list_sum(list_transform(list_zip(
