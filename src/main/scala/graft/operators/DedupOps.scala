@@ -98,11 +98,15 @@ object DedupOps {
     * scale path blocks by LSH/IVF cell first (AnnOps/ClusterOps); this
     * exact form is the oracle-checkable baseline. */
   def embeddingNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("id").as("a"), col("vec").as("va"))
-    val b = vectors.select(col("id").as("b"), col("vec").as("vb"))
+    import graft.functions.{ArrayDot, ArrayMath}
+    // normalize once per row (O(n·d)), then one fused codegen'd dot per
+    // pair — the O(n²) stage does 64 multiply-adds and nothing else
+    val unit = vectors.select(col("id"),
+      ArrayMath.normalize(col("vec"), ArrayMath.l2(col("vec"))).as("uv"))
+    val a = unit.select(col("id").as("a"), col("uv").as("ua"))
+    val b = unit.select(col("id").as("b"), col("uv").as("ub"))
     a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"),
-        graft.functions.ArrayMath.cosine(col("va"), col("vb")).as("cos"))
+      .select(col("a"), col("b"), ArrayDot.dot(col("ua"), col("ub")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }

@@ -205,6 +205,25 @@ object SolverOps {
     breeze.linalg.eigSym(t).eigenvalues.toArray.sorted.take(k).toSeq
   }
 
+  /** tsvd transform + inverse_transform + reconstruction error —
+    * reference: linalg/tsvd.cuh:63,97 (svdReconstruction linalg/svd.cuh:195).
+    * V_k comes from the distributed Gram eig (svdEig path); project/
+    * reconstruct are per-row codegen-able expressions; the Frobenius
+    * reconstruction error is one aggregate:
+    * ‖A − A V Vᵀ‖²_F = ‖A‖²_F − ‖AV‖²_F.
+    */
+  def tsvdReconstructionError(vectors: DataFrame, k: Int): (Double, Double) = {
+    import breeze.linalg._
+    val g = gramMatrix(vectors)
+    val d = g.rows
+    val es = eigSym(g)
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2).take(k)
+    // ‖A‖²F = tr(G); ‖AV‖²F = tr(VᵀGV) = Σ top-k eigenvalues
+    val totalF = (0 until d).map(i => g(i, i)).sum
+    val keptF = order.map(i => es.eigenvalues(i)).sum
+    (math.max(totalF - keptF, 0.0), totalF)
+  }
+
   /** cholesky_rank1_update: L ← chol(LLᵀ + xxᵀ) in O(d²) without
     * refactorizing — reference: linalg/cholesky_r1_update.cuh:116.
     * Driver-local (d×d), the incremental-aggregate building block for

@@ -189,10 +189,15 @@ object PipelineQueries extends QueryGroup {
          |  GROUP BY 1)
          |SELECT round(avg(CAST(hits AS DOUBLE) / 10), 4) AS recall FROM hits""".stripMargin,
     "pipe_embed_neardup" ->
-      s"""WITH $vCte
-         |SELECT a.id AS a, b.id AS b, round(${cosExpr("a.vec", "b.vec")}, 4) AS cos
-         |FROM v a JOIN v b ON a.id < b.id
-         |WHERE ${cosExpr("a.vec", "b.vec")} >= 0.45""".stripMargin,
+      s"""WITH $vCte,
+         |un AS (
+         |  SELECT id, CASE WHEN sqrt(${foldSq("vec")}) <> 0.0
+         |    THEN list_transform(vec, x -> x / sqrt(${foldSq("vec")}))
+         |    ELSE vec END AS uv
+         |  FROM v)
+         |SELECT a.id AS a, b.id AS b, round(${foldDot("a.uv", "b.uv")}, 4) AS cos
+         |FROM un a JOIN un b ON a.id < b.id
+         |WHERE ${foldDot("a.uv", "b.uv")} >= 0.45""".stripMargin,
     "pipe_mm_decode" ->
       """SELECT doc_id, length(text) AS n_bytes,
         |  64 + length(text) % 577 AS width,

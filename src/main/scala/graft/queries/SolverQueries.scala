@@ -65,6 +65,13 @@ object SolverQueries extends QueryGroup {
         .toDF("i", "eig")
     }),
     "solver_lap" -> ((s, d) => SolverOps.lapAssignment(s, 50)),
+    "solver_tsvd_recon" -> ((s, d) => {
+      val (err, total) = SolverOps.tsvdReconstructionError(graft.Tables.vectors(s, d), 8)
+      s.createDataFrame(Seq((
+        BigDecimal(err).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(err / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        .toDF("frob_err_sq", "err_ratio")
+    }),
   )
 
   private val graphCte =

@@ -73,6 +73,16 @@ class Solver2Spec extends AnyFunSuite {
     }
   }
 
+  test("tsvd reconstruction error matches Breeze residual") {
+    val (err, total) = SolverOps.tsvdReconstructionError(
+      graft.Tables.vectors(spark, sf), 8)
+    val s = bsvd(localMatrix).S.toArray
+    val expectedErr = s.drop(8).map(x => x * x).sum
+    val expectedTotal = s.map(x => x * x).sum
+    assert(math.abs(err - expectedErr) / expectedErr < 1e-6)
+    assert(math.abs(total - expectedTotal) / expectedTotal < 1e-9)
+  }
+
   test("cholesky rank-1 update equals refactorization") {
     val rng = new scala.util.Random(4)
     val d = 6

@@ -77,6 +77,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-source streaming ingest: windowed agg over parquet matches batch") {
+    import spark.implicits._
+    // copy events into a temp dir as the "arriving files" source
+    val src = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ev = graft.Tables.events(spark, sf)
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1) // incremental micro-batches
+      .parquet(src)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("file_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_out").collect().map(_.toString).sorted
+      val batch = ev
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
