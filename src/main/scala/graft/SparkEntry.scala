@@ -41,6 +41,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_range_join_clicks" -> ((s, d) => Relational.clicksBeforePurchase(s, d)),
     "rel_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
     "rel_json_extract" -> ((s, d) => Relational.eventPropsExtract(s, d)),
+    "rel_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
   )
 
   val sql: Map[String, String] = Map(
@@ -99,6 +100,11 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT o_orderstatus, o_orderpriority,
         |  round(sum(o_totalprice), 2) AS total, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "rel_salted_skew_join" ->
+      """SELECT l_orderkey % 3 AS hot_key,
+        |  round(sum(l_quantity * (l_orderkey % 3 + 1)), 2) AS weighted_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "rel_json_extract" ->
       """SELECT event_id, upper(event_type) AS type_u, CAST(ts AS DATE) AS day,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -221,6 +221,34 @@ object MatrixOps {
         .as(Seq("k", "s")))
       .select(col("id"), col("k"), round(col("s"), 4).as("s"))
 
+  /** sign_flip: flip each column's sign so its max-|x| element is positive
+    * (the deterministic post-SVD sign convention) —
+    * reference: cpp/include/raft/matrix/sign_flip.cuh:30.
+    * Ties on |x| broken by lowest row id. Signs are a d-length broadcast.
+    */
+  def signFlip(spark: SparkSession, dir: String): DataFrame = {
+    val lanes = Tables.vectors(spark, dir)
+      .select(col("id"), posexplode(col("vec")).as(Seq("pos", "x")))
+    val signs = lanes.groupBy(col("pos"))
+      .agg(max(struct(abs(col("x")).as("a"), (-col("id")).as("nid"),
+        when(col("x") >= 0, 1.0).otherwise(-1.0).as("s"))).as("m"))
+      .select(col("pos"), col("m.s").as("s"))
+      .agg(collect_list(struct(col("pos"), col("s"))).as("ps"))
+      .select(transform(array_sort(col("ps")), p => p.getField("s")).as("sign_vec"))
+    Tables.vectors(spark, dir).crossJoin(broadcast(signs))
+      .where(col("id") < 30)
+      .select(col("id"),
+        graft.functions.ArrayMath.roundLanes(
+          zip_with(col("vec"), col("sign_vec"), (x, s) => x * s), 4).as("vec"))
+  }
+
+  /** reciprocal: 1/x with zero-guard —
+    * reference: cpp/include/raft/matrix/reciprocal.cuh:35. */
+  def reciprocalRowSums(spark: SparkSession, dir: String): DataFrame =
+    Tables.vectors(spark, dir).select(col("id"),
+      round(when(rowSum(col("vec")) =!= 0.0, lit(1.0) / rowSum(col("vec")))
+        .otherwise(0.0), 8).as("recip"))
+
   /** ratio: each row's share of the global sum —
     * reference: matrix/ratio.cuh:31 (x/sum(x) over the whole matrix). */
   def rowRatio(spark: SparkSession, dir: String): DataFrame = {

@@ -100,6 +100,17 @@ object RandomOps {
     spark.range(n).select(col("id"), round(y, 6).as("y"))
   }
 
+  /** discrete: weighted categorical draw by inverse-CDF over cumulative
+    * weights — reference: random/rng.cuh (discrete; cf.
+    * sampleWithoutReplacement:794). Weights must sum to 1. */
+  def discrete(id: Column, seed: Long, stream: String, weights: Seq[Double]): Column = {
+    val u = hashU(id, seed, stream)
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    cum.init.zipWithIndex.reverse.foldLeft(lit(weights.length - 1): Column) {
+      case (acc, (c, i)) => when(u < c, i).otherwise(acc)
+    }
+  }
+
   /** multi_variable_gaussian: x = L·z with L the Cholesky factor of a fixed
     * SPD Σ (local d×d decomposition, distributed per-row transform) —
     * reference: random/multi_variable_gaussian.cuh:28. */

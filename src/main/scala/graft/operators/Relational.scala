@@ -121,6 +121,26 @@ object Relational {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
 
+  /** Salted join for skewed keys: the fact side salts its hot key into
+    * `nSalts` sub-keys; the dimension is replicated once per salt, so each
+    * hot key's rows spread over nSalts tasks instead of one straggler.
+    * Semantically identical to the plain join (the oracle runs unsalted).
+    * Demo fixture: hot_key = l_orderkey % 3 (three massive keys).
+    */
+  def saltedSkewJoin(spark: SparkSession, dir: String, nSalts: Int = 8): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(pmod(col("l_orderkey"), lit(3)).as("hot_key"),
+        col("l_quantity"),
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(nSalts)).as("salt"))
+    val dim = spark.range(3).select(col("id").as("hot_key"),
+        (col("id") + 1).cast("double").as("factor"))
+      .crossJoin(spark.range(nSalts).select(col("id").as("salt")))
+    fact.join(dim, Seq("hot_key", "salt"))
+      .groupBy(col("hot_key"))
+      .agg(round(sum(col("l_quantity") * col("factor")), 2).as("weighted_qty"),
+        count(lit(1)).as("n"))
+  }
+
   /** Scalar string/date/JSON function surface over events (SURVEY.md §2.3 —
     * absent in the reference, declared free Catalyst-native engine surface).
     */

@@ -80,6 +80,8 @@ object MatrixQueries extends QueryGroup {
     "mat_reduce_rows_by_key" -> ((s, d) => MatrixOps.reduceRowsByKey(s, d)),
     "mat_reduce_cols_by_key" -> ((s, d) => MatrixOps.reduceColsByKey(s, d)),
     "mat_ratio" -> ((s, d) => MatrixOps.rowRatio(s, d)),
+    "mat_sign_flip" -> ((s, d) => MatrixOps.signFlip(s, d)),
+    "mat_reciprocal" -> ((s, d) => MatrixOps.reciprocalRowSums(s, d)),
     "mat_scatter" -> ((s, d) => MatrixOps.scatterRowSums(s, d, 500L)),
   )
 
@@ -231,6 +233,24 @@ object MatrixQueries extends QueryGroup {
         |             generate_subscripts(embedding, 1) - 1 AS pos
         |      FROM embeddings)
         |GROUP BY vec_id, pos % 4""".stripMargin,
+    "mat_sign_flip" ->
+      """WITH lanes AS (
+        |  SELECT vec_id, unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
+        |         generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings),
+        |signs AS (
+        |  SELECT pos, CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END AS s FROM (
+        |    SELECT pos, x, row_number() OVER (PARTITION BY pos
+        |             ORDER BY abs(x) DESC, vec_id) AS rn
+        |    FROM lanes) WHERE rn = 1)
+        |SELECT vec_id AS id, list(round(x * s, 4) ORDER BY lanes.pos) AS vec
+        |FROM lanes JOIN signs ON lanes.pos = signs.pos
+        |WHERE vec_id < 30 GROUP BY vec_id""".stripMargin,
+    "mat_reciprocal" ->
+      s"""SELECT vec_id AS id,
+         |  round(CASE WHEN list_sum($castLanes) <> 0.0
+         |    THEN 1.0 / list_sum($castLanes) ELSE 0.0 END, 8) AS recip
+         |FROM embeddings""".stripMargin,
     "mat_ratio" ->
       s"""WITH rs AS (SELECT vec_id AS id, list_sum($castLanes) AS rs FROM embeddings),
          |tot AS (SELECT sum(rs) AS tot FROM rs)

@@ -59,6 +59,8 @@ object RandomLabelQueries extends QueryGroup {
     }),
     "label_ovr" -> ((s, d) =>
       LabelOps.oneVsRest(Tables.embeddings(s, d), "label", "vec_id", 3L)),
+    "rng_discrete" -> ((s, d) => s.range(1000).select(col("id"),
+      RandomOps.discrete(col("id"), 42, "c", Seq(0.1, 0.2, 0.3, 0.4)).as("cat"))),
     "rng_mvn" -> ((s, d) => RandomOps.multiVariableGaussian(s, 500, 42,
       RandomOps.cholesky3(Array(Array(4.0, 2.0, 1.0), Array(2.0, 3.0, 0.5),
         Array(1.0, 0.5, 2.0))))),
@@ -133,6 +135,12 @@ object RandomLabelQueries extends QueryGroup {
          |FROM range(1000) t(id)""".stripMargin
     },
     "gen_rmat" -> rmatSql(1000, 8, 42, 0.57, 0.19, 0.19),
+    "rng_discrete" ->
+      s"""SELECT id, CASE WHEN ${u("id", "c")} < 0.1 THEN 0
+         |  WHEN ${u("id", "c")} < 0.30000000000000004 THEN 1
+         |  WHEN ${u("id", "c")} < 0.6000000000000001 THEN 2
+         |  ELSE 3 END AS cat
+         |FROM range(1000) t(id)""".stripMargin,
     "rng_mvn" -> {
       val l = graft.operators.RandomOps.cholesky3(Array(
         Array(4.0, 2.0, 1.0), Array(2.0, 3.0, 0.5), Array(1.0, 0.5, 2.0)))
