@@ -105,6 +105,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases join clicks within the preceding hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val p = purchases.toDS().withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = clicks.toDS().withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      clicks.addData(Seq(
+        Ev(100, new Timestamp(t0 - 30 * 60000L), 1, "click", 1.0),  // 30 min before
+        Ev(101, new Timestamp(t0 - 90 * 60000L), 1, "click", 1.0),  // too early
+        Ev(102, new Timestamp(t0 - 10 * 60000L), 2, "click", 1.0))) // other user
+      purchases.addData(Seq(Ev(1, new Timestamp(t0), 1, "purchase", 5.0)))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_out").collect()
+      assert(rows.length == 1) // only click 100 qualifies
+      assert(rows.head.getLong(0) == 1L)
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
