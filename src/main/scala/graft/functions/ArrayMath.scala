@@ -77,8 +77,11 @@ object ArrayMath {
     transform(v, x => when(abs(x) < eps, 0.0).otherwise(x))
 
   /** Round every lane to `d` decimals (declared-precision policy for
-    * float hash-matching vs the oracle, SURVEY.md §7 hard-parts). */
-  def roundLanes(v: Column, d: Int): Column = transform(v, x => round(x, d))
+    * float hash-matching vs the oracle, SURVEY.md §7 hard-parts).
+    * `+ 0.0` collapses IEEE −0.0 to +0.0 — Spark's round and DuckDB's
+    * disagree on the sign of −0.0 and the hash compare sees the difference.
+    */
+  def roundLanes(v: Column, d: Int): Column = transform(v, x => round(x, d) + 0.0)
 
   /** Cosine similarity between two vectors; 0 when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {

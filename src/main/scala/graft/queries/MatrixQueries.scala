@@ -139,15 +139,15 @@ object MatrixQueries extends QueryGroup {
         |         generate_subscripts(embedding, 1) AS pos
         |  FROM embeddings WHERE vec_id < 30)
         |SELECT lanes.vec_id AS id,
-        |       list(round(lanes.x - m.mu, 4) ORDER BY lanes.pos) AS vec
+        |       list(round(lanes.x - m.mu, 4) + 0.0 ORDER BY lanes.pos) AS vec
         |FROM lanes JOIN m ON lanes.pos = m.pos
         |GROUP BY lanes.vec_id""".stripMargin,
     "mat_normalize_l2" ->
       s"""SELECT vec_id AS id,
          |  CASE WHEN sqrt(list_sum(list_transform($castLanes, x -> x*x))) <> 0
          |    THEN list_transform($castLanes,
-         |      x -> round(x / sqrt(list_sum(list_transform($castLanes, y -> y*y))), 4))
-         |    ELSE list_transform($castLanes, x -> round(x, 4)) END AS vec
+         |      x -> round(x / sqrt(list_sum(list_transform($castLanes, y -> y*y))), 4) + 0.0)
+         |    ELSE list_transform($castLanes, x -> round(x, 4) + 0.0) END AS vec
          |FROM embeddings WHERE vec_id < 30""".stripMargin,
     "mat_threshold_nnz" ->
       s"""SELECT vec_id AS id,
@@ -156,7 +156,7 @@ object MatrixQueries extends QueryGroup {
          |FROM embeddings""".stripMargin,
     "mat_slice" ->
       """SELECT vec_id AS id,
-        |  list_transform(embedding[9:16], f -> round(CAST(f AS DOUBLE), 4)) AS vec
+        |  list_transform(embedding[9:16], f -> round(CAST(f AS DOUBLE), 4) + 0.0) AS vec
         |FROM embeddings WHERE vec_id >= 100 AND vec_id < 200""".stripMargin,
     "mat_select_k" ->
       """SELECT vec_id AS id, pos, round(x, 4) AS v, rnk FROM (
@@ -169,11 +169,11 @@ object MatrixQueries extends QueryGroup {
         |WHERE rnk <= 4""".stripMargin,
     "mat_sort_lanes" ->
       s"""SELECT vec_id AS id,
-         |  list_transform(list_sort($castLanes), x -> round(x, 4)) AS vec
+         |  list_transform(list_sort($castLanes), x -> round(x, 4) + 0.0) AS vec
          |FROM embeddings WHERE vec_id < 30""".stripMargin,
     "mat_col_reverse" ->
       s"""SELECT vec_id AS id,
-         |  list_transform(list_reverse($castLanes), x -> round(x, 4)) AS vec
+         |  list_transform(list_reverse($castLanes), x -> round(x, 4) + 0.0) AS vec
          |FROM embeddings WHERE vec_id < 30""".stripMargin,
     "mat_sample_rows" ->
       """SELECT vec_id AS id, label FROM embeddings
@@ -186,7 +186,7 @@ object MatrixQueries extends QueryGroup {
       "SELECT j AS row, j AS col, CAST(1.0 AS DOUBLE) AS value FROM range(10) t(j)",
     "mat_gather" ->
       """SELECT vec_id // 7 AS id,
-        |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4)) AS vec
+        |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4) + 0.0) AS vec
         |FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 7000""".stripMargin,
     "mat_gemv_native" ->
       s"""SELECT vec_id AS id,
@@ -200,12 +200,12 @@ object MatrixQueries extends QueryGroup {
         |         generate_subscripts(embedding, 1) - 1 AS pos
         |  FROM embeddings WHERE vec_id < 30)
         |SELECT vec_id AS id,
-        |  list(round(x, 4) ORDER BY x, pos) AS vals,
+        |  list(round(x, 4) + 0.0 ORDER BY x, pos) AS vals,
         |  list(pos ORDER BY x, pos) AS keys
         |FROM lanes GROUP BY vec_id""".stripMargin,
     "mat_gather_if" ->
       """SELECT vec_id // 3 AS id,
-        |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4)) AS vec
+        |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4) + 0.0) AS vec
         |FROM embeddings
         |WHERE vec_id % 3 = 0 AND vec_id % 2 = 0 AND vec_id < 3000""".stripMargin,
     "mat_eltwise" ->
@@ -243,7 +243,7 @@ object MatrixQueries extends QueryGroup {
         |    SELECT pos, x, row_number() OVER (PARTITION BY pos
         |             ORDER BY abs(x) DESC, vec_id) AS rn
         |    FROM lanes) WHERE rn = 1)
-        |SELECT vec_id AS id, list(round(x * s, 4) ORDER BY lanes.pos) AS vec
+        |SELECT vec_id AS id, list(round(x * s, 4) + 0.0 ORDER BY lanes.pos) AS vec
         |FROM lanes JOIN signs ON lanes.pos = signs.pos
         |WHERE vec_id < 30 GROUP BY vec_id""".stripMargin,
     "mat_reciprocal" ->

@@ -225,7 +225,8 @@ object PipelineQueries extends QueryGroup {
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS new_sess
+        |         OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessed AS (

@@ -121,7 +121,7 @@ object RandomLabelQueries extends QueryGroup {
       val u2 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b2')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
       s"""SELECT id, id % 4 AS cluster,
          |  [round(CAST(((id % 4) * 7 + j) % 5 AS DOUBLE) * 10.0 +
-         |         sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2), 6)
+         |         sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2), 6) + 0.0
          |   FOR j IN range(8)] AS vec
          |FROM range(500) t(id)""".stripMargin
     },
