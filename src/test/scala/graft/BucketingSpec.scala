@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the co-located-join story: two tables bucketed by the join key
+  * hash-join WITHOUT a shuffle exchange on either side — the pre-partitioned
+  * big-big join strategy for 100 TB fact-fact joins (SURVEY §2.4 scale
+  * notes; the alternative to broadcast when neither side is small).
+  */
+class BucketingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bucketed fact-fact join plans with zero shuffle exchanges") {
+    // uses the default warehouse (./spark-warehouse, gitignored)
+    val nBuckets = 4
+    Tables.lineitem(spark, sf)
+      .write.mode("overwrite").bucketBy(nBuckets, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables.orders(spark, sf)
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .write.mode("overwrite").bucketBy(nBuckets, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("ord_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), Seq("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join key must never be re-shuffled: bucket layout already
+      // provides the required distribution on both sides (only the final
+      // aggregation exchange on o_orderstatus is allowed)
+      assert(plan.contains("SortMergeJoin"), s"expected bucket SMJ:\n$plan")
+      assert(!plan.contains("hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffles on the key:\n$plan")
+      // and the result matches the unbucketed join
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .collect().map(r => r.getString(0) -> math.round(r.getDouble(1))).toMap
+      val got = joined.collect().map(r => r.getString(0) -> math.round(r.getDouble(1))).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
