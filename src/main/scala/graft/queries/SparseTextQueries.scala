@@ -61,6 +61,15 @@ object SparseTextQueries extends QueryGroup {
       SparseOps.laplacian(SparseOps.symmetrize(edges)).where(col("row") < 200)
         .select(col("row"), col("col"), round(col("value"), 2).as("value"))
     }),
+    "sp_max_dup" -> ((s, d) => {
+      // plant duplicates: the COO unioned with a half-valued copy;
+      // max_duplicates must recover exactly the original entries
+      val coo = Tables.cooOrdersParts(s, d)
+      val withDups = coo.unionByName(
+        coo.select(col("row"), col("col"), (col("value") * 0.5).as("value")))
+      SparseOps.maxDuplicates(withDups).where(col("row") < 500)
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"))
+    }),
     "sp_spgemm_ab" -> ((s, d) => {
       // A: order×part (qty); B: part×supp (line count); C = A·B, orders < 2000
       val li = Tables.lineitem(s, d)
@@ -144,6 +153,9 @@ object SparseTextQueries extends QueryGroup {
          |  SELECT row, row AS col, sum(value) AS value FROM sym GROUP BY row
          |  UNION ALL SELECT row, col, -value FROM sym)
          |SELECT row, col, round(value, 2) AS value FROM lap WHERE row < 200""".stripMargin,
+    "sp_max_dup" ->
+      s"""$cooCte
+         |SELECT row, col, round(value, 2) AS value FROM coo WHERE row < 500""".stripMargin,
     "sp_spgemm_ab" ->
       s"""$cooCte,
          |b AS (SELECT l_partkey AS k, l_suppkey AS col, CAST(count(*) AS DOUBLE) AS vb
