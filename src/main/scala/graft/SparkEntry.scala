@@ -42,6 +42,9 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
     "rel_json_extract" -> ((s, d) => Relational.eventPropsExtract(s, d)),
     "rel_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
+    "rel_window_frames" -> ((s, d) => Relational.supplierRunningRevenue(s, d)),
+    "rel_cube" -> ((s, d) => Relational.cubeQuantity(s, d)),
+    "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerFlag(s, d)),
   )
 
   val sql: Map[String, String] = Map(
@@ -100,6 +103,27 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT o_orderstatus, o_orderpriority,
         |  round(sum(o_totalprice), 2) AS total, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "rel_window_frames" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_rev,
+        |  rank() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rnk,
+        |  round(coalesce(lag(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber), 0.0), 2) AS prev_price,
+        |  round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+        |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "rel_salted_skew_join" ->
       """SELECT l_orderkey % 3 AS hot_key,
         |  round(sum(l_quantity * (l_orderkey % 3 + 1)), 2) AS weighted_qty,

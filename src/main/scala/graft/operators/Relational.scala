@@ -115,6 +115,37 @@ object Relational {
       .agg(count(lit(1)).as("n_clicks"), round(sum(col("c_value")), 4).as("click_value"))
   }
 
+  /** Analytic window frames: running revenue + rank/lag per supplier over a
+    * unique (shipdate, orderkey, linenumber) order — the frame-spec surface
+    * (SURVEY §2.6, declared free; required by the select_k/shift mappings).
+    */
+  def supplierRunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).where(col("l_suppkey") < 5)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      round(sum(col("l_extendedprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_rev"),
+      rank().over(w).as("rnk"),
+      round(lag(col("l_extendedprice"), 1, 0.0).over(w), 2).as("prev_price"),
+      round(avg(col("l_extendedprice"))
+        .over(w.rowsBetween(-2, 0)), 2).as("ma3"))
+  }
+
+  /** Cube aggregation over two dimensions (grouping-sets surface). */
+  def cubeQuantity(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("cnt"))
+
+  /** Exact distinct counts per group (countDistinct surface). */
+  def distinctPartsPerFlag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
   /** Rollup aggregation (grouping-sets surface, free in Catalyst). */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
