@@ -41,6 +41,19 @@ class EntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without query: $extra")
   }
 
+  test("no query-key collisions across groups (map merge would silently drop)") {
+    val groups = Seq(
+      graft.queries.MatrixQueries.q, graft.queries.SparseTextQueries.q,
+      graft.queries.StatsQueries.q, graft.queries.RandomLabelQueries.q,
+      graft.queries.PipelineQueries.q, graft.queries.SolverQueries.q)
+    val groupTotal = groups.map(_.size).sum
+    val merged = groups.map(_.keySet).reduce(_ ++ _).size
+    assert(groupTotal == merged, "duplicate query keys across groups")
+    // and the relational group (defined in SparkEntry) must not collide either
+    assert(SparkEntry.queries.size ==
+      merged + (SparkEntry.queries.keySet -- groups.map(_.keySet).reduce(_ ++ _)).size)
+  }
+
   test("top3 per segment has exactly <=3 rows per segment, ranked") {
     val rows = SparkEntry.queries("rel_top3_mktsegment")(spark, sf).collect()
     val bySeg = rows.groupBy(_.getString(0))
