@@ -70,6 +70,16 @@ object TextOps {
       .select(col("doc_id"), col("term"), round(idf * bm, 6).as("w"))
   }
 
+  /** BM25 retrieval: score every document against a fixed term query by
+    * summing the per-term BM25 weights (the IR use of encode_bm25 —
+    * reference: sparse/matrix/preprocessing.cuh:101). One semi-join on the
+    * query terms, then a per-doc sum. */
+  def bm25Score(docs: DataFrame, queryTerms: Seq[String]): DataFrame =
+    bm25(docs)
+      .where(col("term").isin(queryTerms.map(t => t: Any): _*))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("score"), count(lit(1)).as("n_hit_terms"))
+
   /** Token count + quality heuristics (training-pipeline text analysis):
     * token count, mean token length, stopword ratio, distinct-token ratio.
     */

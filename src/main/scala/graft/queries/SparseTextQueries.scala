@@ -98,6 +98,8 @@ object SparseTextQueries extends QueryGroup {
     "txt_bm25" -> ((s, d) => {
       TextOps.bm25(Tables.documents(s, d)).where(col("doc_id") < 300)
     }),
+    "txt_bm25_score" -> ((s, d) =>
+      TextOps.bm25Score(Tables.documents(s, d), Seq("spark", "join", "merge"))),
     "txt_quality" -> ((s, d) => {
       TextOps.quality(Tables.documents(s, d)).where(col("doc_id") < 1000)
     }),
@@ -203,6 +205,22 @@ object SparseTextQueries extends QueryGroup {
          |        6) AS w
          |FROM td, df, dl, tot
          |WHERE td.term = df.term AND td.doc_id = dl.doc_id AND td.doc_id < 300""".stripMargin,
+    "txt_bm25_score" ->
+      s"""$tokCte,
+         |df AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+         |dl AS (SELECT doc_id, sum(tf) AS len FROM td GROUP BY doc_id),
+         |tot AS (SELECT sum(tf) AS total_len, count(DISTINCT doc_id) AS n FROM td),
+         |w AS (
+         |  SELECT td.doc_id, td.term,
+         |    round(ln(CAST(tot.n AS DOUBLE)/df.df + 1.0) *
+         |          ((1.6 + 1.0) * ln(td.tf)) /
+         |          (1.6 * ((1.0 - 0.75) + 0.75 * (dl.len / (tot.total_len / tot.n))) + ln(td.tf)),
+         |          6) AS w
+         |  FROM td, df, dl, tot
+         |  WHERE td.term = df.term AND td.doc_id = dl.doc_id
+         |    AND td.term IN ('spark', 'join', 'merge'))
+         |SELECT doc_id, round(sum(w), 6) AS score, count(*) AS n_hit_terms
+         |FROM w GROUP BY doc_id""".stripMargin,
     "txt_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -105,6 +105,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window matches the batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = input.toDS()
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s"), col("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_stream_out").start()
+    try {
+      input.addData(mkEvents())
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stream_out")
+        .collect().map(_.toString).sorted
+      val batch = mkEvents().toDF()
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("s"), col("n"))
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases join clicks within the preceding hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
