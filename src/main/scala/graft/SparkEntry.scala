@@ -45,6 +45,8 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_window_frames" -> ((s, d) => Relational.supplierRunningRevenue(s, d)),
     "rel_cube" -> ((s, d) => Relational.cubeQuantity(s, d)),
     "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerFlag(s, d)),
+    "rel_set_ops" -> ((s, d) => Relational.customerSetOps(s, d)),
+    "rel_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(s, d)),
   )
 
   val sql: Map[String, String] = Map(
@@ -124,6 +126,15 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_set_ops" ->
+      """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |s AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |      WHERE o_totalprice > 150000.0)
+        |SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM b INTERSECT SELECT * FROM s)
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM s)
+        |UNION ALL
+        |SELECT 'union' AS op, c_custkey FROM (SELECT * FROM b UNION SELECT * FROM s)""".stripMargin,
     "rel_salted_skew_join" ->
       """SELECT l_orderkey % 3 AS hot_key,
         |  round(sum(l_quantity * (l_orderkey % 3 + 1)), 2) AS weighted_qty,

@@ -133,6 +133,31 @@ object Relational {
         .over(w.rowsBetween(-2, 0)), 2).as("ma3"))
   }
 
+  /** Set operations (union/intersect/except surface, SURVEY §2.7 —
+    * absent in the reference, Catalyst built-ins): big spenders vs
+    * BUILDING-segment customers, one row per (op, custkey).
+    */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bigSpenders = o.where(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    building.intersect(bigSpenders).select(lit("intersect").as("op"), col("c_custkey"))
+      .unionByName(building.except(bigSpenders)
+        .select(lit("except").as("op"), col("c_custkey")))
+      .unionByName(building.union(bigSpenders).distinct()
+        .select(lit("union").as("op"), col("c_custkey")))
+  }
+
+  /** approx_count_distinct (HLL sketch) — implementation-specific estimate,
+    * checked for accuracy vs exact in EntrySpec (no cross-engine oracle). */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   /** Cube aggregation over two dimensions (grouping-sets surface). */
   def cubeQuantity(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

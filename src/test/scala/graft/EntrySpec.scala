@@ -61,6 +61,15 @@ class EntrySpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) <= 3))
   }
 
+  test("approx_count_distinct is within 5% of exact") {
+    SparkEntry.queries("rel_approx_distinct")(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("queries are deterministic across re-execution") {
     val df1 = SparkEntry.queries("rel_pricing_summary")(spark, sf).collect().map(_.toString).sorted
     val df2 = SparkEntry.queries("rel_pricing_summary")(spark, sf).collect().map(_.toString).sorted
