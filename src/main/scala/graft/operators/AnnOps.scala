@@ -70,6 +70,31 @@ object AnnOps {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Uint8 lane quantization with per-column min/max scales (the scalar-
+    * quantization step of compressed ANN indexes): q = round(255·(x−mn)/
+    * (mx−mn)); reports per-row reconstruction MSE. Scales are a broadcast
+    * d-vector; quantize/dequantize are per-row lane expressions.
+    */
+  def quantizationError(vectors: DataFrame): DataFrame = {
+    val lanes = vectors.select(posexplode(col("vec")).as(Seq("pos", "x")))
+    val scales = lanes.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(collect_list(struct(col("pos"), col("mn"), col("mx"))).as("s"))
+      .select(transform(array_sort(col("s")), e => e.getField("mn")).as("mns"),
+        transform(array_sort(col("s")), e => e.getField("mx")).as("mxs"))
+    vectors.crossJoin(broadcast(scales))
+      .select(col("id"),
+        round(graft.functions.ArrayMath.foldSum(
+          zip_with(col("vec"),
+            zip_with(col("mns"), col("mxs"), (a, b) => struct(a.as("mn"), b.as("mx"))),
+            (x, s) => {
+              val mn = s.getField("mn"); val mx = s.getField("mx")
+              val q = when(mx > mn, round((x - mn) / (mx - mn) * 255.0, 0)).otherwise(0.0)
+              val deq = when(mx > mn, q / 255.0 * (mx - mn) + mn).otherwise(x)
+              (x - deq) * (x - deq)
+            }), identity) / size(col("vec")), 10).as("quant_mse"))
+  }
+
   /** neighborhood_recall: |exact ∩ approx| / k per query, averaged —
     * reference: stats/neighborhood_recall.cuh:77. */
   def recallVsExact(vectors: DataFrame, nQueries: Int, k: Int): DataFrame = {

@@ -93,6 +93,15 @@ object DedupOps {
     jaccardOf(pairs, sh).where(col("jac") >= threshold)
   }
 
+  /** Boilerplate-span detection: 3-gram shingles occurring in ≥ minDocs
+    * distinct documents, with their document frequency — the repeated-span
+    * analysis a training pipeline runs before span-level dedup. One
+    * aggregation over the shingle table. */
+  def boilerplateShingles(docs: DataFrame, minDocs: Long): DataFrame =
+    shingles(docs)
+      .groupBy(col("hs")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+
   /** Embedding-cosine near-duplicate pairs (exact, blocked cross-join) —
     * the embedding-space dedup mode of the training-pipeline surface. The
     * scale path blocks by LSH/IVF cell first (AnnOps/ClusterOps); this

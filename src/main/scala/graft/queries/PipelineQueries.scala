@@ -83,6 +83,10 @@ object PipelineQueries extends QueryGroup {
       StreamingOps.sessionWindowCounts(Tables.events(s, d))),
     "pipe_embed_neardup" -> ((s, d) =>
       DedupOps.embeddingNearDups(Tables.vectors(s, d), 0.45)),
+    "pipe_boilerplate" -> ((s, d) =>
+      DedupOps.boilerplateShingles(Tables.documents(s, d), 3L)),
+    "pipe_quantization" -> ((s, d) =>
+      AnnOps.quantizationError(Tables.vectors(s, d))),
     "pipe_kmeans" -> ((s, d) => {
       val (assigned, centroids) = ClusterOps.kmeans(Tables.vectors(s, d), 8, 5)
       val inert = ClusterOps.inertia(assigned, centroids)
@@ -188,6 +192,27 @@ object PipelineQueries extends QueryGroup {
          |    ON ex.qid = ap.qid AND ex.nid = ap.nid
          |  GROUP BY 1)
          |SELECT round(avg(CAST(hits AS DOUBLE) / 10), 4) AS recall FROM hits""".stripMargin,
+    "pipe_boilerplate" ->
+      s"""$shCte
+         |SELECT hs, count(*) AS df FROM sh GROUP BY hs HAVING count(*) >= 3""".stripMargin,
+    "pipe_quantization" ->
+      s"""WITH $vCte,
+         |lanes AS (
+         |  SELECT unnest(vec) AS x, generate_subscripts(vec, 1) AS pos FROM v),
+         |sc AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM lanes GROUP BY pos),
+         |vl AS (
+         |  SELECT v.id, unnest(v.vec) AS x, generate_subscripts(v.vec, 1) AS pos
+         |  FROM v),
+         |err AS (
+         |  SELECT vl.id,
+         |    CASE WHEN sc.mx > sc.mn THEN
+         |      power(vl.x - (round((vl.x - sc.mn) / (sc.mx - sc.mn) * 255.0, 0)
+         |            / 255.0 * (sc.mx - sc.mn) + sc.mn), 2)
+         |    ELSE 0.0 END AS e2,
+         |    vl.x
+         |  FROM vl JOIN sc ON vl.pos = sc.pos)
+         |SELECT id, round(sum(e2) / count(*), 10) AS quant_mse
+         |FROM err GROUP BY id""".stripMargin,
     "pipe_embed_neardup" ->
       s"""WITH $vCte,
          |un AS (
