@@ -47,6 +47,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerFlag(s, d)),
     "rel_set_ops" -> ((s, d) => Relational.customerSetOps(s, d)),
     "rel_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(s, d)),
+    "rel_event_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
   )
 
   val sql: Map[String, String] = Map(
@@ -126,6 +127,20 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_event_funnel" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+        |      THEN 1 ELSE 0 END) AS n_signup_click,
+        |  sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+        |       AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+        |FROM pu""".stripMargin,
     "rel_set_ops" ->
       """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |s AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders

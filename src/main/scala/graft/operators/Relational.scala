@@ -177,6 +177,27 @@ object Relational {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
 
+  /** Funnel / event-sequence analysis: per user, earliest signup → click →
+    * purchase in strict temporal order; counts users reaching each stage —
+    * the sequence-match analytic a product/training pipeline runs over
+    * event logs. Pure per-key aggregation: one shuffle on user_id.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val perUser = e.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+      min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_signup").isNotNull, 1).otherwise(0)).as("n_signup"),
+      sum(when(col("t_signup").isNotNull &&
+        col("t_click") > col("t_signup"), 1).otherwise(0)).as("n_signup_click"),
+      sum(when(col("t_signup").isNotNull &&
+        col("t_click") > col("t_signup") &&
+        col("t_purchase") > col("t_click"), 1).otherwise(0)).as("n_full_funnel"))
+  }
+
   /** Salted join for skewed keys: the fact side salts its hot key into
     * `nSalts` sub-keys; the dimension is replicated once per salt, so each
     * hot key's rows spread over nSalts tasks instead of one straggler.

@@ -36,6 +36,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("LSH banding recalls every ground-truth pair with jaccard >= 0.8") {
+    // 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4 = 0.986 at j=0.8, ~1 at 0.95+
+    val docs = graft.Tables.documents(spark, sf)
+    val truth = DedupOps.ngramJaccard(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashDupPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(truth.subsetOf(lsh),
+      s"LSH missed ground-truth pairs: ${truth -- lsh}")
+  }
+
   test("LSH ANN recall vs brute force is reasonable") {
     val recall = AnnOps.recallVsExact(graft.Tables.vectors(spark, sf), 5, 10)
       .collect().head.getDouble(0)
