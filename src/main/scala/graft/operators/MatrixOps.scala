@@ -249,6 +249,17 @@ object MatrixOps {
       round(when(rowSum(col("vec")) =!= 0.0, lit(1.0) / rowSum(col("vec")))
         .otherwise(0.0), 8).as("recip"))
 
+  /** row_weighted_mean: Σ w_j·x_j / Σ w_j per row with a broadcast weight
+    * vector — reference: stats/weighted_mean.cuh:36 (rowWeightedMean; the
+    * column variant :56 is the same fold over the transposed encoding,
+    * covered by stat_weighted_mean's grouped form). */
+  def rowWeightedMean(spark: SparkSession, dir: String): DataFrame = {
+    val w = transform(sequence(lit(0), lit(63)), j => pmod(j * 11, lit(23)).cast("double") + 1.0)
+    val wsum = (0 until 64).map(j => ((j * 11) % 23) + 1.0).sum
+    Tables.vectors(spark, dir).select(col("id"),
+      round(graft.functions.ArrayMath.dot(col("vec"), w) / wsum, 6).as("wmean"))
+  }
+
   /** ratio: each row's share of the global sum —
     * reference: matrix/ratio.cuh:31 (x/sum(x) over the whole matrix). */
   def rowRatio(spark: SparkSession, dir: String): DataFrame = {

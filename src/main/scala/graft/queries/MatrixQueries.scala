@@ -83,6 +83,7 @@ object MatrixQueries extends QueryGroup {
     "mat_sign_flip" -> ((s, d) => MatrixOps.signFlip(s, d)),
     "mat_reciprocal" -> ((s, d) => MatrixOps.reciprocalRowSums(s, d)),
     "mat_scatter" -> ((s, d) => MatrixOps.scatterRowSums(s, d, 500L)),
+    "mat_row_weighted_mean" -> ((s, d) => MatrixOps.rowWeightedMean(s, d)),
   )
 
   private val castLanes = "list_transform(embedding, f -> CAST(f AS DOUBLE))"
@@ -258,5 +259,13 @@ object MatrixQueries extends QueryGroup {
     "mat_scatter" ->
       s"""SELECT (vec_id * 7) % 500 AS id, round(list_sum($castLanes), 4) AS rsum
          |FROM embeddings""".stripMargin,
+    "mat_row_weighted_mean" -> {
+      val wsum = (0 until 64).map(j => ((j * 11) % 23) + 1.0).sum
+      s"""SELECT vec_id AS id,
+         |  round(list_sum(list_transform(list_zip($castLanes,
+         |    [CAST((j*11)%23 AS DOUBLE) + 1.0 FOR j IN range(64)]),
+         |    p -> p[1] * p[2])) / $wsum, 6) AS wmean
+         |FROM embeddings""".stripMargin
+    },
   )
 }
