@@ -10,6 +10,15 @@ import graft.functions.ArrayMath
   * (generate_subscripts is 1-based, hence the -1 in the SQL).
   */
 object MatrixQueries extends QueryGroup {
+
+  /** Lane-explode an (id, vec) frame to scalar (id, pos, v) rows at the
+    * declared precision — the driver's harness sorts rows in pandas and
+    * cannot sort ARRAY cells, so every oracle-compared query emits scalars
+    * (`+ 0.0` collapses IEEE −0.0, see ArrayMath.roundLanes). */
+  private def lanes(df: DataFrame, prec: Int): DataFrame =
+    df.select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .select(col("id"), col("pos"), (round(col("v"), prec) + 0.0).as("v"))
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mat_row_norms" -> ((s, d) => MatrixOps.rowNorms(s, d)),
     "mat_argmax" -> ((s, d) => MatrixOps.argmaxArgmin(s, d)),
@@ -17,25 +26,19 @@ object MatrixQueries extends QueryGroup {
     "mat_colstats" -> ((s, d) => MatrixOps.colStats(s, d)),
     "mat_gemv" -> ((s, d) => MatrixOps.gemvFixedWeights(s, d)),
     "mat_gram_block" -> ((s, d) => MatrixOps.gramBlock(s, d)),
-    "mat_mean_center" -> ((s, d) => MatrixOps.meanCenter(s, d)),
-    "mat_normalize_l2" -> ((s, d) => MatrixOps.normalizeL2(s, d)),
+    "mat_mean_center" -> ((s, d) => lanes(MatrixOps.meanCenter(s, d), 4)),
+    "mat_normalize_l2" -> ((s, d) => lanes(MatrixOps.normalizeL2(s, d), 4)),
     "mat_threshold_nnz" -> ((s, d) => MatrixOps.thresholdNnz(s, d, 0.5)),
-    "mat_slice" -> ((s, d) => {
-      val sl = MatrixOps.slice(graft.Tables.vectors(s, d), 100L, 200L, 8, 16)
-      sl.select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
-    }),
+    "mat_slice" -> ((s, d) =>
+      lanes(MatrixOps.slice(graft.Tables.vectors(s, d), 100L, 200L, 8, 16), 4)),
     "mat_select_k" -> ((s, d) => {
       MatrixOps.selectKPerRow(graft.Tables.vectors(s, d).where(col("id") < 100), 4)
         .select(col("id"), col("pos"), round(col("v"), 4).as("v"), col("rnk"))
     }),
-    "mat_sort_lanes" -> ((s, d) => {
-      MatrixOps.sortLanes(graft.Tables.vectors(s, d).where(col("id") < 30))
-        .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
-    }),
-    "mat_col_reverse" -> ((s, d) => {
-      MatrixOps.colReverse(graft.Tables.vectors(s, d).where(col("id") < 30))
-        .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
-    }),
+    "mat_sort_lanes" -> ((s, d) =>
+      lanes(MatrixOps.sortLanes(graft.Tables.vectors(s, d).where(col("id") < 30)), 4)),
+    "mat_col_reverse" -> ((s, d) =>
+      lanes(MatrixOps.colReverse(graft.Tables.vectors(s, d).where(col("id") < 30)), 4)),
     "mat_sample_rows" -> ((s, d) => {
       MatrixOps.sampleRows(graft.Tables.vectors(s, d), 100, 7L)
         .select(col("id"), col("label"))
@@ -46,8 +49,7 @@ object MatrixQueries extends QueryGroup {
       val v = graft.Tables.vectors(s, d)
       val idx = v.sparkSession.range(0, 1000)
         .select((col("id") * 7).as("src"), col("id").as("dst"))
-      MatrixOps.gather(v, idx)
-        .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
+      lanes(MatrixOps.gather(v, idx), 4)
     }),
     "mat_gemv_native" -> ((s, d) => {
       // same weights as mat_gemv, through the codegen'd ArrayDot Expression;
@@ -58,15 +60,18 @@ object MatrixQueries extends QueryGroup {
         round(graft.functions.ArrayDot.dot(col("vec"), w), 4).as("y"))
     }),
     "mat_sort_keys" -> ((s, d) => {
+      // exploded (id, pos, v, k): pos = sorted position, k = original lane
       MatrixOps.sortLanesWithKeys(graft.Tables.vectors(s, d).where(col("id") < 30))
-        .select(col("id"), ArrayMath.roundLanes(col("vals"), 4).as("vals"), col("keys"))
+        .select(col("id"), posexplode(arrays_zip(col("vals"), col("keys")))
+          .as(Seq("pos", "vk")))
+        .select(col("id"), col("pos"),
+          (round(col("vk.vals"), 4) + 0.0).as("v"), col("vk.keys").as("k"))
     }),
     "mat_gather_if" -> ((s, d) => {
       val v = graft.Tables.vectors(s, d)
       val idx = v.sparkSession.range(0, 1000)
         .select((col("id") * 3).as("src"), col("id").as("dst"))
-      MatrixOps.gatherIf(v, idx, col("src") % 2 === 0)
-        .select(col("id"), ArrayMath.roundLanes(col("vec"), 4).as("vec"))
+      lanes(MatrixOps.gatherIf(v, idx, col("src") % 2 === 0), 4)
     }),
     "mat_eltwise" -> ((s, d) => {
       val v = graft.Tables.vectors(s, d)
@@ -80,7 +85,7 @@ object MatrixQueries extends QueryGroup {
     "mat_reduce_rows_by_key" -> ((s, d) => MatrixOps.reduceRowsByKey(s, d)),
     "mat_reduce_cols_by_key" -> ((s, d) => MatrixOps.reduceColsByKey(s, d)),
     "mat_ratio" -> ((s, d) => MatrixOps.rowRatio(s, d)),
-    "mat_sign_flip" -> ((s, d) => MatrixOps.signFlip(s, d)),
+    "mat_sign_flip" -> ((s, d) => lanes(MatrixOps.signFlip(s, d), 4)),
     "mat_reciprocal" -> ((s, d) => MatrixOps.reciprocalRowSums(s, d)),
     "mat_scatter" -> ((s, d) => MatrixOps.scatterRowSums(s, d, 500L)),
     "mat_row_weighted_mean" -> ((s, d) => MatrixOps.rowWeightedMean(s, d)),
@@ -133,31 +138,31 @@ object MatrixQueries extends QueryGroup {
       """WITH m AS (
         |  SELECT pos, avg(x) AS mu FROM
         |    (SELECT unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
-        |            generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |            generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
         |  GROUP BY pos),
         |lanes AS (
         |  SELECT vec_id, unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,
-        |         generate_subscripts(embedding, 1) AS pos
+        |         generate_subscripts(embedding, 1) - 1 AS pos
         |  FROM embeddings WHERE vec_id < 30)
-        |SELECT lanes.vec_id AS id,
-        |       list(round(lanes.x - m.mu, 4) + 0.0 ORDER BY lanes.pos) AS vec
-        |FROM lanes JOIN m ON lanes.pos = m.pos
-        |GROUP BY lanes.vec_id""".stripMargin,
+        |SELECT lanes.vec_id AS id, lanes.pos,
+        |       round(lanes.x - m.mu, 4) + 0.0 AS v
+        |FROM lanes JOIN m ON lanes.pos = m.pos""".stripMargin,
     "mat_normalize_l2" ->
-      s"""SELECT vec_id AS id,
-         |  CASE WHEN sqrt(list_sum(list_transform($castLanes, x -> x*x))) <> 0
-         |    THEN list_transform($castLanes,
-         |      x -> round(x / sqrt(list_sum(list_transform($castLanes, y -> y*y))), 4) + 0.0)
-         |    ELSE list_transform($castLanes, x -> round(x, 4) + 0.0) END AS vec
-         |FROM embeddings WHERE vec_id < 30""".stripMargin,
+      s"""WITH nr AS (
+         |  SELECT vec_id AS id, $castLanes AS vec,
+         |         sqrt(list_sum(list_transform($castLanes, x -> x*x))) AS nrm
+         |  FROM embeddings WHERE vec_id < 30)
+         |SELECT id, generate_subscripts(vec, 1) - 1 AS pos,
+         |  round(CASE WHEN nrm <> 0 THEN unnest(vec) / nrm ELSE unnest(vec) END, 4) + 0.0 AS v
+         |FROM nr""".stripMargin,
     "mat_threshold_nnz" ->
       s"""SELECT vec_id AS id,
          |  list_sum(list_transform($castLanes,
          |    x -> CASE WHEN abs(x) < 0.5 THEN 0 ELSE (CASE WHEN x <> 0 THEN 1 ELSE 0 END) END)) AS nnz
          |FROM embeddings""".stripMargin,
     "mat_slice" ->
-      """SELECT vec_id AS id,
-        |  list_transform(embedding[9:16], f -> round(CAST(f AS DOUBLE), 4) + 0.0) AS vec
+      """SELECT vec_id AS id, generate_subscripts(embedding[9:16], 1) - 1 AS pos,
+        |  round(CAST(unnest(embedding[9:16]) AS DOUBLE), 4) + 0.0 AS v
         |FROM embeddings WHERE vec_id >= 100 AND vec_id < 200""".stripMargin,
     "mat_select_k" ->
       """SELECT vec_id AS id, pos, round(x, 4) AS v, rnk FROM (
@@ -170,11 +175,13 @@ object MatrixQueries extends QueryGroup {
         |WHERE rnk <= 4""".stripMargin,
     "mat_sort_lanes" ->
       s"""SELECT vec_id AS id,
-         |  list_transform(list_sort($castLanes), x -> round(x, 4) + 0.0) AS vec
+         |  generate_subscripts(embedding, 1) - 1 AS pos,
+         |  round(unnest(list_sort($castLanes)), 4) + 0.0 AS v
          |FROM embeddings WHERE vec_id < 30""".stripMargin,
     "mat_col_reverse" ->
       s"""SELECT vec_id AS id,
-         |  list_transform(list_reverse($castLanes), x -> round(x, 4) + 0.0) AS vec
+         |  generate_subscripts(embedding, 1) - 1 AS pos,
+         |  round(unnest(list_reverse($castLanes)), 4) + 0.0 AS v
          |FROM embeddings WHERE vec_id < 30""".stripMargin,
     "mat_sample_rows" ->
       """SELECT vec_id AS id, label FROM embeddings
@@ -186,8 +193,8 @@ object MatrixQueries extends QueryGroup {
     "mat_eye" ->
       "SELECT j AS row, j AS col, CAST(1.0 AS DOUBLE) AS value FROM range(10) t(j)",
     "mat_gather" ->
-      """SELECT vec_id // 7 AS id,
-        |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4) + 0.0) AS vec
+      """SELECT vec_id // 7 AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  round(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS v
         |FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 7000""".stripMargin,
     "mat_gemv_native" ->
       s"""SELECT vec_id AS id,
@@ -201,12 +208,12 @@ object MatrixQueries extends QueryGroup {
         |         generate_subscripts(embedding, 1) - 1 AS pos
         |  FROM embeddings WHERE vec_id < 30)
         |SELECT vec_id AS id,
-        |  list(round(x, 4) + 0.0 ORDER BY x, pos) AS vals,
-        |  list(pos ORDER BY x, pos) AS keys
-        |FROM lanes GROUP BY vec_id""".stripMargin,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY x, pos) - 1 AS pos,
+        |  round(x, 4) + 0.0 AS v, pos AS k
+        |FROM lanes""".stripMargin,
     "mat_gather_if" ->
-      """SELECT vec_id // 3 AS id,
-        |  list_transform(embedding, f -> round(CAST(f AS DOUBLE), 4) + 0.0) AS vec
+      """SELECT vec_id // 3 AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  round(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS v
         |FROM embeddings
         |WHERE vec_id % 3 = 0 AND vec_id % 2 = 0 AND vec_id < 3000""".stripMargin,
     "mat_eltwise" ->
@@ -244,9 +251,9 @@ object MatrixQueries extends QueryGroup {
         |    SELECT pos, x, row_number() OVER (PARTITION BY pos
         |             ORDER BY abs(x) DESC, vec_id) AS rn
         |    FROM lanes) WHERE rn = 1)
-        |SELECT vec_id AS id, list(round(x * s, 4) + 0.0 ORDER BY lanes.pos) AS vec
+        |SELECT vec_id AS id, lanes.pos, round(x * s, 4) + 0.0 AS v
         |FROM lanes JOIN signs ON lanes.pos = signs.pos
-        |WHERE vec_id < 30 GROUP BY vec_id""".stripMargin,
+        |WHERE vec_id < 30""".stripMargin,
     "mat_reciprocal" ->
       s"""SELECT vec_id AS id,
          |  round(CASE WHEN list_sum($castLanes) <> 0.0
