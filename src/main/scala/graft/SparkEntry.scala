@@ -135,11 +135,11 @@ private object RelationalQueries extends graft.queries.QueryGroup {
         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
         |  FROM events GROUP BY user_id)
         |SELECT count(*) AS n_users,
-        |  sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
-        |      THEN 1 ELSE 0 END) AS n_signup_click,
-        |  sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
-        |       AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_full_funnel
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+        |       AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM pu""".stripMargin,
     "rel_set_ops" ->
       """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -96,7 +96,7 @@ object MatrixQueries extends QueryGroup {
   val sql: Map[String, String] = Map(
     "mat_row_norms" ->
       s"""SELECT vec_id AS id,
-         |  list_sum(list_transform($castLanes, x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END)) AS l0,
+         |  CAST(list_sum(list_transform($castLanes, x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END)) AS BIGINT) AS l0,
          |  round(list_sum(list_transform($castLanes, x -> abs(x))), 4) AS l1,
          |  round(sqrt(list_sum(list_transform($castLanes, x -> x*x))), 4) AS l2,
          |  round(list_max(list_transform($castLanes, x -> abs(x))), 4) AS linf
@@ -157,8 +157,8 @@ object MatrixQueries extends QueryGroup {
          |FROM nr""".stripMargin,
     "mat_threshold_nnz" ->
       s"""SELECT vec_id AS id,
-         |  list_sum(list_transform($castLanes,
-         |    x -> CASE WHEN abs(x) < 0.5 THEN 0 ELSE (CASE WHEN x <> 0 THEN 1 ELSE 0 END) END)) AS nnz
+         |  CAST(list_sum(list_transform($castLanes,
+         |    x -> CASE WHEN abs(x) < 0.5 THEN 0 ELSE (CASE WHEN x <> 0 THEN 1 ELSE 0 END) END)) AS BIGINT) AS nnz
          |FROM embeddings""".stripMargin,
     "mat_slice" ->
       """SELECT vec_id AS id, generate_subscripts(embedding[9:16], 1) - 1 AS pos,

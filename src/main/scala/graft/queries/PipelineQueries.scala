@@ -78,7 +78,13 @@ object PipelineQueries extends QueryGroup {
       MultimodalOps.frameSample(Tables.documents(s, d).where(col("doc_id") < 200))),
     "pipe_stream_tumbling" -> ((s, d) => StreamingOps.tumblingCounts(Tables.events(s, d))),
     "pipe_stream_sliding" -> ((s, d) => StreamingOps.slidingCounts(Tables.events(s, d))),
-    "pipe_stream_session" -> ((s, d) => StreamingOps.sessionize(Tables.events(s, d))),
+    // session bounds emitted as epoch-micros BIGINTs: the raw parquet ts is
+    // TIMESTAMP(NANOS) which Spark truncates to micros on read while the
+    // oracle sees full nanos — integer micros are the shared convention.
+    "pipe_stream_session" -> ((s, d) =>
+      StreamingOps.sessionize(Tables.events(s, d))
+        .withColumn("sess_start", unix_micros(col("sess_start")))
+        .withColumn("sess_end", unix_micros(col("sess_end")))),
     "pipe_stream_session_fn" -> ((s, d) =>
       StreamingOps.sessionWindowCounts(Tables.events(s, d))),
     "pipe_embed_neardup" -> ((s, d) =>
@@ -271,10 +277,11 @@ object PipelineQueries extends QueryGroup {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sessed AS (
         |  SELECT user_id, ts, event_id, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
         |  FROM flagged)
-        |SELECT user_id, sess_no, min(ts) AS sess_start, max(ts) AS sess_end,
+        |SELECT user_id, sess_no,
+        |       epoch_us(min(ts)) AS sess_start, epoch_us(max(ts)) AS sess_end,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM sessed GROUP BY 1, 2""".stripMargin,
   )

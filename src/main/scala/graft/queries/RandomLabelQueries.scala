@@ -44,9 +44,12 @@ object RandomLabelQueries extends QueryGroup {
         .select(col("l_orderkey"), col("l_linenumber"))
     }),
     "gen_blobs" -> ((s, d) => {
+      // lane-exploded to scalar rows: the driver's pandas sort cannot order
+      // ARRAY cells (same convention as MatrixQueries.lanes)
       val b = RandomOps.makeBlobs(s, 500, 8, 4, 42)
-      b.select(col("id"), col("cluster"),
-        graft.functions.ArrayMath.roundLanes(col("vec"), 6).as("vec"))
+      b.select(col("id"), col("cluster"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .select(col("id"), col("cluster"), col("pos"),
+          (round(col("v"), 6) + 0.0).as("v"))
     }),
     "gen_regression" -> ((s, d) => RandomOps.makeRegression(s, 1000, 4, 42)),
     "gen_rmat" -> ((s, d) => RandomOps.rmat(s, 1000, 8, 42)),
@@ -119,11 +122,10 @@ object RandomLabelQueries extends QueryGroup {
     "gen_blobs" -> {
       val u1 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b1')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
       val u2 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b2')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
-      s"""SELECT id, id % 4 AS cluster,
-         |  [round(CAST(((id % 4) * 7 + j) % 5 AS DOUBLE) * 10.0 +
-         |         sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2), 6) + 0.0
-         |   FOR j IN range(8)] AS vec
-         |FROM range(500) t(id)""".stripMargin
+      s"""SELECT id, id % 4 AS cluster, j AS pos,
+         |  round(CAST(((id % 4) * 7 + j) % 5 AS DOUBLE) * 10.0 +
+         |        sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2), 6) + 0.0 AS v
+         |FROM range(500) t(id), range(8) s(j)""".stripMargin
     },
     "gen_regression" -> {
       val terms = (0 until 4).map { j =>

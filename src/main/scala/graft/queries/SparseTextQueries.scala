@@ -16,6 +16,12 @@ object SparseTextQueries extends QueryGroup {
       |  SELECT l_orderkey AS row, l_partkey AS col, sum(l_quantity) AS value
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
+  /** Strict left-fold dot product (same lane order as Spark's `aggregate`
+    * fold in ArrayMath.dot — list_sum's pairwise order can differ by an ulp
+    * and flip a round-at-4 tie). */
+  private def foldDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> p[1] * p[2])), (s, x) -> s + x)"
+
   private val tokCte =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -166,23 +172,19 @@ object SparseTextQueries extends QueryGroup {
          |FROM coo JOIN b ON coo.col = b.k
          |WHERE coo.row < 2000 GROUP BY 1, 2""".stripMargin,
     "sp_masked_matmul" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-        |  round(list_sum(list_transform(list_zip(
-        |    list_transform(a.embedding, f -> CAST(f AS DOUBLE)),
-        |    list_transform(b.embedding, f -> CAST(f AS DOUBLE))),
-        |    p -> p[1] * p[2])), 4) AS dp
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
-        |  AND (a.vec_id*7 + b.vec_id*13) % 11 = 0""".stripMargin,
+      s"""SELECT a.vec_id AS i, b.vec_id AS j,
+         |  round(${foldDot("list_transform(a.embedding, f -> CAST(f AS DOUBLE))",
+              "list_transform(b.embedding, f -> CAST(f AS DOUBLE))")}, 4) AS dp
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+         |  AND (a.vec_id*7 + b.vec_id*13) % 11 = 0""".stripMargin,
     "sp_sddmm" ->
-      """SELECT a.vec_id AS i, b.vec_id AS j,
-        |  round(list_sum(list_transform(list_zip(
-        |    list_transform(a.embedding, f -> CAST(f AS DOUBLE)),
-        |    list_transform(b.embedding, f -> CAST(f AS DOUBLE))),
-        |    p -> p[1] * p[2])), 4) AS dp
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
-        |  AND (a.vec_id*31 + b.vec_id) % 97 = 0""".stripMargin,
+      s"""SELECT a.vec_id AS i, b.vec_id AS j,
+         |  round(${foldDot("list_transform(a.embedding, f -> CAST(f AS DOUBLE))",
+              "list_transform(b.embedding, f -> CAST(f AS DOUBLE))")}, 4) AS dp
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+         |  AND (a.vec_id*31 + b.vec_id) % 97 = 0""".stripMargin,
     "txt_term_doc" ->
       s"""$tokCte
          |SELECT doc_id, term, tf FROM td WHERE doc_id < 300""".stripMargin,

@@ -147,7 +147,7 @@ object StatsQueries extends QueryGroup {
         |SELECT round(sum(nk * (ck - c) * (ck - c)), 4) AS dispersion
         |FROM cent JOIN gm ON cent.pos = gm.pos""".stripMargin,
     "stat_popc" ->
-      "SELECT sum(bit_count(l_orderkey)) AS popc FROM lineitem",
+      "SELECT CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS popc FROM lineitem",
     "stat_trustworthiness" -> {
       def foldD(a: String, b: String) =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, x) -> s + x)"
