@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate (NOT part of the library).
 
-Usage: python scripts/check.py [sf_dir] [out_dir] [--skip-verify] [--only q1,q2]
+Usage: python scripts/check.py [sf_dir] [out_dir] [--skip-verify] [--only=q1,q2]
 
 Faithful to the driver harness (CORRECTNESS_r01.json semantics):
 1. Runs `sbt "runMain graft.Verify <sf_dir> <out_dir>"` (unless --skip-verify).

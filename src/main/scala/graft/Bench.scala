@@ -29,7 +29,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout AND stderr: sbt prefixes stdout with "[info] " which breaks a
+    // line-oriented JSON parse; stderr passes through unprefixed
+    println(line)
+    System.out.flush()
+    System.err.println(line)
+    System.err.flush()
     spark.stop()
   }
 }

@@ -155,6 +155,26 @@ object MatrixOps {
       .select(col("id"), round(dot(col("vec"), w), 4).as("y"))
   }
 
+  /** General dense gemm C = α·A·Bᵀ + β·C₀ for two *distinct* dense
+    * row-matrices — reference: cpp/include/raft/linalg/gemm.cuh:51-221
+    * (α/β composition; B arrives transposed, the row-major device layout).
+    * Lowering: broadcast the small side (here Bᵀ: p rows of the shared
+    * dimension k), per-cell strict fold dot — deterministic lane order, no
+    * shuffle at all for tall×skinny gemm, which is the dominant shape.
+    * C₀ joins in as a COO table on (i,j); output is COO (i, j, value).
+    * For big×big the same contraction lowers to [[SparseOps.spgemm]] over
+    * lane-exploded COO (shuffled equi-join on k).
+    */
+  def gemm(a: DataFrame, bt: DataFrame, alpha: Double, beta: Double,
+      c0: DataFrame): DataFrame = {
+    val ab = a.select(col("id").as("i"), col("vec").as("va"))
+      .crossJoin(broadcast(bt.select(col("id").as("j"), col("vec").as("vb"))))
+      .select(col("i"), col("j"), dot(col("va"), col("vb")).as("ab"))
+    ab.join(c0.select(col("i"), col("j"), col("value").as("c0")), Seq("i", "j"), "left")
+      .select(col("i"), col("j"),
+        (lit(alpha) * col("ab") + lit(beta) * coalesce(col("c0"), lit(0.0))).as("value"))
+  }
+
   /** Small gram block: pairwise dot products of the first 20 rows —
     * the gemm-as-join mapping (reference: linalg/gemm.cuh:51; SURVEY §2.4).
     */
@@ -179,15 +199,14 @@ object MatrixOps {
       .select(transform(array_sort(col("pm")), s => s.getField("m")).as("mean_vec"))
     v.crossJoin(broadcast(means))
       .where(col("id") < 30)
-      .select(col("id"),
-        roundLanes(sub(col("vec"), col("mean_vec")), 4).as("vec"))
+      .select(col("id"), sub(col("vec"), col("mean_vec")).as("vec"))
   }
 
   /** L2 row-normalize (first 30 rows emitted) —
     * reference: cpp/include/raft/linalg/normalize.cuh:48. */
   def normalizeL2(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.vectors(spark, dir).where(col("id") < 30)
-    v.select(col("id"), roundLanes(normalize(col("vec"), l2(col("vec"))), 4).as("vec"))
+    v.select(col("id"), normalize(col("vec"), l2(col("vec"))).as("vec"))
   }
 
   /** threshold + L0: zero lanes |x| < eps, count survivors —
@@ -238,8 +257,7 @@ object MatrixOps {
     Tables.vectors(spark, dir).crossJoin(broadcast(signs))
       .where(col("id") < 30)
       .select(col("id"),
-        graft.functions.ArrayMath.roundLanes(
-          zip_with(col("vec"), col("sign_vec"), (x, s) => x * s), 4).as("vec"))
+        zip_with(col("vec"), col("sign_vec"), (x, s) => x * s).as("vec"))
   }
 
   /** reciprocal: 1/x with zero-guard —

@@ -88,16 +88,32 @@ object SparseOps {
       .groupBy(col("row"), col("col"))
       .agg(sum(col("va") * col("vb")).as("value"))
 
-  /** masked_matmul: (A·Bᵀ) ⊙ bitmask — the mask is a predicate over (i,j)
-    * materialized as a pattern table; only masked-in dot products compute —
-    * reference: cpp/include/raft/sparse/linalg/masked_matmul.cuh:47. */
-  def maskedMatmul(dense: DataFrame, maskPred: org.apache.spark.sql.Column,
-      n: Long): DataFrame = {
-    val spark = dense.sparkSession
-    val pattern = spark.range(n).select(col("id").as("i"))
-      .crossJoin(spark.range(n).select(col("id").as("j")))
-      .where(col("i") < col("j") && maskPred)
+  /** masked_matmul: (A·Bᵀ) ⊙ bitmask — the mask arrives as a pattern table
+    * of masked-in (i,j) pairs; only those dot products compute —
+    * reference: cpp/include/raft/sparse/linalg/masked_matmul.cuh:47.
+    * The pattern must be generated or stored sparsely (see
+    * [[modularMaskPattern]]) — never enumerate n×n then filter.
+    */
+  def maskedMatmul(dense: DataFrame, pattern: DataFrame): DataFrame =
     sddmm(pattern, dense)
+
+  /** Masked pairs {(i,j) : i<j<n, (a·i + b·j) ≡ 0 mod m} generated
+    * directly: per-i arithmetic progression of qualifying j with stride m —
+    * O(n²/m) rows produced by a generator distributed over i, no
+    * CartesianProduct and no n×n enumeration. b must be coprime with m.
+    */
+  def modularMaskPattern(spark: SparkSession, n: Long, a: Int, b: Int,
+      m: Int): DataFrame = {
+    val inv = (1 until m).find(x => (x * b) % m == 1).getOrElse(
+      throw new IllegalArgumentException(s"$b not invertible mod $m"))
+    // j ≡ (−a·inv)·i (mod m); first qualifying j above i
+    val r = pmod(lit(-a.toLong * inv) * col("id"), lit(m))
+    val start = col("id") + 1 + pmod(r - (col("id") + 1), lit(m))
+    spark.range(n).select(col("id").as("i"),
+        when(col("id") + 1 + pmod(r - (col("id") + 1), lit(m)) <= lit(n - 1),
+          sequence(start, lit(n - 1), lit(m.toLong))).otherwise(array())
+          .as("js"))
+      .select(col("i"), explode(col("js")).as("j"))
   }
 
   /** Per-sparse-row top-k by value (select_k CSR) —
@@ -110,20 +126,47 @@ object SparseOps {
 
   /** Graph Laplacian L = D − A over a symmetric weighted edge list —
     * reference: cpp/include/raft/sparse/linalg/laplacian.cuh:20.
-    * Diagonal = weighted degree; off-diagonal = negated weights; pure SQL
-    * union of two aggregates.
+    * Single-pass form: each edge (r,c,v) explodes into its off-diagonal
+    * entry (r,c,−v) and its diagonal contribution (r,r,+v), then one keyed
+    * aggregate sums the diagonal. Unlike the union-of-two-aggregates
+    * formulation this evaluates the (possibly expensive) symEdges subtree
+    * exactly once — at 100 TB that halves the dominant scan+shuffle.
     */
-  def laplacian(symEdges: DataFrame): DataFrame = {
-    val diag = symEdges.groupBy(col("row"))
-      .agg(sum(col("value")).as("value"))
-      .select(col("row"), col("row").as("col"), col("value"))
-    val off = symEdges.select(col("row"), col("col"), (-col("value")).as("value"))
-    diag.unionByName(off)
-  }
+  def laplacian(symEdges: DataFrame): DataFrame =
+    symEdges.select(col("row"), explode(array(
+        struct(col("row").cast("long").as("col"), col("value")),
+        struct(col("col").cast("long").as("col"), (-col("value")).as("value"))))
+        .as("e"))
+      .groupBy(col("row"), col("e.col").as("col"))
+      .agg(sum(col("e.value")).as("value"))
+
+  /** spmm: C = A·B with A a COO sparse matrix and B a *materialized* dense
+    * row-matrix table `(id, vec ARRAY<DOUBLE>)` keyed by A's column index —
+    * reference: cpp/include/raft/sparse/linalg/spmm.hpp:42.
+    * Lowering: equi-join on the contraction index (broadcast when B is
+    * small, shuffled otherwise — AQE's call), then ONE keyed aggregate whose
+    * partials are d-vectors (vector_sum Aggregator): the shuffle carries
+    * (#rows × d) doubles with map-side combine, never the n×d join output.
+    * Output exploded to (row, pos, v) scalars.
+    */
+  def spmm(coo: DataFrame, b: DataFrame): DataFrame =
+    coo.join(b.select(col("id").as("col"), col("vec").as("vb")), Seq("col"))
+      .groupBy(col("row"))
+      .agg(graft.functions.VectorAgg.vectorSum(
+        ArrayMath.scale(col("vb"), col("value"))).as("out"))
+      .select(col("row"), posexplode(col("out")).as(Seq("pos", "v")))
 
   /** Symmetrize A := A + Aᵀ with duplicate-summing —
-    * reference: cpp/include/raft/sparse/linalg/symmetrize.cuh. */
+    * reference: cpp/include/raft/sparse/linalg/symmetrize.cuh.
+    * Generator form, not `A union Aᵀ`: each entry explodes into itself and
+    * its mirror, so the (possibly expensive) input subtree is evaluated
+    * once instead of once per union branch.
+    */
   def symmetrize(coo: DataFrame): DataFrame =
-    coo.unionByName(transpose(coo))
-      .groupBy(col("row"), col("col")).agg(sum(col("value")).as("value"))
+    coo.select(explode(array(
+        struct(col("row"), col("col"), col("value")),
+        struct(col("col").as("row"), col("row").as("col"), col("value"))))
+        .as("e"))
+      .groupBy(col("e.row").as("row"), col("e.col").as("col"))
+      .agg(sum(col("e.value")).as("value"))
 }

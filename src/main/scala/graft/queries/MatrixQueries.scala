@@ -26,6 +26,21 @@ object MatrixQueries extends QueryGroup {
     "mat_colstats" -> ((s, d) => MatrixOps.colStats(s, d)),
     "mat_gemv" -> ((s, d) => MatrixOps.gemvFixedWeights(s, d)),
     "mat_gram_block" -> ((s, d) => MatrixOps.gramBlock(s, d)),
+    "mat_gemm_ab" -> ((s, d) => {
+      // C = 1.5·A·Bᵀ + 0.5·C₀: A = first 100 embedding rows (100×64),
+      // Bᵀ = 8×64 deterministic-lane matrix, C₀ = dense 100×8 COO
+      val a = graft.Tables.vectors(s, d).where(col("id") < 100)
+      val bt = s.range(8).select(col("id"),
+        transform(sequence(lit(0), lit(63)), k =>
+          (pmod(col("id") * 37 + k * 11, lit(19)).cast("double") - 9.0) / 19.0)
+          .as("vec"))
+      val c0 = s.range(100).select(col("id").as("i"))
+        .crossJoin(s.range(8).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          (pmod(col("i") * 3 + col("j"), lit(7)).cast("double") / 7.0).as("value"))
+      MatrixOps.gemm(a, bt, 1.5, 0.5, c0)
+        .select(col("i"), col("j"), (round(col("value"), 4) + 0.0).as("value"))
+    }),
     "mat_mean_center" -> ((s, d) => lanes(MatrixOps.meanCenter(s, d), 4)),
     "mat_normalize_l2" -> ((s, d) => lanes(MatrixOps.normalizeL2(s, d), 4)),
     "mat_threshold_nnz" -> ((s, d) => MatrixOps.thresholdNnz(s, d, 0.5)),
@@ -93,6 +108,10 @@ object MatrixQueries extends QueryGroup {
 
   private val castLanes = "list_transform(embedding, f -> CAST(f AS DOUBLE))"
 
+  /** Strict left-fold dot product (same lane order as ArrayMath.dot). */
+  private def foldDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> p[1] * p[2])), (s, x) -> s + x)"
+
   val sql: Map[String, String] = Map(
     "mat_row_norms" ->
       s"""SELECT vec_id AS id,
@@ -134,6 +153,12 @@ object MatrixQueries extends QueryGroup {
         |    p -> p[1] * p[2])), 4) AS dp
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id <= b.vec_id""".stripMargin,
+    "mat_gemm_ab" ->
+      s"""SELECT a.vec_id AS i, j,
+         |  round(1.5 * ${foldDot(castLanes, "[((j*37 + k*11) % 19 - 9) / 19.0 FOR k IN range(64)]")}
+         |        + 0.5 * (((a.vec_id*3 + j) % 7) / 7.0), 4) + 0.0 AS value
+         |FROM embeddings a, range(8) t(j)
+         |WHERE a.vec_id < 100""".stripMargin,
     "mat_mean_center" ->
       """WITH m AS (
         |  SELECT pos, avg(x) AS mu FROM

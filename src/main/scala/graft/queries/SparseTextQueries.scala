@@ -86,8 +86,21 @@ object SparseTextQueries extends QueryGroup {
         .select(col("row"), col("col"), round(col("value"), 2).as("value"))
     }),
     "sp_masked_matmul" -> ((s, d) => {
+      // mask {(i,j): (7i+13j) ≡ 0 mod 11} generated directly as per-i
+      // stride-11 progressions — no n×n enumeration, no CartesianProduct
       SparseOps.maskedMatmul(Tables.vectors(s, d).where(col("id") < 500),
-        pmod(col("i") * 7 + col("j") * 13, lit(11)) === 0, 500L)
+        SparseOps.modularMaskPattern(s, 500L, 7, 13, 11))
+    }),
+    "sp_spmm" -> ((s, d) => {
+      // C = A·B with B a *materialized* dense table keyed by A's col
+      // (deterministic lanes so the oracle can rebuild it)
+      val coo = Tables.cooOrdersParts(s, d)
+      val b = coo.select(col("col")).distinct()
+        .select(col("col").as("id"),
+          transform(sequence(lit(0), lit(7)), j =>
+            pmod(col("col") * 53 + j * 29, lit(101)).cast("double") / 101.0).as("vec"))
+      SparseOps.spmm(coo, b)
+        .select(col("row"), col("pos"), (round(col("v"), 4) + 0.0).as("v"))
     }),
     "sp_sddmm" -> ((s, d) => {
       val pattern = s.range(0, 500).select(col("id").as("i"))
@@ -178,6 +191,11 @@ object SparseTextQueries extends QueryGroup {
          |FROM embeddings a JOIN embeddings b
          |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
          |  AND (a.vec_id*7 + b.vec_id*13) % 11 = 0""".stripMargin,
+    "sp_spmm" ->
+      s"""$cooCte
+         |SELECT row, j AS pos,
+         |  round(sum(value * (((col*53 + j*29) % 101) / 101.0)), 4) + 0.0 AS v
+         |FROM coo, range(8) t(j) GROUP BY row, j""".stripMargin,
     "sp_sddmm" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j,
          |  round(${foldDot("list_transform(a.embedding, f -> CAST(f AS DOUBLE))",
