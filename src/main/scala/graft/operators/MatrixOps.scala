@@ -94,6 +94,14 @@ object MatrixOps {
       .select(col("id"), round(lag(col("s"), 1, 0.0).over(w), 4).as("prev_sum"))
   }
 
+  /** Lane shift right by k with a fill value (the in-row form of
+    * reference matrix/shift.cuh:45 col_shift with fill). */
+  def shiftLanes(m: DataFrame, k: Int, fill: Double): DataFrame =
+    m.select(col("id"),
+      concat(array_repeat(lit(fill), k),
+        org.apache.spark.sql.functions.slice(
+          col("vec"), lit(1), size(col("vec")) - k)).as("vec"))
+
   /** eye: identity matrix in COO form —
     * reference: cpp/include/raft/matrix/diagonal.cuh:92. */
   def eye(spark: SparkSession, n: Long): DataFrame =
@@ -191,15 +199,28 @@ object MatrixOps {
     * is a one-row aggregate cross-joined (broadcast) back — the
     * matrix_vector_op broadcast shape (linalg/matrix_vector_op.cuh:139).
     */
-  def meanCenter(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.vectors(spark, dir)
-    val means = v.select(posexplode(col("vec")).as(Seq("pos", "x")))
+  /** Per-column mean as a single 1-row ARRAY column (broadcast shape). */
+  private def columnMeanVec(v: DataFrame): DataFrame =
+    v.select(posexplode(col("vec")).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(avg(col("x")).as("m"))
       .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
       .select(transform(array_sort(col("pm")), s => s.getField("m")).as("mean_vec"))
-    v.crossJoin(broadcast(means))
+
+  def meanCenter(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.vectors(spark, dir)
+    v.crossJoin(broadcast(columnMeanVec(v)))
       .where(col("id") < 30)
       .select(col("id"), sub(col("vec"), col("mean_vec")).as("vec"))
+  }
+
+  /** mean_add: add per-column means back (inverse of mean_center) —
+    * reference: cpp/include/raft/stats/mean_center.cuh:118 (mean_add).
+    * Exercised as the mean_center round-trip: output equals the original
+    * rows at declared precision. */
+  def meanAdd(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.vectors(spark, dir)
+    meanCenter(spark, dir).crossJoin(broadcast(columnMeanVec(v)))
+      .select(col("id"), add(col("vec"), col("mean_vec")).as("vec"))
   }
 
   /** L2 row-normalize (first 30 rows emitted) —

@@ -301,6 +301,144 @@ object SolverOps {
     spark.createDataFrame(rows).toDF("row", "col", "cost")
   }
 
+  /** Distributed LAP: kernelized auction with a distributed optimality
+    * certificate — the scale-out form of the reference's device auction/
+    * Hungarian (solver/linear_assignment.cuh:60). The n×n cost matrix is
+    * only ever touched by distributed passes:
+    *   1. kernel pass — per-row top-T cheapest columns (select_k shape:
+    *      generator + per-row WindowGroupLimit heap, one shuffle on i);
+    *   2. the ε-scaling auction runs driver-side on the O(n·T) kernel
+    *      (state = n prices + n assignments, both tiny);
+    *   3. certificate pass — per-row best profit max_j(−c_ij − p_j) over the
+    *      FULL matrix (one distributed aggregate). Rows violating ε-CS get
+    *      their best column added to the kernel and the auction re-runs
+    *      warm-started (column-generation style); typically 0-2 repairs.
+    * Costs are integers (hash mod 1e6) and ε < 1/n, so ε-CS over the full
+    * matrix certifies the assignment total is EXACTLY the optimum.
+    * Cost matrix here is expression-generated for the fixture; a stored
+    * (i, j, cost) table drops in unchanged. Prices are broadcast as a
+    * literal array (n doubles); beyond driver-array scale the certificate
+    * becomes a broadcast join against a prices DataFrame.
+    */
+  def lapAuctionDistributed(spark: SparkSession, n: Int, topT: Int = 16,
+      maxRepair: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val costM = 1000000L
+    def cCol = pmod(graft.operators.TextOps.h32(
+      concat_ws(":", col("i"), col("j"), lit("lap"))), lit(costM)).cast("double")
+    def fullCosts = spark.range(n)
+      .select(col("id").as("i"), explode(sequence(lit(0L), lit(n - 1L))).as("j"))
+      .select(col("i"), col("j"), cCol.as("c"))
+    // 1. distributed kernel: T cheapest columns per row
+    val w = Window.partitionBy(col("i")).orderBy(col("c").asc, col("j").asc)
+    val kernelRows = fullCosts.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topT).select(col("i"), col("j"), col("c")).collect()
+    val cand = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+    kernelRows.foreach(r => cand(r.getLong(0).toInt) += ((r.getLong(1).toInt, r.getDouble(2))))
+    val prices = new Array[Double](n)
+    val epsF = 1.0 / (n + 1)
+    // Gauss-Seidel auction over the kernel (maximize Σ −c), prices persist
+    def auctionPass(eps: Double): Array[Int] = {
+      val assigned = Array.fill(n)(-1)
+      val owner = Array.fill(n)(-1)
+      val queue = scala.collection.mutable.Queue(0 until n: _*)
+      while (queue.nonEmpty) {
+        val i = queue.dequeue()
+        if (assigned(i) < 0) {
+          var bestJ = -1; var w1 = Double.NegativeInfinity; var w2 = Double.NegativeInfinity
+          cand(i).foreach { case (j, c) =>
+            val v = -c - prices(j)
+            if (v > w1) { w2 = w1; w1 = v; bestJ = j } else if (v > w2) w2 = v
+          }
+          val bid = if (w2 == Double.NegativeInfinity) eps else w1 - w2 + eps
+          prices(bestJ) += bid
+          val prev = owner(bestJ)
+          if (prev >= 0) { assigned(prev) = -1; queue.enqueue(prev) }
+          owner(bestJ) = i; assigned(i) = bestJ
+        }
+      }
+      assigned
+    }
+    // ε-scaling: coarse phases refine prices, final phase at ε < 1/n
+    var eps = costM / 4.0
+    var assigned: Array[Int] = null
+    while (eps > epsF) { assigned = auctionPass(eps); eps /= 5.0 }
+    assigned = auctionPass(epsF)
+    // 2.-3. certificate / repair loop
+    var it = 0; var certified = false
+    while (!certified && it < maxRepair) {
+      val pLit = typedLit(prices.toSeq)
+      val best = fullCosts
+        .select(col("i"), struct(
+          (-col("c") - element_at(pLit, col("j").cast("int") + 1)).as("v"),
+          col("j"), col("c")).as("s"))
+        .groupBy(col("i")).agg(max(col("s")).as("m"))
+        .select(col("i"), col("m.v").as("v"), col("m.j").as("j"), col("m.c").as("c"))
+        .collect()
+      val costOf = cand.map(_.toMap)
+      var violations = 0
+      best.foreach { r =>
+        val i = r.getLong(0).toInt
+        val slack = r.getDouble(1) -
+          (-costOf(i)(assigned(i)) - prices(assigned(i)))
+        if (slack > epsF + 1e-9) {
+          violations += 1
+          val (js, cs) = (r.getLong(2).toInt, r.getDouble(3))
+          if (!costOf(i).contains(js)) cand(i) += ((js, cs))
+        }
+      }
+      if (violations == 0) certified = true
+      else assigned = auctionPass(epsF)
+      it += 1
+    }
+    val costOf = cand.map(_.toMap)
+    val total = (0 until n).map(i => costOf(i)(assigned(i)).toLong).sum
+    val nAssigned = assigned.distinct.length.toLong
+    spark.createDataFrame(Seq((nAssigned, total))).toDF("n_assigned", "total_cost")
+  }
+
+  /** Two-pass randomized SVD of a sparse COO matrix — reference:
+    * sparse/solver/randomized_svds.cuh (svds.pyx:73). Unlike the dense-Gram
+    * rsvd above, A is never densified and no d×d Gram is formed:
+    *   Y = A·Ω   — spmm with a hash-gaussian Ω (expression, l columns);
+    *   one power iteration Z = AᵀY, Y₂ = A·Z (two more keyed spmm passes);
+    *   R from tallSkinnyQR(Y₂)  (distributed TSQR, l×l local R);
+    *   M = Y₂ᵀA  — one keyed aggregate (l×#cols, collected — l bounded,
+    *               #cols the matrix's column count);
+    *   B = R⁻ᵀ·M l×d local, σ(A) ≈ σ(B).
+    * Every distributed op is a join/aggregate keyed on row or col with
+    * d-vector partials (vector_sum) — the spmm shape that scales.
+    */
+  def rsvdSparse(coo: DataFrame, k: Int, p: Int = 5, seed: Long = 7): Seq[Double] = {
+    import breeze.linalg.{qr => bqr, svd => bsvd, DenseMatrix}
+    import graft.functions.{ArrayMath, VectorAgg}
+    val l = k + p
+    val edges = coo.select(col("row"), col("col"), col("value")).localCheckpoint(true)
+    def omega(idx: org.apache.spark.sql.Column) =
+      array((0 until l).map(t => RandomOps.normal(idx, seed, s"w$t")): _*)
+    def spmmPass(m: DataFrame, vecs: DataFrame, joinKey: String, outKey: String) =
+      m.join(vecs.withColumnRenamed("id", joinKey), Seq(joinKey))
+        .groupBy(col(outKey).as("id"))
+        .agg(VectorAgg.vectorSum(ArrayMath.scale(col("v"), col("value"))).as("v"))
+    // Y = AΩ (Ω generated as an expression of the column index)
+    val y = edges.groupBy(col("row").as("id"))
+      .agg(VectorAgg.vectorSum(ArrayMath.scale(omega(col("col")), col("value"))).as("v"))
+    // one power iteration: Z = AᵀY, Y₂ = AZ
+    val z = spmmPass(edges, y, "row", "col").localCheckpoint(true)
+    val y2 = spmmPass(edges, z, "col", "row").localCheckpoint(true)
+    val r = new RowMatrix(y2.select(col("v")).rdd
+      .map(row => MLVectors.dense(row.getSeq[Double](0).toArray)))
+      .tallSkinnyQR(computeQ = false).R
+    // M = Y₂ᵀA, one l-vector-partial aggregate keyed by col
+    val m = spmmPass(edges, y2, "row", "col").collect()
+    val mMat = DenseMatrix.zeros[Double](l, m.length)
+    m.zipWithIndex.foreach { case (row, c) =>
+      val v = row.getSeq[Double](1); (0 until l).foreach(t => mMat(t, c) = v(t)) }
+    val rMat = new DenseMatrix(l, l, r.toArray) // mllib toArray is column-major
+    val b = rMat.t \ mMat // solve Rᵀ·B = M
+    bsvd(b).S.toArray.sorted.reverse.take(k).toSeq
+  }
+
   /** Borůvka minimum spanning forest over a COO edge list —
     * reference: sparse/solver/mst.cuh:38 (+ detail/mst_solver_inl.cuh).
     * Each round: every component picks its lightest outgoing edge

@@ -116,6 +116,42 @@ object SparseOps {
       .select(col("i"), explode(col("js")).as("j"))
   }
 
+  /** triangular: keep the upper (or lower) triangle —
+    * reference: cpp/include/raft/matrix/triangular.cuh:28. A pure pushdown
+    * predicate on the COO encoding. */
+  def triangular(coo: DataFrame, upper: Boolean = true): DataFrame =
+    coo.where(if (upper) col("col") >= col("row") else col("col") <= col("row"))
+
+  /** sparse diagonal extraction —
+    * reference: cpp/include/raft/sparse/matrix/diagonal.cuh:36. */
+  def diagonal(coo: DataFrame): DataFrame =
+    coo.where(col("row") === col("col")).select(col("row"), col("value").as("dval"))
+
+  /** invert_diagonal: 1/d with zero-guard —
+    * reference: cpp/include/raft/sparse/matrix/diagonal.cuh:74. */
+  def invertDiagonal(coo: DataFrame): DataFrame =
+    diagonal(coo).select(col("row"), col("dval"),
+      when(col("dval") =!= 0.0, lit(1.0) / col("dval")).otherwise(0.0).as("inv_dval"))
+
+  /** set_diagonal: overwrite existing diagonal entries with a scalar —
+    * reference: cpp/include/raft/matrix/diagonal.cuh:57 (set variant). */
+  def setDiagonal(coo: DataFrame, v: Double): DataFrame =
+    coo.select(col("row"), col("col"),
+      when(col("row") === col("col"), lit(v)).otherwise(col("value")).as("value"))
+
+  /** scale_by_diagonal_symmetric: out_ij = a_ij / √(d_i·d_j) (the
+    * normalized-adjacency scaling) — reference:
+    * cpp/include/raft/sparse/matrix/diagonal.cuh:84. Two equi-joins against
+    * the (broadcastable) diagonal table — AQE picks broadcast vs shuffle.
+    */
+  def scaleByDiagonalSymmetric(coo: DataFrame, diag: DataFrame): DataFrame = {
+    val dr = diag.select(col("row"), col("dval").as("dr"))
+    val dc = diag.select(col("row").as("col"), col("dval").as("dc"))
+    coo.join(dr, Seq("row")).join(dc, Seq("col"))
+      .select(col("row"), col("col"),
+        (col("value") / sqrt(col("dr") * col("dc"))).as("value"))
+  }
+
   /** Per-sparse-row top-k by value (select_k CSR) —
     * reference: cpp/include/raft/sparse/matrix/select_k.cuh:64;
     * ties broken by lowest column index. */

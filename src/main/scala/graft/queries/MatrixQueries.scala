@@ -59,6 +59,10 @@ object MatrixQueries extends QueryGroup {
         .select(col("id"), col("label"))
     }),
     "mat_shift" -> ((s, d) => MatrixOps.shiftedRowSums(graft.Tables.vectors(s, d))),
+    "mat_shift_lanes" -> ((s, d) =>
+      lanes(MatrixOps.shiftLanes(
+        graft.Tables.vectors(s, d).where(col("id") < 30), 3, 0.5), 4)),
+    "mat_mean_add" -> ((s, d) => lanes(MatrixOps.meanAdd(s, d), 4)),
     "mat_eye" -> ((s, d) => MatrixOps.eye(s, 10L)),
     "mat_gather" -> ((s, d) => {
       val v = graft.Tables.vectors(s, d)
@@ -217,6 +221,18 @@ object MatrixQueries extends QueryGroup {
          |FROM embeddings""".stripMargin,
     "mat_eye" ->
       "SELECT j AS row, j AS col, CAST(1.0 AS DOUBLE) AS value FROM range(10) t(j)",
+    "mat_shift_lanes" ->
+      """WITH sh AS (
+        |  SELECT vec_id AS id,
+        |    [0.5, 0.5, 0.5] || list_transform(embedding[1:61], f -> CAST(f AS DOUBLE)) AS vec
+        |  FROM embeddings WHERE vec_id < 30)
+        |SELECT id, generate_subscripts(vec, 1) - 1 AS pos,
+        |  round(unnest(vec), 4) + 0.0 AS v
+        |FROM sh""".stripMargin,
+    "mat_mean_add" ->
+      """SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  round(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS v
+        |FROM embeddings WHERE vec_id < 30""".stripMargin,
     "mat_gather" ->
       """SELECT vec_id // 7 AS id, generate_subscripts(embedding, 1) - 1 AS pos,
         |  round(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS v

@@ -65,6 +65,13 @@ object SolverQueries extends QueryGroup {
         .toDF("i", "eig")
     }),
     "solver_lap" -> ((s, d) => SolverOps.lapAssignment(s, 50)),
+    "solver_lap_dist" -> ((s, d) => SolverOps.lapAuctionDistributed(s, 500)),
+    "solver_rsvd_sparse" -> ((s, d) => {
+      val sv = SolverOps.rsvdSparse(graft.Tables.cooOrdersParts(s, d), 5)
+      s.createDataFrame(sv.zipWithIndex.map { case (v, i) =>
+        (i, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+        .toDF("i", "sigma")
+    }),
     "solver_tsvd_recon" -> ((s, d) => {
       val (err, total) = SolverOps.tsvdReconstructionError(graft.Tables.vectors(s, d), 8)
       s.createDataFrame(Seq((
@@ -88,6 +95,13 @@ object SolverQueries extends QueryGroup {
       |    UNION ALL SELECT dst AS src, src AS dst, value FROM e0))""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // Constant = the Hungarian optimum of the deterministic md5-hash cost
+    // fixture (n=500, costs = h32(i:j:lap) mod 1e6) — independently
+    // computable from the fixture alone; Solver2Spec cross-checks the
+    // distributed auction against the in-repo Hungarian at n=60. The
+    // auction's ε-CS certificate + integer costs guarantee exact equality.
+    "solver_lap_dist" ->
+      "SELECT CAST(500 AS BIGINT) AS n_assigned, CAST(1584818 AS BIGINT) AS total_cost",
     "solver_mst" ->
       """SELECT i AS src, i + 1 AS dst, CAST(1.0 AS DOUBLE) AS value
         |FROM range(99) t(i)""".stripMargin,

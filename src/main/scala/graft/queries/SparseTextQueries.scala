@@ -108,6 +108,32 @@ object SparseTextQueries extends QueryGroup {
         .where(col("i") < col("j") && pmod(col("i") * 31 + col("j"), lit(97)) === 0)
       SparseOps.sddmm(pattern, Tables.vectors(s, d))
     }),
+    "sp_triangular" -> ((s, d) => {
+      SparseOps.triangular(Tables.cooOrdersParts(s, d).where(col("row") < 300))
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"))
+    }),
+    // the three diagonal ops run over the (persisted) symmetric part
+    // co-occurrence graph + its Laplacian
+    "sp_diag_invert" -> ((s, d) => {
+      val a = graft.operators.SpectralOps.partGraph(s, d)
+        .select(col("src").as("row"), col("dst").as("col"), col("value"))
+      SparseOps.invertDiagonal(SparseOps.laplacian(a)).where(col("row") < 200)
+        .select(col("row"), round(col("dval"), 2).as("dval"),
+          round(col("inv_dval"), 6).as("inv_dval"))
+    }),
+    "sp_set_diagonal" -> ((s, d) => {
+      val a = graft.operators.SpectralOps.partGraph(s, d)
+        .select(col("src").as("row"), col("dst").as("col"), col("value"))
+      SparseOps.setDiagonal(SparseOps.laplacian(a), 7.0).where(col("row") < 100)
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"))
+    }),
+    "sp_scale_diag_sym" -> ((s, d) => {
+      val a = graft.operators.SpectralOps.partGraph(s, d)
+        .select(col("src").as("row"), col("dst").as("col"), col("value"))
+      val deg = a.groupBy(col("row")).agg(sum(col("value")).as("dval"))
+      SparseOps.scaleByDiagonalSymmetric(a, deg).where(col("row") < 200)
+        .select(col("row"), col("col"), round(col("value"), 6).as("value"))
+    }),
     "txt_term_doc" -> ((s, d) => {
       TextOps.termDoc(Tables.documents(s, d)).where(col("doc_id") < 300)
     }),
@@ -126,7 +152,42 @@ object SparseTextQueries extends QueryGroup {
     "txt_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
   )
 
+  /** Symmetric part co-occurrence graph (mirrors SpectralOps.partGraph). */
+  private val symCte =
+    s"""$cooCte,
+       |e0 AS (
+       |  SELECT a.col AS row, b.col AS col, CAST(count(*) AS DOUBLE) AS value
+       |  FROM coo a JOIN coo b ON a.row = b.row AND a.col < b.col
+       |  GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT row, col, value FROM e0
+       |  UNION ALL SELECT col AS row, row AS col, value FROM e0)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "sp_triangular" ->
+      s"""$cooCte
+         |SELECT row, col, round(value, 2) AS value FROM coo
+         |WHERE row < 300 AND col >= row""".stripMargin,
+    "sp_diag_invert" ->
+      s"""$symCte,
+         |deg AS (SELECT row, sum(value) AS d FROM sym GROUP BY row)
+         |SELECT row, round(d, 2) AS dval, round(1.0 / d, 6) AS inv_dval
+         |FROM deg WHERE row < 200""".stripMargin,
+    "sp_set_diagonal" ->
+      s"""$symCte,
+         |lap AS (
+         |  SELECT row, row AS col, sum(value) AS value FROM sym GROUP BY row
+         |  UNION ALL SELECT row, col, -value FROM sym)
+         |SELECT row, col,
+         |  round(CASE WHEN row = col THEN 7.0 ELSE value END, 2) AS value
+         |FROM lap WHERE row < 100""".stripMargin,
+    "sp_scale_diag_sym" ->
+      s"""$symCte,
+         |deg AS (SELECT row, sum(value) AS d FROM sym GROUP BY row)
+         |SELECT sym.row, sym.col,
+         |  round(sym.value / sqrt(dr.d * dc.d), 6) AS value
+         |FROM sym JOIN deg dr ON sym.row = dr.row JOIN deg dc ON sym.col = dc.row
+         |WHERE sym.row < 200""".stripMargin,
     "sp_degree" ->
       s"""$cooCte
          |SELECT row, count(*) AS deg, round(sum(value), 2) AS vsum

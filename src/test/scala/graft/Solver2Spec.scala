@@ -109,4 +109,34 @@ class Solver2Spec extends AnyFunSuite {
     val rows = SolverOps.lapAssignment(spark, 50).collect()
     assert(rows.map(_.getInt(1)).distinct.length == 50)
   }
+
+  test("distributed auction LAP total matches Hungarian exactly") {
+    val Array(row) = SolverOps.lapAuctionDistributed(spark, 60, topT = 8).collect()
+    // same integer cost matrix rebuilt driver-side, solved with Hungarian
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cost = Array.tabulate(60, 60)((i, j) =>
+      (h32(s"$i:$j:lap") % 1000000L).toDouble)
+    val (_, total) = SolverOps.hungarian(cost)
+    assert(row.getLong(0) == 60L, "assignment must be a perfect matching")
+    assert(row.getLong(1) == total.toLong,
+      s"auction total ${row.getLong(1)} vs Hungarian ${total.toLong}")
+  }
+
+  test("sparse two-pass rSVD matches exact SVD on decaying-spectrum COO") {
+    val blobs = graft.operators.RandomOps.makeBlobs(spark, 300, 16, 3, 11L)
+    val coo = blobs.select(col("id").as("row"),
+        posexplode(col("vec")).as(Seq("col", "value")))
+      .select(col("row"), col("col").cast("long").as("col"), col("value"))
+    val got = SolverOps.rsvdSparse(coo, 3)
+    val local = DenseMatrix(blobs.orderBy(col("id")).select(col("vec"))
+      .collect().map(_.getSeq[Double](0).toArray): _*)
+    val exact = bsvd(local).S.toArray.take(3)
+    got.zip(exact).foreach { case (g, e) =>
+      assert(math.abs(g - e) / e < 0.02, s"sparse rsvd sigma $g vs exact $e")
+    }
+  }
 }
