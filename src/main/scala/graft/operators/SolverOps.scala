@@ -205,6 +205,99 @@ object SolverOps {
     breeze.linalg.eigSym(t).eigenvalues.toArray.sorted.take(k).toSeq
   }
 
+  /** eigsh with the basis SHARDED across the cluster — the scale-out form
+    * of [[eigshSmallest]] for n beyond driver memory; reference:
+    * sparse/solver/detail/lanczos.cuh:402 (thick-restart lanczos_smallest).
+    * Layout: the basis V lives as a DataFrame (i, qs ARRAY<DOUBLE>) — row i
+    * holds coordinate i of every basis vector; the driver holds only the
+    * m×m projected matrix H = VᵀAV and per-step coefficient vectors (m
+    * doubles), never an n-vector. Each expansion step is three keyed
+    * distributed ops: SpMV (join on col + sum), full reorthogonalization
+    * (ONE vector_sum aggregate computes all ⟨q_t, w⟩ at once), and the
+    * residual norm. Restart compresses the basis to the l best Ritz vectors
+    * (a per-row broadcast matvec) plus the residual lane, resets H to
+    * diag(θ) and continues — the thick-restart scheme, with the coupling
+    * block re-measured exactly by the full-reorth coefficients.
+    */
+  def eigshSmallestSharded(coo: DataFrame, n: Long, k: Int, m: Int = 25,
+      maxRestarts: Int = 3, seed: Long = 3): Seq[Double] = {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    import graft.functions.{ArrayMath, VectorAgg}
+    val spark = coo.sparkSession
+    val edges = coo.select(col("row"), col("col"), col("value")).localCheckpoint(true)
+    val steps = math.min(m, n.toInt)
+    // deterministic hash-gaussian start vector, normalized
+    val raw = spark.range(n).select(col("id").as("i"),
+      RandomOps.normal(col("id"), seed, "lz").as("x"))
+    val n0 = math.sqrt(raw.agg(sum(col("x") * col("x"))).head().getDouble(0))
+    var basis = raw.select(col("i"), array(col("x") / n0).as("qs")).localCheckpoint(true)
+    var h = DenseMatrix.zeros[Double](steps + 1, steps + 1)
+    var lanes = 1
+    var prevRitz: Option[Seq[Double]] = None
+    var result: Seq[Double] = null
+    var restart = 0
+    while (result == null && restart <= maxRestarts) {
+      var invariant = false
+      while (lanes < steps && !invariant) {
+        val j = lanes - 1 // expand the newest lane
+        val qj = basis.select(col("i").as("col"), element_at(col("qs"), lanes).as("x"))
+        val w0 = edges.join(qj, Seq("col"))
+          .groupBy(col("row").as("i")).agg(sum(col("value") * col("x")).as("w"))
+        val df = basis.join(w0, Seq("i"), "left")
+          .select(col("i"), col("qs"), coalesce(col("w"), lit(0.0)).as("w"))
+          .localCheckpoint(true)
+        // all ⟨q_t, w⟩ in one aggregate; two Gram-Schmidt passes ("twice is
+        // enough") — a single CGS pass loses orthogonality across restarts
+        // and produces ghost eigenvalues
+        val c1 = df.agg(VectorAgg.vectorSum(
+          ArrayMath.scale(col("qs"), col("w"))).as("c")).head().getSeq[Double](0)
+        val w1 = df.select(col("i"), col("qs"),
+            (col("w") - ArrayMath.dot(col("qs"), typedLit(c1))).as("w"))
+          .localCheckpoint(true)
+        val c2 = w1.agg(VectorAgg.vectorSum(
+          ArrayMath.scale(col("qs"), col("w"))).as("c")).head().getSeq[Double](0)
+        val coefs = c1.zip(c2).map { case (a, b) => a + b }
+        (0 until lanes).foreach { t => h(t, j) = coefs(t); h(j, t) = coefs(t) }
+        val wp = w1.select(col("i"), col("qs"),
+          (col("w") - ArrayMath.dot(col("qs"), typedLit(c2))).as("wp"))
+        val b2 = wp.agg(sum(col("wp") * col("wp"))).head().getDouble(0)
+        val beta = math.sqrt(math.max(b2, 0.0))
+        if (beta < 1e-10) invariant = true
+        else {
+          h(j + 1, j) = beta; h(j, j + 1) = beta
+          basis = wp.select(col("i"),
+            concat(col("qs"), array(col("wp") / beta)).as("qs")).localCheckpoint(true)
+          lanes += 1
+        }
+      }
+      // Rayleigh-Ritz over the expanded block
+      val big = lanes - (if (invariant) 0 else 1)
+      val es = eigSym(h(0 until big, 0 until big).copy)
+      val order = es.eigenvalues.toArray.zipWithIndex.sortBy(_._1)
+      val ritz = order.take(k).map(_._1).toSeq
+      val converged = prevRitz.exists(p =>
+        p.zip(ritz).map { case (a, b) => math.abs(a - b) }.max < 1e-9)
+      if (invariant || converged || restart == maxRestarts) result = ritz
+      else {
+        // thick restart: compress to l best Ritz vectors + residual lane
+        prevRitz = Some(ritz)
+        val l = math.min(k + 2, big)
+        val yCols = order.take(l).map(_._2)
+        val newLanes = (yCols.map { c =>
+          val yc = (0 until big).map(t => es.eigenvectors(t, c))
+          ArrayMath.dot(org.apache.spark.sql.functions.slice(
+            col("qs"), lit(1), lit(big)), typedLit(yc))
+        } :+ element_at(col("qs"), lanes)).toArray
+        basis = basis.select(col("i"), array(newLanes: _*).as("qs")).localCheckpoint(true)
+        h = DenseMatrix.zeros[Double](steps + 1, steps + 1)
+        order.take(l).zipWithIndex.foreach { case ((th, _), t) => h(t, t) = th }
+        lanes = l + 1
+        restart += 1
+      }
+    }
+    result
+  }
+
   /** tsvd transform + inverse_transform + reconstruction error —
     * reference: linalg/tsvd.cuh:63,97 (svdReconstruction linalg/svd.cuh:195).
     * V_k comes from the distributed Gram eig (svdEig path); project/

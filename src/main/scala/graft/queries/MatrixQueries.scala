@@ -54,6 +54,10 @@ object MatrixQueries extends QueryGroup {
       lanes(MatrixOps.sortLanes(graft.Tables.vectors(s, d).where(col("id") < 30)), 4)),
     "mat_col_reverse" -> ((s, d) =>
       lanes(MatrixOps.colReverse(graft.Tables.vectors(s, d).where(col("id") < 30)), 4)),
+    "mat_row_reverse" -> ((s, d) =>
+      lanes(MatrixOps.rowReverse(
+        graft.Tables.vectors(s, d).where(col("id") < 30)
+          .select(col("id"), col("vec")), 30L), 4)),
     "mat_sample_rows" -> ((s, d) => {
       MatrixOps.sampleRows(graft.Tables.vectors(s, d), 100, 7L)
         .select(col("id"), col("label"))
@@ -212,6 +216,10 @@ object MatrixQueries extends QueryGroup {
          |  generate_subscripts(embedding, 1) - 1 AS pos,
          |  round(unnest(list_reverse($castLanes)), 4) + 0.0 AS v
          |FROM embeddings WHERE vec_id < 30""".stripMargin,
+    "mat_row_reverse" ->
+      """SELECT 29 - vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  round(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS v
+        |FROM embeddings WHERE vec_id < 30""".stripMargin,
     "mat_sample_rows" ->
       """SELECT vec_id AS id, label FROM embeddings
         |ORDER BY md5(concat_ws(':', vec_id, 7)), vec_id LIMIT 100""".stripMargin,

@@ -64,6 +64,22 @@ object SolverQueries extends QueryGroup {
         (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "eig")
     }),
+    "solver_eigsh_sharded" -> ((s, d) => {
+      // same 30-chain Laplacian as solver_eigsh, through the sharded-basis
+      // thick-restart path; spectrum is closed-form → real SQL oracle
+      val chain = s.range(29).select(col("id").as("row"), (col("id") + 1).as("col"),
+        lit(-1.0).as("value"))
+      val sym = chain.unionByName(chain.select(col("col").as("row"),
+        col("row").as("col"), col("value")))
+      val deg = s.range(30).select(col("id").as("row"), col("id").as("col"),
+        org.apache.spark.sql.functions.when(col("id") === 0 || col("id") === 29, 1.0)
+          .otherwise(2.0).as("value"))
+      val ev = SolverOps.eigshSmallestSharded(sym.unionByName(deg), 30, 3,
+        m = 30, maxRestarts = 4)
+      s.createDataFrame(ev.zipWithIndex.map { case (v, i) =>
+        (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+        .toDF("i", "eig")
+    }),
     "solver_lap" -> ((s, d) => SolverOps.lapAssignment(s, 50)),
     "solver_lap_dist" -> ((s, d) => SolverOps.lapAuctionDistributed(s, 500)),
     "solver_rsvd_sparse" -> ((s, d) => {
@@ -105,6 +121,10 @@ object SolverQueries extends QueryGroup {
     "solver_mst" ->
       """SELECT i AS src, i + 1 AS dst, CAST(1.0 AS DOUBLE) AS value
         |FROM range(99) t(i)""".stripMargin,
+    // path-graph Laplacian spectrum is closed form: 2 − 2cos(πq/n)
+    "solver_eigsh_sharded" ->
+      """SELECT i, round(2.0 - 2.0 * cos(pi() * i / 30), 6) + 0.0 AS eig
+        |FROM range(3) t(i)""".stripMargin,
     "solver_partition" ->
       s"""$graphCte,
          |sizes AS (

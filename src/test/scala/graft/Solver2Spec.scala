@@ -126,6 +126,37 @@ class Solver2Spec extends AnyFunSuite {
       s"auction total ${row.getLong(1)} vs Hungarian ${total.toLong}")
   }
 
+  test("sharded-basis Lanczos matches planted spectrum at n=1e5, driver memory flat") {
+    // diagonal matrix with planted well-separated smallest eigenvalues
+    // {1, 5, 9} under a bulk starting at 100 — n is 100k but the driver
+    // only ever holds m-sized vectors and the m×m projected matrix
+    val n = 100000L
+    val diag = spark.range(n).select(col("id").as("row"), col("id").as("col"),
+      when(col("id") === 0, 1.0).when(col("id") === 1, 5.0)
+        .when(col("id") === 2, 9.0)
+        .otherwise(pmod(col("id"), lit(7)).cast("double") + 100.0).as("value"))
+    val got = SolverOps.eigshSmallestSharded(diag, n, 3, m = 20, maxRestarts = 2)
+    got.zip(Seq(1.0, 5.0, 9.0)).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"sharded eigsh $g vs $e")
+    }
+  }
+
+  test("sharded-basis Lanczos agrees with driver-basis eigsh on the chain") {
+    import spark.implicits._
+    val chain = spark.range(29).select(col("id").as("row"), (col("id") + 1).as("col"),
+      lit(-1.0).as("value"))
+    val sym = chain.unionByName(chain.select(col("col").as("row"),
+      col("row").as("col"), col("value")))
+    val deg = spark.range(30).select(col("id").as("row"), col("id").as("col"),
+      when(col("id") === 0 || col("id") === 29, 1.0).otherwise(2.0).as("value"))
+    val lap = sym.unionByName(deg)
+    val sharded = SolverOps.eigshSmallestSharded(lap, 30, 3, m = 30, maxRestarts = 4)
+    val exact = (0 until 3).map(q => 2.0 - 2.0 * math.cos(math.Pi * q / 30))
+    sharded.zip(exact).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"sharded $g vs closed form $e")
+    }
+  }
+
   test("sparse two-pass rSVD matches exact SVD on decaying-spectrum COO") {
     val blobs = graft.operators.RandomOps.makeBlobs(spark, 300, 16, 3, 11L)
     val coo = blobs.select(col("id").as("row"),
