@@ -30,11 +30,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout AND stderr: sbt prefixes stdout with "[info] " which breaks a
-    // line-oriented JSON parse; stderr passes through unprefixed
+    // The harness records only the TAIL of the output, so the full ~4KB
+    // per-query line gets truncated at the start and fails to parse. Emit
+    // the full line first (archive: also written to BENCH_LOCAL.json),
+    // then a compact line (top-40 slowest, 2dp) LAST so a complete
+    // parseable JSON object always sits inside the tail window. Both go to
+    // stderr too — sbt's "[info] " stdout prefix breaks line parses.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+    catch { case _: Throwable => () }
+    val top = results.sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","note":"top40; full per-query dict in BENCH_LOCAL.json"}"""
     println(line)
+    println(compact)
     System.out.flush()
     System.err.println(line)
+    System.err.println(compact)
     System.err.flush()
     spark.stop()
   }

@@ -224,10 +224,18 @@ object SolverOps {
     import breeze.linalg.{eigSym, DenseMatrix}
     import graft.functions.{ArrayMath, VectorAgg}
     val spark = coo.sparkSession
-    val edges = coo.select(col("row"), col("col"), col("value")).localCheckpoint(true)
-    val steps = math.min(m, n.toInt)
+    // partition count tracks n: tiny fixtures run single-task jobs (the
+    // per-step driver loop is job-latency bound), huge n gets the full
+    // parallelism — same knob the SpMV dispatch note in eigshSmallest uses
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
+    val edges = coo.select(col("row"), col("col"), col("value"))
+      .repartition(parts).localCheckpoint(true)
+    // n+1 cap: when m ≥ n the basis can reach the full space, the residual
+    // vanishes and ONE phase returns the exact spectrum (no restart cycles)
+    val steps = math.min(m, n.toInt + 1)
     // deterministic hash-gaussian start vector, normalized
-    val raw = spark.range(n).select(col("id").as("i"),
+    val raw = spark.range(n).repartition(parts).select(col("id").as("i"),
       RandomOps.normal(col("id"), seed, "lz").as("x"))
     val n0 = math.sqrt(raw.agg(sum(col("x") * col("x"))).head().getDouble(0))
     var basis = raw.select(col("i"), array(col("x") / n0).as("qs")).localCheckpoint(true)
@@ -248,19 +256,22 @@ object SolverOps {
           .localCheckpoint(true)
         // all ⟨q_t, w⟩ in one aggregate; two Gram-Schmidt passes ("twice is
         // enough") — a single CGS pass loses orthogonality across restarts
-        // and produces ghost eigenvalues
+        // and produces ghost eigenvalues. The second pass ALSO returns ‖w₁‖²
+        // so the residual norm comes from Pythagoras (w₁ = wp + V·c₂ with
+        // wp ⊥ V): one fewer job per step.
         val c1 = df.agg(VectorAgg.vectorSum(
           ArrayMath.scale(col("qs"), col("w"))).as("c")).head().getSeq[Double](0)
         val w1 = df.select(col("i"), col("qs"),
-            (col("w") - ArrayMath.dot(col("qs"), typedLit(c1))).as("w"))
-          .localCheckpoint(true)
-        val c2 = w1.agg(VectorAgg.vectorSum(
-          ArrayMath.scale(col("qs"), col("w"))).as("c")).head().getSeq[Double](0)
+          (col("w") - ArrayMath.dot(col("qs"), typedLit(c1))).as("w"))
+        val r2 = w1.agg(VectorAgg.vectorSum(
+            ArrayMath.scale(col("qs"), col("w"))).as("c"),
+          sum(col("w") * col("w")).as("n2")).head()
+        val c2 = r2.getSeq[Double](0)
         val coefs = c1.zip(c2).map { case (a, b) => a + b }
         (0 until lanes).foreach { t => h(t, j) = coefs(t); h(j, t) = coefs(t) }
         val wp = w1.select(col("i"), col("qs"),
           (col("w") - ArrayMath.dot(col("qs"), typedLit(c2))).as("wp"))
-        val b2 = wp.agg(sum(col("wp") * col("wp"))).head().getDouble(0)
+        val b2 = r2.getDouble(1) - c2.map(x => x * x).sum
         val beta = math.sqrt(math.max(b2, 0.0))
         if (beta < 1e-10) invariant = true
         else {
@@ -502,22 +513,27 @@ object SolverOps {
     * Every distributed op is a join/aggregate keyed on row or col with
     * d-vector partials (vector_sum) — the spmm shape that scales.
     */
-  def rsvdSparse(coo: DataFrame, k: Int, p: Int = 5, seed: Long = 7): Seq[Double] = {
+  def rsvdSparse(coo: DataFrame, k: Int, p: Int = 5, seed: Long = 7,
+      colDomain: Option[DataFrame] = None): Seq[Double] = {
     import breeze.linalg.{qr => bqr, svd => bsvd, DenseMatrix}
     import graft.functions.{ArrayMath, VectorAgg}
     val l = k + p
     val edges = coo.select(col("row"), col("col"), col("value")).localCheckpoint(true)
-    def omega(idx: org.apache.spark.sql.Column) =
-      array((0 until l).map(t => RandomOps.normal(idx, seed, s"w$t")): _*)
     def spmmPass(m: DataFrame, vecs: DataFrame, joinKey: String, outKey: String) =
       m.join(vecs.withColumnRenamed("id", joinKey), Seq(joinKey))
         .groupBy(col(outKey).as("id"))
         .agg(VectorAgg.vectorSum(ArrayMath.scale(col("v"), col("value"))).as("v"))
-    // Y = AΩ (Ω generated as an expression of the column index)
-    val y = edges.groupBy(col("row").as("id"))
-      .agg(VectorAgg.vectorSum(ArrayMath.scale(omega(col("col")), col("value"))).as("v"))
-    // one power iteration: Z = AᵀY, Y₂ = AZ
-    val z = spmmPass(edges, y, "row", "col").localCheckpoint(true)
+    // Ω materialized per distinct column (l hash-gaussians per COLUMN, not
+    // per nnz — the md5 draws are the expensive part) → Y = AΩ is a plain
+    // spmm join. colDomain, when the caller has a dimension table for the
+    // column space (here: the part table), avoids the distinct-shuffle over
+    // the nnz entirely; extra ids are harmless (they match no edges).
+    val cols = colDomain.getOrElse(edges.select(col("col").as("id")).distinct())
+    val omega = cols.select(col("id"),
+      array((0 until l).map(t => RandomOps.normal(col("id"), seed, s"w$t")): _*).as("v"))
+    val y = spmmPass(edges, omega, "col", "row")
+    // one power iteration: Z = AᵀY, Y₂ = AZ (Z consumed once — no checkpoint)
+    val z = spmmPass(edges, y, "row", "col")
     val y2 = spmmPass(edges, z, "col", "row").localCheckpoint(true)
     val r = new RowMatrix(y2.select(col("v")).rdd
       .map(row => MLVectors.dense(row.getSeq[Double](0).toArray)))

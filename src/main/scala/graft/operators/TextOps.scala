@@ -97,6 +97,18 @@ object TextOps {
         .as("distinct_ratio"))
   }
 
+  /** Token counting two ways (training-pipeline budgeting): whitespace
+    * tokens and a BPE-ish pre-tokenization count — letter runs, digit runs,
+    * and punctuation runs counted separately (the GPT-2-style pre-tokenizer
+    * shape, without the merge table). Pure per-row expressions, no shuffle.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("ws_tokens"),
+      regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"))
+        .as("bpe_ish_tokens"))
+
   /** Document fingerprint: order-sensitive polynomial rolling hash over
     * token h32 values, mod 1e9+7 (the rolling-hash fingerprint op of the
     * training-pipeline surface; deterministic across partitionings).

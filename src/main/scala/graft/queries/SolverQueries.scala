@@ -74,8 +74,10 @@ object SolverQueries extends QueryGroup {
       val deg = s.range(30).select(col("id").as("row"), col("id").as("col"),
         org.apache.spark.sql.functions.when(col("id") === 0 || col("id") === 29, 1.0)
           .otherwise(2.0).as("value"))
+      // m > n: the basis reaches the full space, the residual vanishes and
+      // one phase returns the exact spectrum — no restart cycles
       val ev = SolverOps.eigshSmallestSharded(sym.unionByName(deg), 30, 3,
-        m = 30, maxRestarts = 4)
+        m = 40, maxRestarts = 4)
       s.createDataFrame(ev.zipWithIndex.map { case (v, i) =>
         (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "eig")
@@ -83,7 +85,8 @@ object SolverQueries extends QueryGroup {
     "solver_lap" -> ((s, d) => SolverOps.lapAssignment(s, 50)),
     "solver_lap_dist" -> ((s, d) => SolverOps.lapAuctionDistributed(s, 500)),
     "solver_rsvd_sparse" -> ((s, d) => {
-      val sv = SolverOps.rsvdSparse(graft.Tables.cooOrdersParts(s, d), 5)
+      val sv = SolverOps.rsvdSparse(graft.Tables.cooOrdersParts(s, d), 5,
+        colDomain = Some(graft.Tables.part(s, d).select(col("p_partkey").as("id"))))
       s.createDataFrame(sv.zipWithIndex.map { case (v, i) =>
         (i, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "sigma")

@@ -149,6 +149,7 @@ object SparseTextQueries extends QueryGroup {
       TextOps.quality(Tables.documents(s, d)).where(col("doc_id") < 1000)
     }),
     "txt_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "txt_token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
   )
 
@@ -329,6 +330,11 @@ object SparseTextQueries extends QueryGroup {
         |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
         |    (a, c) -> (a * 131 + c) % 1000000007) AS fp
         |FROM toks""".stripMargin,
+    "txt_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
     "txt_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
