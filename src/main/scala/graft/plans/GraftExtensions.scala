@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.ArrayDot
+
+/** Optimizer rule: rewrite the declarative HOF dot-product pattern
+  *
+  *   aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v)
+  *
+  * into the fused native [[ArrayDot]] expression — one codegen'd Java loop,
+  * no intermediate zipped array, stays inside whole-stage codegen. This is
+  * the `Rule[LogicalPlan]`-via-`SparkSessionExtensions` tier of the
+  * extension ladder (SURVEY.md §2.13): users keep writing the declarative
+  * form (or `ArrayMath.dot`) and the optimizer swaps in the kernel —
+  * the Catalyst analog of the reference dispatching a fused device kernel
+  * for the same composed lambda (linalg/dot.cuh:38, map.cuh:95).
+  *
+  * Precondition (guaranteed by the canonical `(id, vec)` encoding): both
+  * arrays have equal lane counts and no null lanes — `zip_with` would
+  * null-pad a shorter side where ArrayDot min-length-stops, so the rewrite
+  * is only registered on sessions whose data upholds the encoding.
+  * For equal-length inputs the fold order is identical, so results are
+  * bit-for-bit the same (oracle-compatible).
+  */
+object DotFusionRule extends Rule[LogicalPlan] {
+
+  private def doubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def boundTo(vars: Seq[Expression], args: Seq[NamedExpression]): Boolean = {
+    val varIds = vars.collect { case v: NamedLambdaVariable => v.exprId }.toSet
+    varIds.size == vars.length &&
+      varIds == args.collect { case v: NamedLambdaVariable => v.exprId }.toSet
+  }
+
+  private def isIdentity(finish: Expression): Boolean = finish match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      v.exprId == arg.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(Multiply(x, y, _), zipArgs, _)),
+        Literal(zero, DoubleType),
+        LambdaFunction(Add(acc, el, _), mergeArgs, _),
+        finish)
+      if zero == 0.0 && doubleArray(a) && doubleArray(b) &&
+        boundTo(Seq(x, y), zipArgs) && boundTo(Seq(acc, el), mergeArgs) &&
+        isIdentity(finish) =>
+      ArrayDot(a, b)
+  }
+}
+
+/** Session extension entry point: `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => DotFusionRule)
+}

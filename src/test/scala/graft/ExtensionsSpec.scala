@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.ArrayMath
+
+/** SparkSessionExtensions wiring: the DotFusionRule must rewrite the HOF
+  * dot-product pattern to the native ArrayDot expression with identical
+  * results (same strict fold ⇒ bit-for-bit equal).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("DotFusionRule rewrites HOF dot to ArrayDot and preserves values") {
+    val base = TestSpark.spark // materialize the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      def dotDf(sess: SparkSession) = sess.range(50).select(col("id"),
+        ArrayMath.dot(
+          transform(sequence(lit(0), lit(7)), j => (col("id") + j).cast("double")),
+          transform(sequence(lit(0), lit(7)), j => (j * 2).cast("double"))).as("d"))
+      val df = dotDf(s)
+      assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot"),
+        "optimizer did not substitute the native expression")
+      assert(!dotDf(base).queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("arraydot"), "un-extended session must keep the HOF form")
+      val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (0L until 50L).foreach { id =>
+        val expected = (0 until 8).map(j => (id + j).toDouble * (j * 2)).sum
+        assert(got(id) == expected, s"id=$id: ${got(id)} vs $expected")
+      }
+    } finally {
+      // s shares the SparkContext — do NOT stop it; just restore the session
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
