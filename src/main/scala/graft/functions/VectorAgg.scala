@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -11,22 +11,37 @@ import org.apache.spark.sql.functions.udaf
   *
   * Buffers are partial-aggregated map-side and merged pairwise — the
   * mergeable-partials contract that makes one shuffle carry only
-  * (#keys × d) doubles instead of n×d lanes. Lane-wise addition is
-  * order-insensitive up to FP rounding; declared outputs round to the
-  * oracle tolerance (SURVEY §7 policy).
+  * (#keys × d) doubles instead of n×d lanes. Primitive-array buffers ride
+  * the UnsafeArrayData fast path (no per-lane boxing — the Seq[Double]
+  * version spent most of its time allocating); in-place accumulation is
+  * safe because ObjectHashAggregate holds the buffer object between calls.
+  * Lane-wise addition is order-insensitive up to FP rounding; declared
+  * outputs round to the oracle tolerance (SURVEY §7 policy).
   */
 object VectorAgg {
 
   /** Element-wise sum of ARRAY<DOUBLE> columns (vector_sum). */
-  private object VectorSum extends Aggregator[Seq[Double], Seq[Double], Seq[Double]] {
-    def zero: Seq[Double] = Seq.empty
-    def reduce(buf: Seq[Double], v: Seq[Double]): Seq[Double] =
-      if (buf.isEmpty) v else buf.zip(v).map { case (a, b) => a + b }
-    def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
-      if (a.isEmpty) b else if (b.isEmpty) a else a.zip(b).map { case (x, y) => x + y }
-    def finish(buf: Seq[Double]): Seq[Double] = buf
-    def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoderHelper.seqDouble
-    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoderHelper.seqDouble
+  private object VectorSum
+      extends Aggregator[Array[Double], Array[Double], Array[Double]] {
+    def zero: Array[Double] = Array.emptyDoubleArray
+    def reduce(buf: Array[Double], v: Array[Double]): Array[Double] =
+      if (buf.isEmpty) v.clone()
+      else {
+        var i = 0
+        while (i < buf.length) { buf(i) += v(i); i += 1 }
+        buf
+      }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    def finish(buf: Array[Double]): Array[Double] = buf
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoderHelper.doubleArray
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoderHelper.doubleArray
   }
 
   /** vector_sum as a Column aggregate usable in groupBy().agg(...). */
@@ -36,10 +51,7 @@ object VectorAgg {
 private object ExpressionEncoderHelper {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   import org.apache.spark.sql.catalyst.encoders.AgnosticEncoders
-  val seqDouble: Encoder[Seq[Double]] =
-    ExpressionEncoder(AgnosticEncoders.IterableEncoder(
-      scala.reflect.classTag[Seq[Double]],
-      AgnosticEncoders.PrimitiveDoubleEncoder,
-      containsNull = false,
-      lenientSerialization = false))
+  val doubleArray: Encoder[Array[Double]] =
+    ExpressionEncoder(AgnosticEncoders.ArrayEncoder(
+      AgnosticEncoders.PrimitiveDoubleEncoder, containsNull = false))
 }

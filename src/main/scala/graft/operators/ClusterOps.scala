@@ -41,11 +41,62 @@ object ClusterOps {
     slice(transform(array_sort(array(scored: _*)), s => s.getField("c")), 1, nprobe)
   }
 
-  /** Lloyd's k-means; returns (assignments (id, vec, cluster), centroids).
-    * Empty clusters keep their previous centroid. */
-  def kmeans(vectors: DataFrame, k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
-    var centroids = vectors.where(col("id") < k).orderBy(col("id"))
+  /** Squared distance to the nearest of the given centers (expression). */
+  private def minDist2(centers: Array[Array[Double]]): Column = {
+    val best = array_min(array(centers.map { c =>
+      val cNorm = c.map(x => x * x).sum
+      ArrayDot.dot(col("vec"), centroidLit(c)) * -2.0 + cNorm
+    }: _*))
+    greatest(ArrayMath.foldSum(col("vec"), x => x * x) + best, lit(0.0))
+  }
+
+  /** k-means|| initialization (Bahmani et al., VLDB'12) — the distributed
+    * seeding the reference ecosystem pairs with Lloyd's: a few rounds, each
+    * sampling points with probability ∝ oversample·k·d²(x,C)/Σd² (ONE
+    * aggregate + ONE filtered scan per round, deterministic hash draws),
+    * then the O(rounds·oversample·k) candidates are weighted by how many
+    * points they attract and reduced to k centers driver-side (weighted
+    * farthest-first). No per-iteration shuffle grows with n.
+    */
+  def kmeansParallelInit(vectors: DataFrame, k: Int, rounds: Int = 3,
+      oversample: Int = 4, seed: Long = 13): Array[Array[Double]] = {
+    var centers = vectors.orderBy(col("id")).limit(1)
       .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+    for (r <- 0 until rounds) {
+      val d2 = minDist2(centers)
+      val tot = vectors.select(d2.as("d2")).agg(sum(col("d2"))).head().getDouble(0)
+      if (tot > 0) {
+        val drawn = vectors
+          .where(RandomOps.hashU(col("id"), seed, s"kmpp$r") <
+            least(lit(1.0), lit(oversample.toDouble * k) * d2 / tot))
+          .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+        centers = centers ++ drawn
+      }
+    }
+    // weight candidates by attraction, then weighted farthest-first to k
+    val weights = vectors.select(nearestExpr(centers).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val w = centers.indices.map(i => weights.getOrElse(i, 0.0)).toArray
+    val picked = scala.collection.mutable.ArrayBuffer(w.zipWithIndex.maxBy(_._1)._2)
+    while (picked.length < math.min(k, centers.length)) {
+      def d2To(i: Int) = picked.map { p =>
+        centers(i).zip(centers(p)).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.min
+      picked += centers.indices.filterNot(picked.contains)
+        .maxBy(i => w(i) * d2To(i))
+    }
+    picked.map(centers(_)).toArray
+  }
+
+  /** Lloyd's k-means; returns (assignments (id, vec, cluster), centroids).
+    * Empty clusters keep their previous centroid. Default init = first k
+    * rows by id (deterministic); pass `init` (e.g. from
+    * [[kmeansParallelInit]]) for quality-seeded clustering. */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int,
+      init: Option[Array[Array[Double]]] = None): (DataFrame, Array[Array[Double]]) = {
+    var centroids = init.getOrElse(vectors.where(col("id") < k).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray))
     for (_ <- 0 until iters) {
       val sums = vectors
         .select(nearestExpr(centroids).as("cluster"), col("vec"))

@@ -100,6 +100,16 @@ object PipelineQueries extends QueryGroup {
         .withColumn("inertia", round(lit(inert), 2))
     }),
     "pipe_ann_ivf" -> ((s, d) => ClusterOps.ivfTopK(Tables.vectors(s, d), 5, 10)),
+    "pipe_kmeans_pp" -> ((s, d) => {
+      // k-means|| seeding + Lloyd's; driver checks rows-only, the
+      // inertia-improves-over-naive-init property is PipelineSpec's job
+      val v = Tables.vectors(s, d)
+      val init = ClusterOps.kmeansParallelInit(v, 8)
+      val (assigned, centroids) = ClusterOps.kmeans(v, 8, 5, Some(init))
+      val inert = ClusterOps.inertia(assigned, centroids)
+      assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .withColumn("inertia", round(lit(inert), 2))
+    }),
   )
 
   // ---- oracles ----

@@ -111,4 +111,25 @@ class PipelineSpec extends AnyFunSuite {
       .agg(max(col("d")).as("mx"), avg(col("d")).as("av")).collect().head
     assert(deg.getLong(0) > 3 * deg.getDouble(1), "R-MAT should concentrate edges")
   }
+
+  test("k-means|| init beats a degenerate naive init on separated blobs") {
+    import graft.operators.ClusterOps
+    // re-key so the 4 lowest ids all come from the SAME blob — the naive
+    // first-k init then starts all centers inside one cluster
+    val blobs = RandomOps.makeBlobs(spark, 400, 8, 4, 21L)
+      .select(when(col("cluster") === 0, col("id"))
+        .otherwise(col("id") + 10000L).as("id"), col("vec"))
+    val k = 4
+    val naive = ClusterOps.kmeans(blobs, k, 5)
+    val inertNaive = ClusterOps.inertia(naive._1, naive._2)
+    val init = ClusterOps.kmeansParallelInit(blobs, k)
+    assert(init.length == k)
+    val par = ClusterOps.kmeans(blobs, k, 5, Some(init))
+    val inertPar = ClusterOps.inertia(par._1, par._2)
+    assert(inertPar < inertNaive,
+      s"k-means|| inertia $inertPar should beat degenerate-init $inertNaive")
+    // deterministic: same init on a second run
+    val init2 = ClusterOps.kmeansParallelInit(blobs, k)
+    assert(init.map(_.toSeq).toSeq == init2.map(_.toSeq).toSeq)
+  }
 }
