@@ -251,9 +251,12 @@ object SolverOps {
         val qj = basis.select(col("i").as("col"), element_at(col("qs"), lanes).as("x"))
         val w0 = edges.join(qj, Seq("col"))
           .groupBy(col("row").as("i")).agg(sum(col("value") * col("x")).as("w"))
+        // lazy checkpoint: materialized by the c1 aggregate's job (saves a
+        // dedicated eager-materialization job per step), then reused by the
+        // second CGS pass and the basis update
         val df = basis.join(w0, Seq("i"), "left")
           .select(col("i"), col("qs"), coalesce(col("w"), lit(0.0)).as("w"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // all ⟨q_t, w⟩ in one aggregate; two Gram-Schmidt passes ("twice is
         // enough") — a single CGS pass loses orthogonality across restarts
         // and produces ghost eigenvalues. The second pass ALSO returns ‖w₁‖²
@@ -276,8 +279,9 @@ object SolverOps {
         if (beta < 1e-10) invariant = true
         else {
           h(j + 1, j) = beta; h(j, j + 1) = beta
+          // lazy: the next step's first aggregate materializes it
           basis = wp.select(col("i"),
-            concat(col("qs"), array(col("wp") / beta)).as("qs")).localCheckpoint(true)
+            concat(col("qs"), array(col("wp") / beta)).as("qs")).localCheckpoint(false)
           lanes += 1
         }
       }
@@ -535,16 +539,27 @@ object SolverOps {
     // one power iteration: Z = AᵀY, Y₂ = AZ (Z consumed once — no checkpoint)
     val z = spmmPass(edges, y, "row", "col")
     val y2 = spmmPass(edges, z, "col", "row").localCheckpoint(true)
-    val r = new RowMatrix(y2.select(col("v")).rdd
-      .map(row => MLVectors.dense(row.getSeq[Double](0).toArray)))
-      .tallSkinnyQR(computeQ = false).R
+    // R via the l×l Gram + Cholesky (RᵀR = Y₂ᵀY₂ ⇔ Y₂ = QR): ONE flattened
+    // outer-product aggregate instead of an RDD TSQR pass; falls back to
+    // mllib tallSkinnyQR if the Gram is numerically semidefinite
+    val gramRow = flatten(transform(col("v"), x => ArrayMath.scale(col("v"), x)))
+    val g = y2.agg(VectorAgg.vectorSum(gramRow).as("g")).head().getSeq[Double](0)
+    val gMat = new DenseMatrix(l, l, g.toArray) // symmetric: majorness moot
+    val rT = // lower-triangular L with L·Lᵀ = G; L = Rᵀ
+      try breeze.linalg.cholesky((gMat + gMat.t) / 2.0)
+      catch {
+        case _: Throwable =>
+          val r = new RowMatrix(y2.select(col("v")).rdd
+            .map(row => MLVectors.dense(row.getSeq[Double](0).toArray)))
+            .tallSkinnyQR(computeQ = false).R
+          new DenseMatrix(l, l, r.toArray).t
+      }
     // M = Y₂ᵀA, one l-vector-partial aggregate keyed by col
     val m = spmmPass(edges, y2, "row", "col").collect()
     val mMat = DenseMatrix.zeros[Double](l, m.length)
     m.zipWithIndex.foreach { case (row, c) =>
       val v = row.getSeq[Double](1); (0 until l).foreach(t => mMat(t, c) = v(t)) }
-    val rMat = new DenseMatrix(l, l, r.toArray) // mllib toArray is column-major
-    val b = rMat.t \ mMat // solve Rᵀ·B = M
+    val b = rT \ mMat // solve Rᵀ·B = M
     bsvd(b).S.toArray.sorted.reverse.take(k).toSeq
   }
 
