@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the perf-critical plan shapes the
+  * operators were designed around must not silently degrade. String checks
+  * on the executed plan — coarse, but they catch the failure modes that
+  * matter (a CartesianProduct sneaking back in, pushdown lost, the window
+  * top-k losing its partial/final group-limit, codegen falling out).
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("sp_masked_matmul generates the mask directly — no CartesianProduct") {
+    assert(!plan("sp_masked_matmul").contains("CartesianProduct"))
+  }
+
+  test("rel_top3_mktsegment keeps the partial+final window group limit") {
+    val p = plan("rel_top3_mktsegment")
+    assert(p.contains("WindowGroupLimit"), "per-partition top-k heaps lost")
+    assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
+  }
+
+  test("scans push filters and prune columns (mat_slice)") {
+    val p = plan("mat_slice")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), GreaterThanOrEqual(vec_id,100)")
+      || p.contains("GreaterThanOrEqual(vec_id,100)"), s"row predicate not pushed:\n$p")
+    assert(!p.contains("label"), "unused column not pruned from the scan")
+  }
+
+  test("mat_gemv_native stays inside whole-stage codegen") {
+    val p = plan("mat_gemv_native")
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact plan form
+    assert(p.contains("*(1) Project"), s"projection fell out of codegen:\n$p")
+    assert(p.contains("arraydot") || p.contains("ArrayDot"), "native dot missing")
+  }
+
+  test("sp_laplacian evaluates the co-occurrence subtree once (2 scans = self-join sides)") {
+    val p = plan("sp_laplacian")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected ≤2 lineitem scans (one per self-join side), got $scans")
+  }
+
+  test("sp_spmm aggregates d-vector partials (ObjectHashAggregate, no explode before shuffle)") {
+    val p = plan("sp_spmm")
+    assert(p.contains("ObjectHashAggregate"), "vector_sum partial aggregation lost")
+  }
+}
