@@ -46,6 +46,40 @@ object MultimodalOps {
     }
   }
 
+  case class Features(doc_id: Long, resized_w: Long, resized_h: Long,
+      feat: Array[Double])
+
+  /** STUB feature extraction + resize: a real pipeline would decode, resize
+    * to (targetW, targetH) and run a vision/audio encoder here. The fake
+    * derives a deterministic d-dim feature vector by hashing fixed-stride
+    * byte windows — so the Spark-side contract (binary in, fixed-length
+    * ARRAY<DOUBLE> embedding + resize metadata out, per-partition batches)
+    * is real and oracle-testable while the math is honestly stubbed.
+    */
+  def featureStub(docs: Dataset[BinaryDoc], targetW: Int = 224,
+      targetH: Int = 224, d: Int = 8): Dataset[Features] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { doc =>
+        // ??? real resize + encoder forward pass goes here; fake below:
+        // feature t = first-4-bytes of md5(payload-window t) scaled to [0,1)
+        val n = doc.payload.length
+        val feat = Array.tabulate(d) { t =>
+          val from = if (n == 0) 0 else (n.toLong * t / d).toInt
+          val until = if (n == 0) 0 else (n.toLong * (t + 1) / d).toInt
+          md.reset()
+          val h = md.digest(java.util.Arrays.copyOfRange(doc.payload, from, until))
+          val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          v.toDouble / 4294967296.0
+        }
+        Features(doc.doc_id, targetW.toLong, targetH.toLong, feat)
+      }
+    }
+  }
+
   /** Frame sampling: explode each payload into fixed-size "frames" with a
     * per-frame digest — the video-frame-sample shape (one output row per
     * frame, offset metadata carried along). Pure column expressions.

@@ -76,6 +76,12 @@ object PipelineQueries extends QueryGroup {
       MultimodalOps.decodeStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()),
     "pipe_mm_frames" -> ((s, d) =>
       MultimodalOps.frameSample(Tables.documents(s, d).where(col("doc_id") < 200))),
+    "pipe_mm_features" -> ((s, d) =>
+      MultimodalOps.featureStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("resized_w"), col("resized_h"),
+          posexplode(col("feat")).as(Seq("pos", "v")))
+        .select(col("doc_id"), col("resized_w"), col("resized_h"), col("pos"),
+          (round(col("v"), 6) + 0.0).as("v"))),
     "pipe_stream_tumbling" -> ((s, d) => StreamingOps.tumblingCounts(Tables.events(s, d))),
     "pipe_stream_sliding" -> ((s, d) => StreamingOps.slidingCounts(Tables.events(s, d))),
     // session bounds emitted as epoch-micros BIGINTs: the raw parquet ts is
@@ -245,6 +251,14 @@ object PipelineQueries extends QueryGroup {
         |  64 + (length(text) * 7) % 419 AS height,
         |  3 AS channels, md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "pipe_mm_features" ->
+      """SELECT doc_id, CAST(224 AS BIGINT) AS resized_w, CAST(224 AS BIGINT) AS resized_h,
+        |  t AS pos,
+        |  round(CAST(('0x' || substr(md5(substr(text,
+        |          CAST(length(text)*t//8 AS INT) + 1,
+        |          CAST(length(text)*(t+1)//8 - length(text)*t//8 AS INT))), 1, 8)) AS BIGINT)
+        |        / 4294967296.0, 6) + 0.0 AS v
+        |FROM documents, range(8) r(t)""".stripMargin,
     "pipe_mm_frames" ->
       """SELECT doc_id, i AS frame_idx, i * 200 AS offset,
         |  md5(substr(text, i * 200 + 1, 200)) AS frame_md5
