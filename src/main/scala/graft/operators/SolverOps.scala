@@ -437,10 +437,13 @@ object SolverOps {
     def fullCosts = spark.range(n)
       .select(col("id").as("i"), explode(sequence(lit(0L), lit(n - 1L))).as("j"))
       .select(col("i"), col("j"), cCol.as("c"))
-    // 1. distributed kernel: T cheapest columns per row
+    // 1. distributed kernel: T cheapest columns per row, PLUS the diagonal —
+    // the kernel must contain a perfect matching or the auction cannot
+    // terminate; the identity guarantees one regardless of topT
     val w = Window.partitionBy(col("i")).orderBy(col("c").asc, col("j").asc)
     val kernelRows = fullCosts.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= topT).select(col("i"), col("j"), col("c")).collect()
+      .where(col("rnk") <= topT || col("i") === col("j"))
+      .select(col("i"), col("j"), col("c")).collect()
     val cand = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
     kernelRows.foreach(r => cand(r.getLong(0).toInt) += ((r.getLong(1).toInt, r.getDouble(2))))
     val prices = new Array[Double](n)

@@ -126,6 +126,24 @@ class Solver2Spec extends AnyFunSuite {
       s"auction total ${row.getLong(1)} vs Hungarian ${total.toLong}")
   }
 
+  test("auction LAP repair path: a starved kernel still reaches the exact optimum") {
+    // topT=2 is far too small for optimality — the distributed ε-CS
+    // certificate must detect the violations and column-generate until exact
+    val Array(row) = SolverOps.lapAuctionDistributed(spark, 40, topT = 2,
+      maxRepair = 30).collect()
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cost = Array.tabulate(40, 40)((i, j) =>
+      (h32(s"$i:$j:lap") % 1000000L).toDouble)
+    val (_, total) = SolverOps.hungarian(cost)
+    assert(row.getLong(0) == 40L)
+    assert(row.getLong(1) == total.toLong,
+      s"repaired auction ${row.getLong(1)} vs Hungarian ${total.toLong}")
+  }
+
   test("sharded-basis Lanczos matches planted spectrum at n=1e5, driver memory flat") {
     // diagonal matrix with planted well-separated smallest eigenvalues
     // {1, 5, 9} under a bulk starting at 100 — n is 100k but the driver
