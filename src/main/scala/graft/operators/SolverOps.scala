@@ -566,6 +566,25 @@ object SolverOps {
     bsvd(b).S.toArray.sorted.reverse.take(k).toSeq
   }
 
+  /** Single-linkage hierarchical clustering: build the MST, cut the k−1
+    * heaviest tree edges, label the resulting components — exactly the
+    * reference's formulation (cluster/single_linkage.cuh:37: MST +
+    * cut_tree). Self-loop union keeps isolated nodes labeled. Everything is
+    * the already-distributed MST/CC machinery plus one global top-(k−1)
+    * rank (k−1 rows — a TakeOrdered at scale, not a full sort).
+    */
+  def singleLinkage(edges: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mst = boruvkaMst(edges)
+    val w = Window.orderBy(col("value").desc, col("src").desc, col("dst").desc)
+    val kept = mst.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") > k - 1).select(col("src"), col("dst"))
+    val nodes = edges.select(col("src").as("n"))
+      .unionByName(edges.select(col("dst").as("n"))).distinct()
+    LabelOps.connectedComponents(
+      kept.unionByName(nodes.select(col("n").as("src"), col("n").as("dst"))))
+  }
+
   /** Borůvka minimum spanning forest over a COO edge list —
     * reference: sparse/solver/mst.cuh:38 (+ detail/mst_solver_inl.cuh).
     * Each round: every component picks its lightest outgoing edge

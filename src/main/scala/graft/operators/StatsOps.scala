@@ -202,6 +202,18 @@ object StatsOps {
       .agg(round(sum(col("nk") * pow(col("ck") - col("c"), 2)), 4).as("dispersion"))
   }
 
+  /** Exact quantiles (linear interpolation) of a measure column — the
+    * select/radix-based quantile primitive of the reference's select_k
+    * family expressed as Spark's exact `percentile` aggregate (one shuffle
+    * of partial histograms; approx_percentile is the sketch path at 100 TB).
+    */
+  def quantiles(spark: SparkSession, dir: String, qs: Seq[Double]): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(percentile(col("l_extendedprice"),
+        array(qs.map(lit(_)): _*)).as("p"))
+      .select(posexplode(col("p")).as(Seq("i", "v")))
+      .select(col("i"), round(col("v"), 4).as("v"))
+
   /** popc: total population count over a bigint column —
     * reference: util/popc.cuh:23, core/bitset.hpp:124 (bitset.count). */
   def popCount(spark: SparkSession, dir: String): DataFrame =

@@ -31,6 +31,19 @@ object SolverQueries extends QueryGroup {
         BigDecimal.RoundingMode.HALF_UP).toDouble))).toDF("lambda1")
     }),
     "solver_mst" -> ((s, d) => SolverOps.boruvkaMst(mstFixture(s))),
+    "solver_single_linkage" -> ((s, d) => {
+      // chain with distinct hash weights (37 coprime 101 ⇒ no ties) plus
+      // heavy shortcuts the MST rejects; k=5 cuts the 4 heaviest chain
+      // edges → components are contiguous segments (closed-form oracle)
+      val chain = s.range(59).select(col("id").as("src"), (col("id") + 1).as("dst"),
+        (pmod(col("id") * 37, lit(101)).cast("double") / 101.0).as("value"))
+      val heavy = s.range(60).select(
+        least(col("id"), pmod(col("id") + 23, lit(60))).as("src"),
+        greatest(col("id"), pmod(col("id") + 23, lit(60))).as("dst"),
+        (lit(2.0) + col("id")).as("value"))
+      SolverOps.singleLinkage(chain.unionByName(heavy), 5)
+        .select(col("node"), col("comp"))
+    }),
     "solver_partition" -> ((s, d) => graft.operators.SpectralOps.analyzePartition(s, d)),
     "solver_modularity" -> ((s, d) => graft.operators.SpectralOps.modularity(s, d)),
     "solver_qr" -> ((s, d) => SolverOps.qrR(s, d)),
@@ -124,6 +137,13 @@ object SolverQueries extends QueryGroup {
     "solver_mst" ->
       """SELECT i AS src, i + 1 AS dst, CAST(1.0 AS DOUBLE) AS value
         |FROM range(99) t(i)""".stripMargin,
+    "solver_single_linkage" ->
+      """WITH ch AS (
+        |  SELECT i AS src, ((i*37) % 101) / 101.0 AS w FROM range(59) t(i)),
+        |cut AS (SELECT src FROM ch ORDER BY w DESC LIMIT 4)
+        |SELECT node,
+        |  coalesce((SELECT max(c.src) + 1 FROM cut c WHERE c.src < node), 0) AS comp
+        |FROM range(60) t(node)""".stripMargin,
     // path-graph Laplacian spectrum is closed form: 2 − 2cos(πq/n)
     "solver_eigsh_sharded" ->
       """SELECT i, round(2.0 - 2.0 * cos(pi() * i / 30), 6) + 0.0 AS eig

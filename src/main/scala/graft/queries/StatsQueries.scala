@@ -46,6 +46,8 @@ object StatsQueries extends QueryGroup {
     "stat_dispersion" -> ((s, d) => StatsOps.clusterDispersion(s, d)),
     "stat_silhouette" -> ((s, d) => StatsOps.silhouette(s, d)),
     "stat_popc" -> ((s, d) => StatsOps.popCount(s, d)),
+    "stat_quantiles" -> ((s, d) =>
+      StatsOps.quantiles(s, d, Seq(0.25, 0.5, 0.75, 0.95))),
     "stat_info_criterion" -> ((s, d) => StatsOps.informationCriterion(s, d)),
     "stat_trustworthiness" -> ((s, d) => graft.operators.SpectralOps.trustworthiness(s, d)),
   )
@@ -148,6 +150,11 @@ object StatsQueries extends QueryGroup {
         |FROM cent JOIN gm ON cent.pos = gm.pos""".stripMargin,
     "stat_popc" ->
       "SELECT CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS popc FROM lineitem",
+    "stat_quantiles" ->
+      """SELECT 0 AS i, round(quantile_cont(l_extendedprice, 0.25), 4) AS v FROM lineitem
+        |UNION ALL SELECT 1, round(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem
+        |UNION ALL SELECT 2, round(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem
+        |UNION ALL SELECT 3, round(quantile_cont(l_extendedprice, 0.95), 4) FROM lineitem""".stripMargin,
     "stat_trustworthiness" -> {
       def foldD(a: String, b: String) =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, x) -> s + x)"
