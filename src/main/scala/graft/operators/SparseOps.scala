@@ -19,6 +19,37 @@ object SparseOps {
   def degree(coo: DataFrame): DataFrame =
     coo.groupBy(col("row")).agg(count(lit(1)).as("deg"), sum(col("value")).as("vsum"))
 
+  /** Sparse A + B with pattern union — reference:
+    * cpp/include/raft/sparse/linalg/add.cuh:33 (csr_add_calc/csr_add_finalize
+    * two-phase row merge ≡ one keyed aggregate on the COO encoding). */
+  def add(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("row"), col("col"))
+      .agg(sum(col("value")).as("value"))
+
+  /** Per-sparse-row norms L0/L1/L2/Linf —
+    * reference: cpp/include/raft/sparse/linalg/norm.cuh:39 (csr_row_normalize
+    * norms); one keyed aggregate, no lane materialization. */
+  def rowNorms(coo: DataFrame): DataFrame =
+    coo.groupBy(col("row")).agg(
+      count(lit(1)).as("l0"),
+      sum(abs(col("value"))).as("l1"),
+      sqrt(sum(col("value") * col("value"))).as("l2"),
+      max(abs(col("value"))).as("linf"))
+
+  /** Dense (id, vec) → COO lanes — reference: sparse/convert/coo.cuh. */
+  def denseToCoo(m: DataFrame): DataFrame =
+    m.select(col("id").as("row"), posexplode(col("vec")).as(Seq("col", "value")))
+
+  /** COO → dense (id, vec), given the lane count — reference:
+    * sparse/convert/dense.cuh:35. Missing positions fill with 0.0; one
+    * keyed aggregate (collect + sort is per-row d lanes, bounded). */
+  def cooToDense(coo: DataFrame, d: Int): DataFrame =
+    coo.groupBy(col("row").as("id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("col").cast("long").as("k"), col("value").as("v")))).as("m"))
+      .select(col("id"), transform(sequence(lit(0L), lit(d - 1L)), j =>
+        coalesce(element_at(col("m"), j), lit(0.0))).as("vec"))
+
   /** transpose: swap row/col — reference: cpp/include/raft/linalg/transpose.cuh:30
     * (on the COO encoding a transpose is a projection, zero compute). */
   def transpose(coo: DataFrame): DataFrame =

@@ -108,6 +108,26 @@ object SparseTextQueries extends QueryGroup {
         .where(col("i") < col("j") && pmod(col("i") * 31 + col("j"), lit(97)) === 0)
       SparseOps.sddmm(pattern, Tables.vectors(s, d))
     }),
+    "sp_add" -> ((s, d) => {
+      // A + row-shifted A: overlapping and disjoint patterns both exercised
+      val a = Tables.cooOrdersParts(s, d).where(col("row") < 400)
+      val b = a.select((col("row") + 1).as("row"), col("col"),
+        (col("value") * 0.5).as("value"))
+      SparseOps.add(a, b)
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"))
+    }),
+    "sp_row_norms" -> ((s, d) => {
+      SparseOps.rowNorms(Tables.cooOrdersParts(s, d))
+        .select(col("row"), col("l0"), round(col("l1"), 2).as("l1"),
+          round(col("l2"), 4).as("l2"), round(col("linf"), 2).as("linf"))
+    }),
+    "sp_dense_roundtrip" -> ((s, d) => {
+      // dense → COO → dense must reproduce the original rows exactly
+      val v = Tables.vectors(s, d).where(col("id") < 30).select(col("id"), col("vec"))
+      SparseOps.cooToDense(SparseOps.denseToCoo(v), 64)
+        .select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .select(col("id"), col("pos"), (round(col("v"), 4) + 0.0).as("v"))
+    }),
     "sp_triangular" -> ((s, d) => {
       SparseOps.triangular(Tables.cooOrdersParts(s, d).where(col("row") < 300))
         .select(col("row"), col("col"), round(col("value"), 2).as("value"))
@@ -165,6 +185,22 @@ object SparseTextQueries extends QueryGroup {
        |  UNION ALL SELECT col AS row, row AS col, value FROM e0)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "sp_add" ->
+      s"""$cooCte,
+         |a AS (SELECT row, col, value FROM coo WHERE row < 400),
+         |b AS (SELECT row + 1 AS row, col, value * 0.5 AS value FROM a),
+         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |SELECT row, col, round(sum(value), 2) AS value FROM u GROUP BY 1, 2""".stripMargin,
+    "sp_row_norms" ->
+      s"""$cooCte
+         |SELECT row, count(*) AS l0, round(sum(abs(value)), 2) AS l1,
+         |  round(sqrt(sum(value * value)), 4) AS l2,
+         |  round(max(abs(value)), 2) AS linf
+         |FROM coo GROUP BY row""".stripMargin,
+    "sp_dense_roundtrip" ->
+      """SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  round(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS v
+        |FROM embeddings WHERE vec_id < 30""".stripMargin,
     "sp_triangular" ->
       s"""$cooCte
          |SELECT row, col, round(value, 2) AS value FROM coo
