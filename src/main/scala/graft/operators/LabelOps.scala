@@ -36,10 +36,36 @@ object LabelOps {
     * Edges must be symmetric. Caching + local checkpoints keep lineage flat
     * (the iterative-driver pattern of SURVEY.md §4).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 1000000L): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
+    val nnz = sym.count()
+    // size dispatch (the reference's kAuto heuristic, select_k-inl.cuh:38):
+    // below ~1e6 edges the per-round job overhead dominates — union-find on
+    // the driver gives identical labels (comp = min node id in component)
+    if (nnz <= localThreshold) {
+      val spark = edges.sparkSession
+      val arr = sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      arr.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo }
+      }
+      val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      return spark.createDataFrame(rows).toDF("node", "comp")
+    }
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
     var changed = 1L

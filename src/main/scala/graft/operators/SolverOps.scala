@@ -593,9 +593,34 @@ object SolverOps {
     * deterministic "alterated weights" idea of the reference.
     * O(log n) rounds, each a bounded set of joins/aggregations.
     */
-  def boruvkaMst(edges: DataFrame): DataFrame = {
+  def boruvkaMst(edges: DataFrame, localThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // size dispatch (kAuto heuristic): below ~1e6 edges the O(log n)
+    // distributed rounds are pure job overhead — Kruskal on the driver with
+    // the same (value, src, dst) tie-break produces the same forest
+    if (edges.count() <= localThreshold) {
+      val arr = edges.select(col("src").cast("long"), col("dst").cast("long"),
+          col("value").cast("double")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._3, t._1, t._2))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      val chosen = arr.filter { case (s, d, _) =>
+        parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) { parent(math.max(rs, rd)) = math.min(rs, rd); true } else false
+      }
+      return spark.createDataFrame(chosen.toSeq.map { case (s, d, v) =>
+        (s, d, BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+        .toDF("src", "dst", "value")
+    }
     var comp = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct().withColumn("comp", col("node")).localCheckpoint(true)

@@ -51,4 +51,22 @@ class SolverSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(mst == Set((0L, 1L, 1.0), (1L, 2L, 2.0), (10L, 11L, 1.0), (11L, 12L, 2.0)))
   }
+
+  test("MST and CC size-dispatch paths agree (local Kruskal/union-find vs distributed rounds)") {
+    import spark.implicits._
+    val edges = spark.range(80).selectExpr("id AS src", "id + 1 AS dst",
+        "((id * 37) % 101) / 101.0 AS value")
+      .union(spark.range(40).selectExpr("id AS src", "id + 40 AS dst", "3.0 + id AS value"))
+    val local = SolverOps.boruvkaMst(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dist = SolverOps.boruvkaMst(edges, localThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(local == dist, "dispatch paths must build the same forest")
+    val e2 = edges.select(col("src"), col("dst"))
+    val lcc = graft.operators.LabelOps.connectedComponents(e2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dcc = graft.operators.LabelOps.connectedComponents(e2, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lcc == dcc, "CC dispatch paths must agree")
+  }
 }
