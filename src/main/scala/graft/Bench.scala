@@ -10,6 +10,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -21,7 +23,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/IO warm-up: one full pass of the flagship query
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       spark.catalog.clearCache()
@@ -37,9 +41,10 @@ object Bench {
     // then a compact line (top-40 slowest, 2dp) LAST so a complete
     // parseable JSON object always sits inside the tail window. Both go to
     // stderr too — sbt's "[info] " stdout prefix breaks line parses.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
-    catch { case _: Throwable => () }
+    if (only.isEmpty) // don't clobber the full archive from a filtered run
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+      catch { case _: Throwable => () }
     val top = results.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val compact =

@@ -522,7 +522,7 @@ object SolverOps {
     */
   def rsvdSparse(coo: DataFrame, k: Int, p: Int = 5, seed: Long = 7,
       colDomain: Option[DataFrame] = None): Seq[Double] = {
-    import breeze.linalg.{qr => bqr, svd => bsvd, DenseMatrix}
+    import breeze.linalg.DenseMatrix
     import graft.functions.{ArrayMath, VectorAgg}
     val l = k + p
     val edges = coo.select(col("row"), col("col"), col("value")).localCheckpoint(true)
@@ -563,7 +563,11 @@ object SolverOps {
     m.zipWithIndex.foreach { case (row, c) =>
       val v = row.getSeq[Double](1); (0 until l).foreach(t => mMat(t, c) = v(t)) }
     val b = rT \ mMat // solve Rᵀ·B = M
-    bsvd(b).S.toArray.sorted.reverse.take(k).toSeq
+    // σ(B) via the l×l eigSym of B·Bᵀ — a full bsvd(B) would form the
+    // (#cols × #cols) Vᵀ factor (gigabytes at 20k cols) for values we
+    // don't need; the l×l Gram gives the same σ at declared precision
+    breeze.linalg.eigSym(b * b.t).eigenvalues.toArray.sorted.reverse.take(k)
+      .map(e => math.sqrt(math.max(e, 0.0))).toSeq
   }
 
   /** Single-linkage hierarchical clustering: build the MST, cut the k−1
