@@ -229,6 +229,13 @@ object SolverOps {
     // parallelism — same knob the SpMV dispatch note in eigshSmallest uses
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
+    // shuffle width must track n too: the driver loop issues ~2 jobs per
+    // step, and at the default width every 30-row exchange schedules a
+    // full-width task wave — pure scheduler overhead at small n, the right
+    // width at large n. Restored on exit.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
     val edges = coo.select(col("row"), col("col"), col("value"))
       .repartition(parts).localCheckpoint(true)
     // n+1 cap: when m ≥ n the basis can reach the full space, the residual
@@ -246,7 +253,7 @@ object SolverOps {
     var restart = 0
     while (result == null && restart <= maxRestarts) {
       var invariant = false
-      while (lanes < steps && !invariant) {
+      while (lanes < steps && !invariant && result == null) {
         val j = lanes - 1 // expand the newest lane
         val qj = basis.select(col("i").as("col"), element_at(col("qs"), lanes).as("x"))
         val w0 = edges.join(qj, Seq("col"))
@@ -283,9 +290,24 @@ object SolverOps {
           basis = wp.select(col("i"),
             concat(col("qs"), array(col("wp") / beta)).as("qs")).localCheckpoint(false)
           lanes += 1
+          // per-step Ritz residual certificate: for an eigenpair (θ, y) of
+          // the lanes×lanes projected block, ‖A·Vy − θ·Vy‖ = β·|y_last|
+          // (the classic Lanczos bound) — once every wanted pair is under
+          // tol the values are certified and no confirmation phase (or
+          // restart) is needed. Driver-local m×m eig, no cluster work.
+          val dim = lanes - 1
+          if (dim >= k + 2) {
+            val es0 = eigSym(h(0 until dim, 0 until dim).copy)
+            val ord = es0.eigenvalues.toArray.zipWithIndex.sortBy(_._1).take(k)
+            val maxBound = ord.map { case (_, c) =>
+              beta * math.abs(es0.eigenvectors(dim - 1, c)) }.max
+            if (maxBound < 1e-9) result = ord.map(_._1).toSeq
+          }
         }
       }
-      // Rayleigh-Ritz over the expanded block
+      // Rayleigh-Ritz over the expanded block (skipped when the per-step
+      // certificate already returned)
+      if (result == null) {
       val big = lanes - (if (invariant) 0 else 1)
       val es = eigSym(h(0 until big, 0 until big).copy)
       val order = es.eigenvalues.toArray.zipWithIndex.sortBy(_._1)
@@ -309,8 +331,10 @@ object SolverOps {
         lanes = l + 1
         restart += 1
       }
+      }
     }
     result
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** tsvd transform + inverse_transform + reconstruction error —
