@@ -16,7 +16,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local iteration aid (mirrors Bench): SPARK_GRAFT_ONLY=q1,q2 restricts
+    // the dump; tokens trimmed, unknown names warned — a misspelled filter
+    // must not look like a clean run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] WARNING: unknown query in SPARK_GRAFT_ONLY: $n")))
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -104,8 +104,12 @@ object SparseOps {
   def sddmm(pattern: DataFrame, dense: DataFrame): DataFrame = {
     val a = dense.select(col("id").as("i"), col("vec").as("va"))
     val b = dense.select(col("id").as("j"), col("vec").as("vb"))
+    // + 0.0 canonicalizes IEEE −0.0 → +0.0: near-zero dot products can round
+    // to −0.0 under C-library rounding (DuckDB) but never under Spark's
+    // BigDecimal round; both engines must emit the same sign bit.
     pattern.join(a, Seq("i")).join(b, Seq("j"))
-      .select(col("i"), col("j"), round(ArrayMath.dot(col("va"), col("vb")), 4).as("dp"))
+      .select(col("i"), col("j"),
+        (round(ArrayMath.dot(col("va"), col("vb")), 4) + 0.0).as("dp"))
   }
 
   /** General spgemm C = A·B via join on the contraction index —

@@ -285,7 +285,7 @@ object SparseTextQueries extends QueryGroup {
     "sp_masked_matmul" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j,
          |  round(${foldDot("list_transform(a.embedding, f -> CAST(f AS DOUBLE))",
-              "list_transform(b.embedding, f -> CAST(f AS DOUBLE))")}, 4) AS dp
+              "list_transform(b.embedding, f -> CAST(f AS DOUBLE))")}, 4) + 0.0 AS dp
          |FROM embeddings a JOIN embeddings b
          |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
          |  AND (a.vec_id*7 + b.vec_id*13) % 11 = 0""".stripMargin,
@@ -297,7 +297,7 @@ object SparseTextQueries extends QueryGroup {
     "sp_sddmm" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j,
          |  round(${foldDot("list_transform(a.embedding, f -> CAST(f AS DOUBLE))",
-              "list_transform(b.embedding, f -> CAST(f AS DOUBLE))")}, 4) AS dp
+              "list_transform(b.embedding, f -> CAST(f AS DOUBLE))")}, 4) + 0.0 AS dp
          |FROM embeddings a JOIN embeddings b
          |  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
          |  AND (a.vec_id*31 + b.vec_id) % 97 = 0""".stripMargin,
