@@ -33,6 +33,20 @@ object RandomOps {
     sqrt(lit(-2.0) * log(hashU(id, seed, stream + "~1"))) *
       cos(lit(2.0 * math.Pi) * hashU(id, seed, stream + "~2"))
 
+  /** Uniform (0,1) from xxhash64 — same counter-hash contract as [[hashU]]
+    * (pure expression, partition-invariant) but ~20× cheaper than the md5
+    * path. NOT oracle-replicable (DuckDB has no xxhash64): use only for
+    * internal draws that are never value-compared (e.g. rsvd's Ω sketch). */
+  def hashUFast(id: Column, seed: Long, stream: String): Column =
+    (pmod(xxhash64(id, lit(seed), lit(stream)), lit(1L << 52)).cast("double")
+      + lit(0.5)) / lit((1L << 52).toDouble)
+
+  /** standard normal via Box-Muller over two xxhash64 streams — the fast
+    * variant of [[normal]] for internal (never oracle-compared) draws. */
+  def normalFast(id: Column, seed: Long, stream: String): Column =
+    sqrt(lit(-2.0) * log(hashUFast(id, seed, stream + "~1"))) *
+      cos(lit(2.0 * math.Pi) * hashUFast(id, seed, stream + "~2"))
+
   /** bernoulli(p) — reference: random/rng.cuh:388. */
   def bernoulli(id: Column, seed: Long, stream: String, p: Double): Column =
     (hashU(id, seed, stream) < lit(p)).cast("int")

@@ -23,8 +23,9 @@ object SolverOps {
 
   /** Top-k singular values via RowMatrix.computeSVD —
     * reference: linalg/svd.cuh:36 (svd_qr) / tsvd.cuh:34. */
-  def singularValues(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val svd = toRowMatrix(Tables.vectors(spark, dir)).computeSVD(k, computeU = false)
+  def singularValues(vectors: DataFrame, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val svd = toRowMatrix(vectors).computeSVD(k, computeU = false)
     val rows = svd.s.toArray.toSeq.zipWithIndex.map { case (s, i) => (i, s) }
     spark.createDataFrame(rows).toDF("i", "sigma")
       .select(col("i"), round(col("sigma"), 4).as("sigma"))
@@ -32,12 +33,49 @@ object SolverOps {
 
   /** PCA explained-variance of the top-k components —
     * reference: linalg/pca.cuh:41 (pca_fit returns explained variance). */
-  def pcaExplainedVariance(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val (_, variance) = toRowMatrix(Tables.vectors(spark, dir))
+  def pcaExplainedVariance(vectors: DataFrame, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val (_, variance) = toRowMatrix(vectors)
       .computePrincipalComponentsAndExplainedVariance(k)
     val rows = variance.toArray.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
     spark.createDataFrame(rows).toDF("i", "explained")
       .select(col("i"), round(col("explained"), 6).as("explained"))
+  }
+
+  /** pca_transform: project rows onto the top-k principal components —
+    * reference: linalg/pca.cuh:126 (pca_transform; inverse :152). The factor
+    * V_k comes from the d×d covariance eig (distributed Gram + mean pass,
+    * local eig — the svdEig split); the projection is a per-row broadcast
+    * matvec (k codegen'd ArrayDot lanes, no shuffle). Components are
+    * sign-normalized so the largest-|v| coordinate is positive — the
+    * reference's sign_flip convention (matrix/sign_flip.cuh:30) that makes
+    * the factor deterministic across eig backends.
+    */
+  def pcaTransform(vectors: DataFrame, k: Int): DataFrame = {
+    import breeze.linalg._
+    val g = gramMatrix(vectors)
+    val d = g.rows
+    val nMu = vectors.agg(
+      graft.functions.VectorAgg.vectorSum(col("vec")).as("s"),
+      count(lit(1)).as("n")).head()
+    val n = nMu.getLong(1).toDouble
+    val mu = DenseVector(nMu.getSeq[Double](0).toArray) / n
+    val cov = (g - (mu * mu.t) * n) / (n - 1.0)
+    val es = eigSym((cov + cov.t) / 2.0)
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2).take(k)
+    val comps: Seq[Seq[Double]] = order.toSeq.map { c =>
+      val v = (0 until d).map(t => es.eigenvectors(t, c))
+      val mx = v.maxBy(math.abs)
+      if (mx < 0) v.map(-_) else v
+    }
+    val centered = graft.functions.ArrayMath.sub(col("vec"), typedLit(mu.toArray.toSeq))
+    val projections = comps.zipWithIndex.map { case (v, t) =>
+      struct(lit(t).as("comp"),
+        graft.functions.ArrayMath.dot(centered, typedLit(v)).as("value"))
+    }
+    vectors.select(col("id"), explode(array(projections: _*)).as("p"))
+      .select(col("id"), col("p.comp").as("comp"),
+        (round(col("p.value"), 4) + 0.0).as("value"))
   }
 
   /** Dominant eigenvalue of the d×d Gram matrix XᵀX: one distributed
@@ -47,8 +85,8 @@ object SolverOps {
     * distributed-Gram + local-eig split as the reference's svdEig path
     * (linalg/svd.cuh:93, eig.cuh:121) and MLlib's computeSVD.
     */
-  def topEigenGram(spark: SparkSession, dir: String): Double =
-    breeze.linalg.eigSym(gramMatrix(Tables.vectors(spark, dir)))
+  def topEigenGram(vectors: DataFrame): Double =
+    breeze.linalg.eigSym(gramMatrix(vectors))
       .eigenvalues.toArray.max
 
   /** QR: R factor of the tall-skinny matrix via RowMatrix.tallSkinnyQR —
@@ -56,8 +94,9 @@ object SolverOps {
     * COO (i, j, r). Sign convention: rows flipped so diag(R) ≥ 0
     * (deterministic across BLAS implementations — the reference's
     * sign_flip normalization, matrix/sign_flip.cuh:30). */
-  def qrR(spark: SparkSession, dir: String): DataFrame = {
-    val r = toRowMatrix(Tables.vectors(spark, dir)).tallSkinnyQR(computeQ = false).R
+  def qrR(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    val r = toRowMatrix(vectors).tallSkinnyQR(computeQ = false).R
     val d = r.numCols
     val rows = for {
       i <- 0 until r.numRows
@@ -555,43 +594,52 @@ object SolverOps {
         .groupBy(col(outKey).as("id"))
         .agg(VectorAgg.vectorSum(ArrayMath.scale(col("v"), col("value"))).as("v"))
     // Ω materialized per distinct column (l hash-gaussians per COLUMN, not
-    // per nnz — the md5 draws are the expensive part) → Y = AΩ is a plain
-    // spmm join. colDomain, when the caller has a dimension table for the
-    // column space (here: the part table), avoids the distinct-shuffle over
-    // the nnz entirely; extra ids are harmless (they match no edges).
+    // per nnz) → Y = AΩ is a plain spmm join. Draws use the xxhash64-based
+    // fast gaussian: Ω is never oracle-compared, only its distribution
+    // matters, and xxhash64 is ~20× cheaper than the md5 counter hash.
+    // colDomain, when the caller has a dimension table for the column space
+    // (here: the part table), avoids the distinct-shuffle over the nnz
+    // entirely; extra ids are harmless (they match no edges).
     val cols = colDomain.getOrElse(edges.select(col("col").as("id")).distinct())
     val omega = cols.select(col("id"),
-      array((0 until l).map(t => RandomOps.normal(col("id"), seed, s"w$t")): _*).as("v"))
+      array((0 until l).map(t => RandomOps.normalFast(col("id"), seed, s"w$t")): _*).as("v"))
     val y = spmmPass(edges, omega, "col", "row")
-    // one power iteration: Z = AᵀY, Y₂ = AZ (Z consumed once — no checkpoint)
+    // one power iteration: Z = AᵀY, Y₂ = AZ (each consumed once — lineage
+    // stays a straight chain of joins/aggregates, no checkpoint needed)
     val z = spmmPass(edges, y, "row", "col")
-    val y2 = spmmPass(edges, z, "col", "row").localCheckpoint(true)
+    // Y₂ reused by two aggregates below → checkpoint once (lazy: the first
+    // aggregate's job materializes it)
+    val y2 = spmmPass(edges, z, "col", "row").localCheckpoint(false)
     // R via the l×l Gram + Cholesky (RᵀR = Y₂ᵀY₂ ⇔ Y₂ = QR): ONE flattened
     // outer-product aggregate instead of an RDD TSQR pass; falls back to
     // mllib tallSkinnyQR if the Gram is numerically semidefinite
     val gramRow = flatten(transform(col("v"), x => ArrayMath.scale(col("v"), x)))
     val g = y2.agg(VectorAgg.vectorSum(gramRow).as("g")).head().getSeq[Double](0)
     val gMat = new DenseMatrix(l, l, g.toArray) // symmetric: majorness moot
-    val rT = // lower-triangular L with L·Lᵀ = G; L = Rᵀ
-      try breeze.linalg.cholesky((gMat + gMat.t) / 2.0)
-      catch {
-        case _: Throwable =>
-          val r = new RowMatrix(y2.select(col("v")).rdd
-            .map(row => MLVectors.dense(row.getSeq[Double](0).toArray)))
-            .tallSkinnyQR(computeQ = false).R
-          new DenseMatrix(l, l, r.toArray).t
-      }
-    // M = Y₂ᵀA, one l-vector-partial aggregate keyed by col
-    val m = spmmPass(edges, y2, "row", "col").collect()
-    val mMat = DenseMatrix.zeros[Double](l, m.length)
-    m.zipWithIndex.foreach { case (row, c) =>
-      val v = row.getSeq[Double](1); (0 until l).foreach(t => mMat(t, c) = v(t)) }
-    val b = rT \ mMat // solve Rᵀ·B = M
-    // σ(B) via the l×l eigSym of B·Bᵀ — a full bsvd(B) would form the
-    // (#cols × #cols) Vᵀ factor (gigabytes at 20k cols) for values we
-    // don't need; the l×l Gram gives the same σ at declared precision
-    breeze.linalg.eigSym(b * b.t).eigenvalues.toArray.sorted.reverse.take(k)
-      .map(e => math.sqrt(math.max(e, 0.0))).toSeq
+    // M = Y₂ᵀA stays DISTRIBUTED: σ(B) with B = QᵀA needs only the l×l
+    // S = M·Mᵀ = Σ_col m_col·m_colᵀ — one more flattened outer-product
+    // aggregate over the M rows. Nothing collected ever scales with #cols
+    // (the round-3 form collected the l×#cols M — ~800 MB at 10 M columns).
+    val s = spmmPass(edges, y2, "row", "col")
+      .agg(VectorAgg.vectorSum(gramRow).as("g")).head().getSeq[Double](0)
+    val sMat = new DenseMatrix(l, l, s.toArray)
+    // Orthonormalize the sketch by eig-whitening instead of Cholesky:
+    // G = UDUᵀ ⇒ W = U·D^(−1/2) on the eigenpairs above tol, and
+    // Q = Y₂W is exactly orthonormal even when rank(A) < l (a rank-r input
+    // makes G singular and Cholesky/triangular solves blow up — seen on the
+    // closed-form rank-8 fixture). σ²(QᵀA) = eig(Wᵀ·S·W), an r×r local eig.
+    // Precision note: going through the Gram squares the condition number —
+    // σ below ~√ε·σ₁ (~1e-8 relative) is noise. That is inherent to a
+    // sketch with l ≪ #cols anyway (trailing σ carry the projection error),
+    // and the closed-form fixture oracle pins the leading σ.
+    val esG = breeze.linalg.eigSym((gMat + gMat.t) / 2.0)
+    val tol = math.max(esG.eigenvalues.toArray.max, 0.0) * 1e-10
+    val keep = esG.eigenvalues.toArray.zipWithIndex.filter(_._1 > tol).map(_._2)
+    val w = DenseMatrix.tabulate(l, keep.length)((i, c) =>
+      esG.eigenvectors(i, keep(c)) / math.sqrt(esG.eigenvalues(keep(c))))
+    val t = w.t * sMat * w
+    breeze.linalg.eigSym((t + t.t) / 2.0).eigenvalues.toArray.sorted.reverse
+      .take(k).map(e => math.sqrt(math.max(e, 0.0))).toSeq
   }
 
   /** Single-linkage hierarchical clustering: build the MST, cut the k−1

@@ -4,12 +4,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.SolverOps
 
-/** Factorization/solver queries (SURVEY.md §2.8). SVD/PCA/eigen have no
-  * SQL oracle (verified against Breeze in SolverSpec → rows-only check
-  * here); the MST runs on a constructed graph whose spanning tree is
-  * closed-form, giving an exact oracle.
+/** Factorization/solver queries (SURVEY.md §2.8).
+  *
+  * Evidence policy (round 4): every factorization runs on a constructed
+  * fixture whose spectrum is CLOSED FORM, so the driver's DuckDB compare is
+  * a real oracle — the `solver_eigsh_sharded` pattern generalized. The same
+  * operators still run against the real embeddings/COO tables in
+  * SolverSpec/Solver2Spec (vs Breeze), so fixture queries add evidence
+  * without removing real-data coverage.
+  *
+  * The dense fixture is a 256×8 Walsh design: a_ij = (j+1)·(−1)^popcount(i
+  * AND (j+1)). Columns are exactly orthogonal with exact zero means, so
+  * AᵀA = diag(256·(j+1)²) in EXACT double arithmetic (integer-valued
+  * entries): σ_j = 16·(j+1), R = diag(16·(j+1)), covariance eigenvalues
+  * ∝ (j+1)², PCA components = signed standard basis — all hash-checkable.
   */
 object SolverQueries extends QueryGroup {
+
+  private def walshFixture(s: SparkSession): DataFrame =
+    s.range(256).select(col("id"),
+      transform(sequence(lit(0), lit(7)), j =>
+        (lit(1.0) - lit(2.0) * pmod(
+          bit_count(col("id").bitwiseAND((j + lit(1)).cast("long"))).cast("long"),
+          lit(2L)).cast("double")) * (j.cast("double") + lit(1.0))).as("vec"))
+
+  /** Rank-8 sparse fixture: 200k nnz, one per row, col = id mod 8,
+    * v = ((id·37 mod 101)+1)/10. Rank ≤ l ⇒ the two-pass Halko sketch is
+    * EXACT (range(Q) ⊇ range(A)); σ_j = √Σ_{i≡j(8)} v_i² is one SQL
+    * aggregate. Big enough that the 4 spmm passes do real distributed work.
+    */
+  private def rsvdSparseFixture(s: SparkSession): DataFrame =
+    s.range(200000).select(col("id").as("row"),
+      pmod(col("id"), lit(8L)).as("col"),
+      ((pmod(col("id") * 37, lit(101)) + 1).cast("double") / 10.0).as("value"))
+
+  /** Noiseless regression fixture: y = Σ_j x_j·(j+1) exactly, x_j hash
+    * uniform in (−1,1) — the normal-equation solve must recover coefficient
+    * j+1 to 6 decimals (residual is exactly 0, design is well-conditioned).
+    */
+  private def lstsqFixture(s: SparkSession): DataFrame = {
+    val xs = (0 until 8).map(j =>
+      graft.operators.RandomOps.uniform(col("id"), 21L, s"x$j", -1.0, 1.0))
+    s.range(500).select(array(xs: _*).as("vec"),
+      xs.zipWithIndex.map { case (c, j) => c * lit(j + 1.0) }.reduce(_ + _).as("y"))
+  }
 
   /** Chain 0-1-...-99 (w=1) plus heavy shortcut edges the MST must reject. */
   private def mstFixture(s: SparkSession): DataFrame = {
@@ -22,11 +60,23 @@ object SolverQueries extends QueryGroup {
     chain.unionByName(heavy)
   }
 
+  /** Path-graph Laplacian on n nodes (spectrum 2−2cos(πq/n), closed form). */
+  private def chainLaplacian(s: SparkSession, n: Long): DataFrame = {
+    val chain = s.range(n - 1).select(col("id").as("row"), (col("id") + 1).as("col"),
+      lit(-1.0).as("value"))
+    val sym = chain.unionByName(chain.select(col("col").as("row"),
+      col("row").as("col"), col("value")))
+    val deg = s.range(n).select(col("id").as("row"), col("id").as("col"),
+      when(col("id") === 0 || col("id") === n - 1, 1.0).otherwise(2.0).as("value"))
+    sym.unionByName(deg)
+  }
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "solver_svd" -> ((s, d) => SolverOps.singularValues(s, d, 5)),
-    "solver_pca_var" -> ((s, d) => SolverOps.pcaExplainedVariance(s, d, 5)),
+    "solver_svd" -> ((s, d) => SolverOps.singularValues(walshFixture(s), 5)),
+    "solver_pca_var" -> ((s, d) => SolverOps.pcaExplainedVariance(walshFixture(s), 5)),
+    "solver_pca_transform" -> ((s, d) => SolverOps.pcaTransform(walshFixture(s), 5)),
     "solver_top_eigen" -> ((s, d) => {
-      val lambda = SolverOps.topEigenGram(s, d)
+      val lambda = SolverOps.topEigenGram(walshFixture(s))
       s.createDataFrame(Seq(Tuple1(BigDecimal(lambda).setScale(2,
         BigDecimal.RoundingMode.HALF_UP).toDouble))).toDF("lambda1")
     }),
@@ -46,50 +96,32 @@ object SolverQueries extends QueryGroup {
     }),
     "solver_partition" -> ((s, d) => graft.operators.SpectralOps.analyzePartition(s, d)),
     "solver_modularity" -> ((s, d) => graft.operators.SpectralOps.modularity(s, d)),
-    "solver_qr" -> ((s, d) => SolverOps.qrR(s, d)),
+    "solver_qr" -> ((s, d) => SolverOps.qrR(walshFixture(s))),
     "solver_lstsq" -> ((s, d) => {
-      val v = graft.Tables.vectors(s, d)
-      val pair = v.select(expr("slice(vec, 1, 8)").as("vec"),
-        graft.functions.ArrayMath.rowSum(col("vec")).as("y"))
-      val x = SolverOps.lstsq(pair)
+      val x = SolverOps.lstsq(lstsqFixture(s))
       s.createDataFrame(x.toSeq.zipWithIndex.map { case (v, i) =>
         (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("j", "coef")
     }),
     "solver_rsvd" -> ((s, d) => {
-      val sv = SolverOps.rsvdSingularValues(graft.Tables.vectors(s, d), 5)
+      val sv = SolverOps.rsvdSingularValues(walshFixture(s), 5)
       s.createDataFrame(sv.zipWithIndex.map { case (v, i) =>
         (i, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "sigma")
     }),
     "solver_eigsh" -> ((s, d) => {
       // symmetric Laplacian of the 30-node chain graph (known spectrum)
-      val chain = s.range(29).select(col("id").as("row"), (col("id") + 1).as("col"),
-        lit(-1.0).as("value"))
-      val sym = chain.unionByName(chain.select(col("col").as("row"),
-        col("row").as("col"), col("value")))
-      val deg = s.range(30).select(col("id").as("row"), col("id").as("col"),
-        org.apache.spark.sql.functions.when(col("id") === 0 || col("id") === 29, 1.0)
-          .otherwise(2.0).as("value"))
-      val lap = sym.unionByName(deg)
-      val ev = SolverOps.eigshSmallest(lap, 30, 3)
+      val ev = SolverOps.eigshSmallest(chainLaplacian(s, 30), 30, 3)
       s.createDataFrame(ev.zipWithIndex.map { case (v, i) =>
         (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "eig")
     }),
     "solver_eigsh_sharded" -> ((s, d) => {
       // same 30-chain Laplacian as solver_eigsh, through the sharded-basis
-      // thick-restart path; spectrum is closed-form → real SQL oracle
-      val chain = s.range(29).select(col("id").as("row"), (col("id") + 1).as("col"),
-        lit(-1.0).as("value"))
-      val sym = chain.unionByName(chain.select(col("col").as("row"),
-        col("row").as("col"), col("value")))
-      val deg = s.range(30).select(col("id").as("row"), col("id").as("col"),
-        org.apache.spark.sql.functions.when(col("id") === 0 || col("id") === 29, 1.0)
-          .otherwise(2.0).as("value"))
+      // thick-restart path; spectrum is closed-form → real SQL oracle.
       // m > n: the basis reaches the full space, the residual vanishes and
       // one phase returns the exact spectrum — no restart cycles
-      val ev = SolverOps.eigshSmallestSharded(sym.unionByName(deg), 30, 3,
+      val ev = SolverOps.eigshSmallestSharded(chainLaplacian(s, 30), 30, 3,
         m = 40, maxRestarts = 4)
       s.createDataFrame(ev.zipWithIndex.map { case (v, i) =>
         (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
@@ -98,14 +130,16 @@ object SolverQueries extends QueryGroup {
     "solver_lap" -> ((s, d) => SolverOps.lapAssignment(s, 50)),
     "solver_lap_dist" -> ((s, d) => SolverOps.lapAuctionDistributed(s, 500)),
     "solver_rsvd_sparse" -> ((s, d) => {
-      val sv = SolverOps.rsvdSparse(graft.Tables.cooOrdersParts(s, d), 5,
-        colDomain = Some(graft.Tables.part(s, d).select(col("p_partkey").as("id"))))
+      // closed-form rank-8 fixture (exact σ, SQL oracle); the real-data
+      // variant (cooOrdersParts, 20k-column Ω) lives in Solver2Spec
+      val sv = SolverOps.rsvdSparse(rsvdSparseFixture(s), 5,
+        colDomain = Some(s.range(8).select(col("id"))))
       s.createDataFrame(sv.zipWithIndex.map { case (v, i) =>
         (i, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "sigma")
     }),
     "solver_tsvd_recon" -> ((s, d) => {
-      val (err, total) = SolverOps.tsvdReconstructionError(graft.Tables.vectors(s, d), 8)
+      val (err, total) = SolverOps.tsvdReconstructionError(walshFixture(s), 5)
       s.createDataFrame(Seq((
         BigDecimal(err).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
         BigDecimal(err / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
@@ -126,6 +160,8 @@ object SolverQueries extends QueryGroup {
       |    SELECT src, dst, value FROM e0
       |    UNION ALL SELECT dst AS src, src AS dst, value FROM e0))""".stripMargin
 
+  /** Walsh-fixture closed forms (see header): σ_j = 16(j+1) desc,
+    * explained-variance proportions (j+1)²/204 desc. */
   val sql: Map[String, String] = Map(
     // Constant = the Hungarian optimum of the deterministic md5-hash cost
     // fixture (n=500, costs = h32(i:j:lap) mod 1e6) — independently
@@ -145,9 +181,47 @@ object SolverQueries extends QueryGroup {
         |  coalesce((SELECT max(c.src) + 1 FROM cut c WHERE c.src < node), 0) AS comp
         |FROM range(60) t(node)""".stripMargin,
     // path-graph Laplacian spectrum is closed form: 2 − 2cos(πq/n)
+    "solver_eigsh" ->
+      """SELECT i, round(2.0 - 2.0 * cos(pi() * i / 30), 6) + 0.0 AS eig
+        |FROM range(3) t(i)""".stripMargin,
     "solver_eigsh_sharded" ->
       """SELECT i, round(2.0 - 2.0 * cos(pi() * i / 30), 6) + 0.0 AS eig
         |FROM range(3) t(i)""".stripMargin,
+    "solver_svd" ->
+      "SELECT i, CAST(16 * (8 - i) AS DOUBLE) AS sigma FROM range(5) t(i)",
+    "solver_rsvd" ->
+      "SELECT i, CAST(16 * (8 - i) AS DOUBLE) AS sigma FROM range(5) t(i)",
+    "solver_top_eigen" ->
+      "SELECT CAST(16384.0 AS DOUBLE) AS lambda1",
+    "solver_qr" ->
+      """SELECT a.i, b.j,
+        |  CAST(CASE WHEN a.i = b.j THEN 16 * (a.i + 1) ELSE 0 END AS DOUBLE) AS r
+        |FROM range(8) a(i), range(8) b(j) WHERE b.j >= a.i""".stripMargin,
+    "solver_lstsq" ->
+      "SELECT i AS j, CAST(i + 1 AS DOUBLE) AS coef FROM range(8) t(i)",
+    "solver_pca_var" ->
+      """SELECT i, round((8 - i) * (8 - i) / 204.0, 6) + 0.0 AS explained
+        |FROM range(5) t(i)""".stripMargin,
+    // component t = signed basis vector of column 7−t (variance desc);
+    // sign-normalized ⇒ projection = the raw Walsh column value
+    "solver_pca_transform" ->
+      """SELECT i AS id, t AS comp,
+        |  CAST((8 - t) * (CASE WHEN bit_count(i & (8 - t)) % 2 = 1
+        |                       THEN -1 ELSE 1 END) AS DOUBLE) + 0.0 AS value
+        |FROM range(256) a(i), range(5) b(t)""".stripMargin,
+    // ‖A‖²_F = 256·Σ(j+1)² = 52224; kept (k=5) = 256·(16+25+36+49+64);
+    // err = 256·(1+4+9) = 3584
+    "solver_tsvd_recon" ->
+      """SELECT CAST(3584.0 AS DOUBLE) AS frob_err_sq,
+        |  round(3584.0 / 52224.0, 6) + 0.0 AS err_ratio""".stripMargin,
+    "solver_rsvd_sparse" ->
+      """WITH v AS (
+        |  SELECT i % 8 AS c, (((i*37) % 101) + 1) / 10.0 AS v
+        |  FROM range(200000) t(i)),
+        |sg AS (SELECT c, sqrt(sum(v*v)) AS sig FROM v GROUP BY c)
+        |SELECT CAST(row_number() OVER (ORDER BY sig DESC) - 1 AS INT) AS i,
+        |       round(sig, 2) + 0.0 AS sigma
+        |FROM sg ORDER BY sig DESC LIMIT 5""".stripMargin,
     "solver_partition" ->
       s"""$graphCte,
          |sizes AS (

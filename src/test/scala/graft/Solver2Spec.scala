@@ -18,7 +18,7 @@ class Solver2Spec extends AnyFunSuite {
   }
 
   test("tallSkinnyQR R reproduces A = QR up to sign (RtR = AtA)") {
-    val r = SolverOps.qrR(spark, sf).collect()
+    val r = SolverOps.qrR(graft.Tables.vectors(spark, sf)).collect()
       .map(x => ((x.getInt(0), x.getInt(1)), x.getDouble(2))).toMap
     val d = localMatrix.cols
     // RᵀR must equal AᵀA regardless of Q sign conventions

@@ -19,7 +19,7 @@ class SolverSpec extends AnyFunSuite {
   }
 
   test("distributed SVD singular values match Breeze within 1e-6 rel") {
-    val got = SolverOps.singularValues(spark, sf, 5).collect()
+    val got = SolverOps.singularValues(graft.Tables.vectors(spark, sf), 5).collect()
       .sortBy(_.getInt(0)).map(_.getDouble(1))
     val expected = bsvd(localMatrix).S.toArray.take(5)
     got.zip(expected).foreach { case (g, e) =>
@@ -28,13 +28,13 @@ class SolverSpec extends AnyFunSuite {
   }
 
   test("power-iteration top eigen of Gram equals sigma1^2") {
-    val lambda = SolverOps.topEigenGram(spark, sf)
+    val lambda = SolverOps.topEigenGram(graft.Tables.vectors(spark, sf))
     val sigma1 = bsvd(localMatrix).S(0)
     assert(math.abs(lambda - sigma1 * sigma1) / (sigma1 * sigma1) < 1e-6)
   }
 
   test("PCA explained variance sums below 1 and is descending") {
-    val v = SolverOps.pcaExplainedVariance(spark, sf, 5).collect()
+    val v = SolverOps.pcaExplainedVariance(graft.Tables.vectors(spark, sf), 5).collect()
       .sortBy(_.getInt(0)).map(_.getDouble(1))
     assert(v.sum <= 1.0 + 1e-9)
     assert(v.sameElements(v.sorted.reverse))
