@@ -99,19 +99,27 @@ object PipelineQueries extends QueryGroup {
       DedupOps.boilerplateShingles(Tables.documents(s, d), 3L)),
     "pipe_quantization" -> ((s, d) =>
       AnnOps.quantizationError(Tables.vectors(s, d))),
+    // Lloyd's on a well-separated make_blobs fixture: seeds (first k rows)
+    // land one per generative blob, so the converged assignment IS the
+    // generative label and centroids are per-blob means — inertia and
+    // per-cluster counts become closed form in SQL (the blobs draws are
+    // md5-hash, replicable by the oracle). Real-data k-means stays in
+    // PipelineSpec (determinism + inertia-improves properties).
     "pipe_kmeans" -> ((s, d) => {
-      val (assigned, centroids) = ClusterOps.kmeans(Tables.vectors(s, d), 8, 5)
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec"))
+      val (assigned, centroids) = ClusterOps.kmeans(blobs, 5, 5)
       val inert = ClusterOps.inertia(assigned, centroids)
       assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
         .withColumn("inertia", round(lit(inert), 2))
     }),
     "pipe_ann_ivf" -> ((s, d) => ClusterOps.ivfTopK(Tables.vectors(s, d), 5, 10)),
     "pipe_kmeans_pp" -> ((s, d) => {
-      // k-means|| seeding + Lloyd's; driver checks rows-only, the
-      // inertia-improves-over-naive-init property is PipelineSpec's job
-      val v = Tables.vectors(s, d)
-      val init = ClusterOps.kmeansParallelInit(v, 8)
-      val (assigned, centroids) = ClusterOps.kmeans(v, 8, 5, Some(init))
+      // k-means|| seeding + Lloyd's on the same separated fixture: any
+      // one-seed-per-blob init converges to the same generative optimum
+      // (labels may permute — the (cluster,n,inertia) shape is invariant)
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec"))
+      val init = ClusterOps.kmeansParallelInit(blobs, 5)
+      val (assigned, centroids) = ClusterOps.kmeans(blobs, 5, 5, Some(init))
       val inert = ClusterOps.inertia(assigned, centroids)
       assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
         .withColumn("inertia", round(lit(inert), 2))
@@ -119,6 +127,27 @@ object PipelineQueries extends QueryGroup {
   )
 
   // ---- oracles ----
+
+  /** Closed-form k-means oracle on the separated blobs fixture: converged
+    * assignment = generative label, centroid = per-blob mean, so counts and
+    * inertia are plain SQL over the md5-replicated draws. Shared by the
+    * first-k-rows and k-means|| inits (labels permute; the (cluster, n,
+    * inertia) row set is invariant). */
+  private val kmeansBlobsOracle: String = {
+    val u1 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b1')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+    val u2 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b2')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+    s"""WITH pts AS (
+       |  SELECT id, id % 5 AS cluster, j AS pos,
+       |    CAST(((id % 5) * 7 + j) % 5 AS DOUBLE) * 10.0 +
+       |    sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2) AS v
+       |  FROM range(2000) t(id), range(8) s(j)),
+       |mu AS (SELECT cluster, pos, avg(v) AS m FROM pts GROUP BY 1, 2),
+       |e AS (SELECT p.cluster, (p.v - mu.m) * (p.v - mu.m) AS e2
+       |      FROM pts p JOIN mu ON p.cluster = mu.cluster AND p.pos = mu.pos),
+       |tot AS (SELECT round(sum(e2), 2) AS inertia FROM e),
+       |cnt AS (SELECT cluster, count(DISTINCT id) AS n FROM pts GROUP BY 1)
+       |SELECT cnt.cluster, cnt.n, tot.inertia FROM cnt, tot""".stripMargin
+  }
 
   private val simhashSums = (0 until 16).map(j =>
     s"sum(CASE WHEN (ht >> $j) & 1 = 1 THEN tf ELSE -tf END) AS s_$j").mkString(", ")
@@ -128,6 +157,8 @@ object PipelineQueries extends QueryGroup {
   val sql: Map[String, String] = Map(
     "pipe_dedup_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
+    "pipe_kmeans" -> kmeansBlobsOracle,
+    "pipe_kmeans_pp" -> kmeansBlobsOracle,
     "pipe_minhash_lsh" ->
       s"""$shCte,
          |mh AS (
