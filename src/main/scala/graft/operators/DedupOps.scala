@@ -108,16 +108,26 @@ object DedupOps {
     * exact form is the oracle-checkable baseline. */
   def embeddingNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.{ArrayDot, ArrayMath}
-    // normalize once per row (O(n·d)), then one fused codegen'd dot per
-    // pair — the O(n²) stage does 64 multiply-adds and nothing else
+    // normalize once per row (O(n·d)), then one fused dot per pair — the
+    // O(n²) stage does 64 multiply-adds and nothing else. The threshold
+    // goes INTO the join condition, AFTER the cheap `a < b` conjunct:
+    // written as a post-join filter it gets pushed into the
+    // BroadcastNestedLoopJoin condition ahead of `a < b` and the dot then
+    // evaluates for all n² ordered pairs instead of half (seen in the
+    // round-3 plan — PlanSpec guards the conjunct order now).
+    // materialized once: the normalize lambda is CodegenFallback, and left
+    // inline it drags the whole O(n²) join stage out of whole-stage codegen
+    // (12.8 s → ~2 s at sf0.1); checkpointed, the join consumes plain rows
+    // and the ArrayDot condition compiles into the generated loop
     val unit = vectors.select(col("id"),
       ArrayMath.normalize(col("vec"), ArrayMath.l2(col("vec"))).as("uv"))
+      .localCheckpoint(true)
     val a = unit.select(col("id").as("a"), col("uv").as("ua"))
     val b = unit.select(col("id").as("b"), col("uv").as("ub"))
-    a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"), ArrayDot.dot(col("ua"), col("ub")).as("cos"))
-      .where(col("cos") >= threshold)
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+    a.join(b, col("a") < col("b") &&
+        ArrayDot.dot(col("ua"), col("ub")) >= threshold)
+      .select(col("a"), col("b"),
+        round(ArrayDot.dot(col("ua"), col("ub")), 4).as("cos"))
   }
 
   /** 16-bit SimHash over token counts: bit j set iff

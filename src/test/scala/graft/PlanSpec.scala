@@ -52,4 +52,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("sp_spmm")
     assert(p.contains("ObjectHashAggregate"), "vector_sum partial aggregation lost")
   }
+
+  test("pipe_embed_neardup pair stage: native dot, cheap conjunct first, no HOF fold") {
+    val p = plan("pipe_embed_neardup")
+    assert(p.contains("arraydot"), s"pair stage lost the native fused dot:\n$p")
+    // the interpreted aggregate(zip_with(...)) fold must never reach the
+    // O(n²) join — it belongs to the (checkpointed) normalize stage only
+    assert(!p.contains("aggregate(zip_with"),
+      s"interpreted HOF fold in the executed pair plan:\n$p")
+    // a < b must precede the dot in the join condition: pushed the other
+    // way round the dot evaluates for all n² ordered pairs instead of half
+    val cond = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin"))
+      .getOrElse(fail("no BNLJ in plan"))
+    val aLtB = cond.indexOf(" < ")
+    val dot = cond.indexOf("arraydot")
+    assert(aLtB >= 0 && dot > aLtB, s"dot evaluates before a<b:\n$cond")
+  }
 }
