@@ -10,8 +10,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // local iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // local iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run;
+    // tokens trimmed and unknown names warned — 'a, b' must not silently
+    // drop b, and a misspelled filter must not look like a clean run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] WARNING: unknown query in SPARK_GRAFT_ONLY: $n")))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -41,14 +46,20 @@ object Bench {
     // then a compact line (top-40 slowest, 2dp) LAST so a complete
     // parseable JSON object always sits inside the tail window. Both go to
     // stderr too — sbt's "[info] " stdout prefix breaks line parses.
-    if (only.isEmpty) // don't clobber the full archive from a filtered run
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
-      catch { case _: Throwable => () }
+    // archive per sf (BENCH_LOCAL_sf0.1.json etc.): a run at a different
+    // SPARK_GRAFT_SF_DIR must not clobber another scale's baseline — the
+    // round-3 archive regenerated at sf0.01 looked like a 2x speedup.
+    // Filtered runs never write.
+    if (only.isEmpty)
+      try {
+        val sfTag = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse("unknown")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"BENCH_LOCAL_$sfTag.json"), line)
+      } catch { case _: Throwable => () }
     val top = results.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","note":"top40; full per-query dict in BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","note":"top40; full per-query dict in BENCH_LOCAL_<sf>.json"}"""
     println(line)
     println(compact)
     System.out.flush()

@@ -266,12 +266,20 @@ object SolverOps {
     // partition count tracks n: tiny fixtures run single-task jobs (the
     // per-step driver loop is job-latency bound), huge n gets the full
     // parallelism — same knob the SpMV dispatch note in eigshSmallest uses
+    // ~25k coordinate rows per task: each step's jobs do interpreted HOF
+    // lane math per row, so they are compute-bound well before 100k rows —
+    // but tiny fixtures must stay single-task (driver loop is job-latency
+    // bound there)
     val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, n / 100000L)).toInt
+      spark.sparkContext.defaultParallelism.toLong, n / 25000L)).toInt
     // shuffle width must track n too: the driver loop issues ~2 jobs per
     // step, and at the default width every 30-row exchange schedules a
     // full-width task wave — pure scheduler overhead at small n, the right
-    // width at large n. Restored on exit.
+    // width at large n. Restored on exit. NOTE: spark.sql.shuffle.partitions
+    // is session-global, so a concurrent query on the SAME SparkSession runs
+    // at this width while the solve is in flight (performance-only skew; the
+    // driver-loop solvers assume the single-threaded session the harness
+    // provides — there is no per-DataFrame equivalent of this knob).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
@@ -487,12 +495,14 @@ object SolverOps {
     * Costs are integers (hash mod 1e6) and ε < 1/n, so ε-CS over the full
     * matrix certifies the assignment total is EXACTLY the optimum.
     * Cost matrix here is expression-generated for the fixture; a stored
-    * (i, j, cost) table drops in unchanged. Prices are broadcast as a
-    * literal array (n doubles); beyond driver-array scale the certificate
-    * becomes a broadcast join against a prices DataFrame.
+    * (i, j, cost) table drops in unchanged. Certificate prices: small n
+    * ships them as a literal array (no shuffle); past `priceJoinThreshold`
+    * a typedLit of n doubles is an expression-tree bomb, so the pass
+    * becomes a broadcast join against a (j, price) DataFrame — same size
+    * dispatch pattern as the MST/eigsh local paths.
     */
   def lapAuctionDistributed(spark: SparkSession, n: Int, topT: Int = 16,
-      maxRepair: Int = 8): DataFrame = {
+      maxRepair: Int = 8, priceJoinThreshold: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val costM = 1000000L
     def cCol = pmod(graft.operators.TextOps.h32(
@@ -541,11 +551,21 @@ object SolverOps {
     // 2.-3. certificate / repair loop
     var it = 0; var certified = false
     while (!certified && it < maxRepair) {
-      val pLit = typedLit(prices.toSeq)
-      val best = fullCosts
-        .select(col("i"), struct(
-          (-col("c") - element_at(pLit, col("j").cast("int") + 1)).as("v"),
-          col("j"), col("c")).as("s"))
+      val scored =
+        if (n > priceJoinThreshold) {
+          val pricesDf = spark.createDataFrame(
+            prices.toSeq.zipWithIndex.map { case (p, j) => (j.toLong, p) })
+            .toDF("j", "p")
+          fullCosts.join(broadcast(pricesDf), Seq("j"))
+            .select(col("i"),
+              struct((-col("c") - col("p")).as("v"), col("j"), col("c")).as("s"))
+        } else {
+          val pLit = typedLit(prices.toSeq)
+          fullCosts.select(col("i"), struct(
+            (-col("c") - element_at(pLit, col("j").cast("int") + 1)).as("v"),
+            col("j"), col("c")).as("s"))
+        }
+      val best = scored
         .groupBy(col("i")).agg(max(col("s")).as("m"))
         .select(col("i"), col("m.v").as("v"), col("m.j").as("j"), col("m.c").as("c"))
         .collect()

@@ -127,6 +127,21 @@ object SolverQueries extends QueryGroup {
         (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "eig")
     }),
+    "solver_eigsh_sharded_big" -> ((s, d) => {
+      // n = 1e5: the sharded basis is the only path that works here — the
+      // driver-basis eigshSmallest would hold 25 n-vectors. Diagonal
+      // spectrum {1,2,3} ∪ {≥1000}: the 300× gap lets the per-step Ritz
+      // certificate fire in ≪ m steps (no restart cycles), and the smallest
+      // eigenvalues are closed form → real oracle at a scale the fixture
+      // queries above cannot reach. Driver state stays m×m throughout.
+      val diag = s.range(100000).select(col("id").as("row"), col("id").as("col"),
+        when(col("id") < 3, col("id").cast("double") + 1.0)
+          .otherwise(lit(1000.0) + pmod(col("id"), lit(17)).cast("double")).as("value"))
+      val ev = SolverOps.eigshSmallestSharded(diag, 100000L, 3, m = 25)
+      s.createDataFrame(ev.zipWithIndex.map { case (v, i) =>
+        (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+        .toDF("i", "eig")
+    }),
     "solver_lap" -> ((s, d) => SolverOps.lapAssignment(s, 50)),
     "solver_lap_dist" -> ((s, d) => SolverOps.lapAuctionDistributed(s, 500)),
     "solver_rsvd_sparse" -> ((s, d) => {
@@ -187,6 +202,8 @@ object SolverQueries extends QueryGroup {
     "solver_eigsh_sharded" ->
       """SELECT i, round(2.0 - 2.0 * cos(pi() * i / 30), 6) + 0.0 AS eig
         |FROM range(3) t(i)""".stripMargin,
+    "solver_eigsh_sharded_big" ->
+      "SELECT i, CAST(i + 1.0 AS DOUBLE) AS eig FROM range(3) t(i)",
     "solver_svd" ->
       "SELECT i, CAST(16 * (8 - i) AS DOUBLE) AS sigma FROM range(5) t(i)",
     "solver_rsvd" ->

@@ -126,6 +126,24 @@ class Solver2Spec extends AnyFunSuite {
       s"auction total ${row.getLong(1)} vs Hungarian ${total.toLong}")
   }
 
+  test("auction LAP price-join certificate path matches the literal-array path") {
+    // priceJoinThreshold=0 forces the broadcast-join certificate (the
+    // beyond-driver-literal-scale form); same fixture, same exact optimum
+    val Array(row) = SolverOps.lapAuctionDistributed(spark, 60, topT = 8,
+      priceJoinThreshold = 0).collect()
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cost = Array.tabulate(60, 60)((i, j) =>
+      (h32(s"$i:$j:lap") % 1000000L).toDouble)
+    val (_, total) = SolverOps.hungarian(cost)
+    assert(row.getLong(0) == 60L)
+    assert(row.getLong(1) == total.toLong,
+      s"price-join auction ${row.getLong(1)} vs Hungarian ${total.toLong}")
+  }
+
   test("auction LAP repair path: a starved kernel still reaches the exact optimum") {
     // topT=2 is far too small for optimality — the distributed ε-CS
     // certificate must detect the violations and column-generate until exact
