@@ -29,6 +29,16 @@ object MatrixOps {
     m.join(idxMap, m("id") === idxMap("src"))
       .select(idxMap("dst").as("id"), m("vec"))
 
+  /** gather with a map-key transform: out[dst] = in[op(src)] — the lambda
+    * applies to the gather key BEFORE the row lookup (reference:
+    * matrix/gather.cuh:206 transform variant). Same broadcast-join shape as
+    * plain gather; the transform is a pure expression on the (small) index
+    * side, so it never touches the big table's scan.
+    */
+  def gatherTransform(m: DataFrame, idxMap: DataFrame,
+      op: Column => Column): DataFrame =
+    gather(m, idxMap.select(op(col("src")).as("src"), col("dst")))
+
   /** sample_rows: uniform row sample without replacement, exact n,
     * reproducible independent of partitioning —
     * reference: cpp/include/raft/matrix/sample_rows.cuh:30. RAFT's RNG is
@@ -228,6 +238,17 @@ object MatrixOps {
   def normalizeL2(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.vectors(spark, dir).where(col("id") < 30)
     v.select(col("id"), normalize(col("vec"), l2(col("vec"))).as("vec"))
+  }
+
+  /** normalize with the L1 / L∞ norm types — reference:
+    * linalg/normalize.cuh:48 (row_normalize norm-type parameter). */
+  def normalizeL1(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.vectors(spark, dir).where(col("id") < 30)
+    v.select(col("id"), normalize(col("vec"), l1(col("vec"))).as("vec"))
+  }
+  def normalizeLinf(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.vectors(spark, dir).where(col("id") < 30)
+    v.select(col("id"), normalize(col("vec"), linf(col("vec"))).as("vec"))
   }
 
   /** threshold + L0: zero lanes |x| < eps, count survivors —

@@ -43,6 +43,14 @@ object MatrixQueries extends QueryGroup {
     }),
     "mat_mean_center" -> ((s, d) => lanes(MatrixOps.meanCenter(s, d), 4)),
     "mat_normalize_l2" -> ((s, d) => lanes(MatrixOps.normalizeL2(s, d), 4)),
+    "mat_normalize_l1" -> ((s, d) => lanes(MatrixOps.normalizeL1(s, d), 6)),
+    "mat_normalize_linf" -> ((s, d) => lanes(MatrixOps.normalizeLinf(s, d), 4)),
+    "mat_gather_map" -> ((s, d) => {
+      // gather with the key-transform lambda: row (13·i+5 mod 500) → slot i
+      val v = graft.Tables.vectors(s, d)
+      val idx = s.range(0, 1000).select(col("id").as("src"), col("id").as("dst"))
+      lanes(MatrixOps.gatherTransform(v, idx, k => pmod(k * 13 + 5, lit(500))), 4)
+    }),
     "mat_threshold_nnz" -> ((s, d) => MatrixOps.thresholdNnz(s, d, 0.5)),
     "mat_slice" -> ((s, d) =>
       lanes(MatrixOps.slice(graft.Tables.vectors(s, d), 100L, 200L, 8, 16), 4)),
@@ -188,6 +196,27 @@ object MatrixQueries extends QueryGroup {
          |SELECT id, generate_subscripts(vec, 1) - 1 AS pos,
          |  round(CASE WHEN nrm <> 0 THEN unnest(vec) / nrm ELSE unnest(vec) END, 4) + 0.0 AS v
          |FROM nr""".stripMargin,
+    "mat_normalize_l1" ->
+      s"""WITH nr AS (
+         |  SELECT vec_id AS id, $castLanes AS vec,
+         |         list_sum(list_transform($castLanes, x -> abs(x))) AS nrm
+         |  FROM embeddings WHERE vec_id < 30)
+         |SELECT id, generate_subscripts(vec, 1) - 1 AS pos,
+         |  round(CASE WHEN nrm <> 0 THEN unnest(vec) / nrm ELSE unnest(vec) END, 6) + 0.0 AS v
+         |FROM nr""".stripMargin,
+    "mat_normalize_linf" ->
+      s"""WITH nr AS (
+         |  SELECT vec_id AS id, $castLanes AS vec,
+         |         list_max(list_transform($castLanes, x -> abs(x))) AS nrm
+         |  FROM embeddings WHERE vec_id < 30)
+         |SELECT id, generate_subscripts(vec, 1) - 1 AS pos,
+         |  round(CASE WHEN nrm <> 0 THEN unnest(vec) / nrm ELSE unnest(vec) END, 4) + 0.0 AS v
+         |FROM nr""".stripMargin,
+    "mat_gather_map" ->
+      """WITH idx AS (SELECT i AS dst, (i*13+5) % 500 AS src FROM range(1000) t(i))
+        |SELECT idx.dst AS id, generate_subscripts(e.embedding, 1) - 1 AS pos,
+        |  round(CAST(unnest(e.embedding) AS DOUBLE), 4) + 0.0 AS v
+        |FROM idx JOIN embeddings e ON e.vec_id = idx.src""".stripMargin,
     "mat_threshold_nnz" ->
       s"""SELECT vec_id AS id,
          |  CAST(list_sum(list_transform($castLanes,
