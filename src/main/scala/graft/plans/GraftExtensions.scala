@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, ArrayNormSq}
 
 /** Optimizer rule: rewrite the declarative HOF dot-product pattern
   *
@@ -45,6 +45,15 @@ object DotFusionRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** x·x with both operands the single lambda variable (the sq main_op). */
+  private def isSquare(x: Expression, y: Expression,
+      args: Seq[NamedExpression]): Boolean = (x, y, args) match {
+    case (xv: NamedLambdaVariable, yv: NamedLambdaVariable,
+        Seq(arg: NamedLambdaVariable)) =>
+      xv.exprId == arg.exprId && yv.exprId == arg.exprId
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
         ZipWith(a, b, LambdaFunction(Multiply(x, y, _), zipArgs, _)),
@@ -55,6 +64,16 @@ object DotFusionRule extends Rule[LogicalPlan] {
         boundTo(Seq(x, y), zipArgs) && boundTo(Seq(acc, el), mergeArgs) &&
         isIdentity(finish) =>
       ArrayDot(a, b)
+    // aggregate(transform(v, x*x), 0.0, +) → fused Σx² (the L2/cosine/
+    // normalize inner kernel); same strict fold order → bit-identical
+    case ArrayAggregate(
+        ArrayTransform(v, LambdaFunction(Multiply(x, y, _), tArgs, _)),
+        Literal(zero, DoubleType),
+        LambdaFunction(Add(acc, el, _), mergeArgs, _),
+        finish)
+      if zero == 0.0 && doubleArray(v) && isSquare(x, y, tArgs) &&
+        boundTo(Seq(acc, el), mergeArgs) && isIdentity(finish) =>
+      ArrayNormSq(v)
   }
 }
 

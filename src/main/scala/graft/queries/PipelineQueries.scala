@@ -112,7 +112,15 @@ object PipelineQueries extends QueryGroup {
       assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
         .withColumn("inertia", round(lit(inert), 2))
     }),
-    "pipe_ann_ivf" -> ((s, d) => ClusterOps.ivfTopK(Tables.vectors(s, d), 5, 10)),
+    // IVF on the separated blobs fixture: cells = generative blobs, probe
+    // ranking and within-candidate cosine top-k are all SQL-expressible →
+    // the whole IVF pipeline (kmeans cells → nprobe probe → candidate
+    // equi-join → top-k) is hash-checked. Real-data IVF recall stays in
+    // PipelineSpec.
+    "pipe_ann_ivf" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec"))
+      ClusterOps.ivfTopK(blobs, 5, 10, nlist = 5, nprobe = 2, iters = 5)
+    }),
     "pipe_kmeans_pp" -> ((s, d) => {
       // k-means|| seeding + Lloyd's on the same separated fixture: any
       // one-seed-per-blob init converges to the same generative optimum
@@ -154,7 +162,42 @@ object PipelineQueries extends QueryGroup {
   private val simhashBits = (0 until 16).map(j =>
     s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
+  /** Blobs fixture as DOUBLE lists (same draws as kmeansBlobsOracle). */
+  private val blobsVecCte: String = {
+    val u1 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b1')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+    val u2 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b2')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+    s"""bl AS (
+       |  SELECT id, id % 5 AS cluster,
+       |    [CAST(((id % 5) * 7 + j) % 5 AS DOUBLE) * 10.0 +
+       |     sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2) FOR j IN range(8)] AS vec
+       |  FROM range(2000) t(id))""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "pipe_ann_ivf" ->
+      s"""WITH $blobsVecCte,
+         |lanes AS (SELECT id, cluster, generate_subscripts(vec, 1) - 1 AS pos,
+         |                 unnest(vec) AS x FROM bl),
+         |muL AS (SELECT cluster, pos, avg(x) AS m FROM lanes GROUP BY 1, 2),
+         |mu AS (SELECT cluster, list(m ORDER BY pos) AS cvec FROM muL GROUP BY 1),
+         |qc AS (
+         |  SELECT q.id AS qid, mu.cluster,
+         |    row_number() OVER (PARTITION BY q.id ORDER BY
+         |      -2.0 * ${foldDot("q.vec", "mu.cvec")} + ${foldSq("mu.cvec")},
+         |      mu.cluster) AS prnk
+         |  FROM bl q, mu WHERE q.id < 5),
+         |cand AS (
+         |  SELECT qc.qid, c.id AS nid, q.vec AS qv, c.vec AS nv
+         |  FROM qc JOIN bl c ON c.cluster = qc.cluster AND qc.prnk <= 2
+         |  JOIN bl q ON q.id = qc.qid
+         |  WHERE c.id <> qc.qid),
+         |ranked AS (
+         |  SELECT qid, nid, ${cosExpr("qv", "nv")} AS cos,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosExpr("qv", "nv")} DESC, nid) AS rnk
+         |  FROM cand)
+         |SELECT qid, nid, round(cos, 4) AS cos, rnk FROM ranked
+         |WHERE rnk <= 10""".stripMargin,
     "pipe_dedup_exact" ->
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "pipe_kmeans" -> kmeansBlobsOracle,

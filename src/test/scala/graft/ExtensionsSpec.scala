@@ -41,4 +41,35 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("NormSq fusion rewrites aggregate(transform(v, x*x)) to ArrayNormSq, same bits") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      def sqDf(sess: SparkSession) = sess.range(50).select(col("id"),
+        ArrayMath.foldSum(
+          transform(sequence(lit(0), lit(7)), j => (col("id") + j).cast("double")),
+          x => x * x).as("n2"))
+      val df = sqDf(s)
+      assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraynormsq"),
+        "optimizer did not substitute ArrayNormSq")
+      // the dot rule must NOT misfire on the square pattern and vice versa
+      assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot("))
+      val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (0L until 50L).foreach { id =>
+        var expected = 0.0 // strict left fold, same order as the HOF
+        (0 until 8).foreach { j => val v = (id + j).toDouble; expected += v * v }
+        assert(got(id) == expected, s"id=$id: ${got(id)} vs $expected")
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
