@@ -78,6 +78,28 @@ object SolverOps {
         (round(col("p.value"), 4) + 0.0).as("value"))
   }
 
+  /** svd right-singular vectors V_k as a DataFrame (comp, lane, v) — the
+    * factor output of svd/tsvd a pipeline consumes for projection/
+    * reconstruction (reference: linalg/svd.cuh:36 svd_qr's V, tsvd.cuh:63
+    * components). From the distributed-Gram eig (svdEig path), rows
+    * sign-normalized by the reference's sign_flip convention. */
+  def svdRightVectors(vectors: DataFrame, k: Int): DataFrame = {
+    import breeze.linalg._
+    val spark = vectors.sparkSession
+    val g = gramMatrix(vectors)
+    val d = g.rows
+    val es = eigSym((g + g.t) / 2.0)
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2).take(k)
+    val rows = order.toSeq.zipWithIndex.flatMap { case (c, t) =>
+      val v = (0 until d).map(i => es.eigenvectors(i, c))
+      val mx = v.maxBy(math.abs)
+      val sv = if (mx < 0) v.map(-_) else v
+      sv.zipWithIndex.map { case (x, lane) => (t, lane,
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }
+    spark.createDataFrame(rows).toDF("comp", "lane", "v")
+  }
+
   /** Dominant eigenvalue of the d×d Gram matrix XᵀX: one distributed
     * treeAggregate pass accumulates the d² outer-product partials
     * (mergeable, d bounded — the cov/gram Aggregator pattern of SURVEY §4),

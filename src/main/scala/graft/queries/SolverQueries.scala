@@ -75,6 +75,7 @@ object SolverQueries extends QueryGroup {
     "solver_svd" -> ((s, d) => SolverOps.singularValues(walshFixture(s), 5)),
     "solver_pca_var" -> ((s, d) => SolverOps.pcaExplainedVariance(walshFixture(s), 5)),
     "solver_pca_transform" -> ((s, d) => SolverOps.pcaTransform(walshFixture(s), 5)),
+    "solver_svd_v" -> ((s, d) => SolverOps.svdRightVectors(walshFixture(s), 5)),
     "solver_top_eigen" -> ((s, d) => {
       val lambda = SolverOps.topEigenGram(walshFixture(s))
       s.createDataFrame(Seq(Tuple1(BigDecimal(lambda).setScale(2,
@@ -226,6 +227,12 @@ object SolverQueries extends QueryGroup {
         |  CAST((8 - t) * (CASE WHEN bit_count(i & (8 - t)) % 2 = 1
         |                       THEN -1 ELSE 1 END) AS DOUBLE) + 0.0 AS value
         |FROM range(256) a(i), range(5) b(t)""".stripMargin,
+    // V_k of the Walsh design = signed standard basis; component t picks
+    // lane 7−t (variance desc), sign-normalized positive
+    "solver_svd_v" ->
+      """SELECT t AS comp, j AS lane,
+        |  CAST(CASE WHEN j = 7 - t THEN 1 ELSE 0 END AS DOUBLE) AS v
+        |FROM range(5) a(t), range(8) b(j)""".stripMargin,
     // ‖A‖²_F = 256·Σ(j+1)² = 52224; kept (k=5) = 256·(16+25+36+49+64);
     // err = 256·(1+4+9) = 3584
     "solver_tsvd_recon" ->
