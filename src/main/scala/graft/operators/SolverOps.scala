@@ -78,6 +78,41 @@ object SolverOps {
         (round(col("p.value"), 4) + 0.0).as("value"))
   }
 
+  /** pca_transform ∘ pca_inverse_transform round trip: project onto V_k,
+    * reconstruct x̂ = V_k·z + μ, emit reconstructed lanes — reference:
+    * linalg/pca.cuh:152 (pca_inverse_transform). With k = rank the round
+    * trip is exact, which makes the whole transform/inverse pair
+    * hash-checkable against the input fixture. Both directions are per-row
+    * broadcast matvecs (no shuffle).
+    */
+  def pcaRoundTrip(vectors: DataFrame, k: Int): DataFrame = {
+    import breeze.linalg._
+    val g = gramMatrix(vectors)
+    val d = g.rows
+    val nMu = vectors.agg(
+      graft.functions.VectorAgg.vectorSum(col("vec")).as("s"),
+      count(lit(1)).as("n")).head()
+    val n = nMu.getLong(1).toDouble
+    val mu = DenseVector(nMu.getSeq[Double](0).toArray) / n
+    val cov = (g - (mu * mu.t) * n) / (n - 1.0)
+    val es = eigSym((cov + cov.t) / 2.0)
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2).take(k)
+    val comps = order.toSeq.map { c =>
+      val v = (0 until d).map(t => es.eigenvectors(t, c))
+      val mx = v.maxBy(math.abs)
+      if (mx < 0) v.map(-_) else v
+    }
+    val centered = graft.functions.ArrayMath.sub(col("vec"), typedLit(mu.toArray.toSeq))
+    val z = comps.map(v => graft.functions.ArrayMath.dot(centered, typedLit(v)))
+    // x̂_lane = μ_lane + Σ_t z_t · V[t][lane]
+    val recon = (0 until d).map { lane =>
+      z.zip(comps).map { case (zt, v) => zt * lit(v(lane)) }
+        .reduce(_ + _) + lit(mu(lane))
+    }
+    vectors.select(col("id"), posexplode(array(recon: _*)).as(Seq("pos", "v")))
+      .select(col("id"), col("pos"), (round(col("v"), 4) + 0.0).as("v"))
+  }
+
   /** svd right-singular vectors V_k as a DataFrame (comp, lane, v) — the
     * factor output of svd/tsvd a pipeline consumes for projection/
     * reconstruction (reference: linalg/svd.cuh:36 svd_qr's V, tsvd.cuh:63

@@ -76,6 +76,8 @@ object SolverQueries extends QueryGroup {
     "solver_pca_var" -> ((s, d) => SolverOps.pcaExplainedVariance(walshFixture(s), 5)),
     "solver_pca_transform" -> ((s, d) => SolverOps.pcaTransform(walshFixture(s), 5)),
     "solver_svd_v" -> ((s, d) => SolverOps.svdRightVectors(walshFixture(s), 5)),
+    // k = rank ⇒ transform∘inverse_transform reproduces the fixture exactly
+    "solver_pca_inverse" -> ((s, d) => SolverOps.pcaRoundTrip(walshFixture(s), 8)),
     "solver_top_eigen" -> ((s, d) => {
       val lambda = SolverOps.topEigenGram(walshFixture(s))
       s.createDataFrame(Seq(Tuple1(BigDecimal(lambda).setScale(2,
@@ -227,6 +229,12 @@ object SolverQueries extends QueryGroup {
         |  CAST((8 - t) * (CASE WHEN bit_count(i & (8 - t)) % 2 = 1
         |                       THEN -1 ELSE 1 END) AS DOUBLE) + 0.0 AS value
         |FROM range(256) a(i), range(5) b(t)""".stripMargin,
+    // full-rank round trip reproduces the Walsh entries exactly
+    "solver_pca_inverse" ->
+      """SELECT i AS id, j AS pos,
+        |  CAST((j + 1) * (CASE WHEN bit_count(i & (j + 1)) % 2 = 1
+        |                       THEN -1 ELSE 1 END) AS DOUBLE) + 0.0 AS v
+        |FROM range(256) a(i), range(8) b(j)""".stripMargin,
     // V_k of the Walsh design = signed standard basis; component t picks
     // lane 7−t (variance desc), sign-normalized positive
     "solver_svd_v" ->
