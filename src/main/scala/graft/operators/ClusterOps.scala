@@ -115,6 +115,44 @@ object ClusterOps {
     (vectors.select(col("id"), col("vec"), nearestExpr(centroids).as("cluster")), centroids)
   }
 
+  /** Mini-batch k-means (Sculley, WWW'10) — the large-nlist scale path for
+    * IVF training: each iteration samples a deterministic hash-fraction of
+    * the rows (no full scan per iter), aggregates per-cluster batch sums,
+    * and moves centroids with the per-cluster running learning rate
+    * η = b_c/(n_c + b_c). One bounded shuffle per iteration over the batch
+    * only; centroids stay k×d driver state, draws are partition-invariant.
+    */
+  def kmeansMiniBatch(vectors: DataFrame, k: Int, iters: Int,
+      fraction: Double, seed: Long = 29,
+      init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    var centroids = init.getOrElse(vectors.where(col("id") < k).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray))
+    val counts = new Array[Double](k)
+    for (it <- 0 until iters) {
+      val batch = vectors.where(
+        RandomOps.hashU(col("id"), seed, s"mb$it") < fraction)
+      val sums = batch
+        .select(nearestExpr(centroids).as("cluster"), col("vec"))
+        .groupBy(col("cluster"))
+        .agg(VectorAgg.vectorSum(col("vec")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val b = r.getLong(2).toDouble
+        val eta = b / (counts(c) + b)
+        var j = 0
+        while (j < next(c).length) {
+          next(c)(j) = (1.0 - eta) * next(c)(j) + eta * (s(j) / b); j += 1
+        }
+        counts(c) += b
+      }
+      centroids = next
+    }
+    centroids
+  }
+
   /** Within-cluster sum of squares (inertia) for given assignments. */
   def inertia(assigned: DataFrame, centroids: Array[Array[Double]]): Double = {
     val withDist = assigned.select(

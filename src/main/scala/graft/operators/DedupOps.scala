@@ -130,6 +130,22 @@ object DedupOps {
         round(ArrayDot.dot(col("ua"), col("ub")), 4).as("cos"))
   }
 
+  /** Near-dup cluster collapse — the op a dedup pipeline actually ends
+    * with: dup PAIRS (from MinHash-LSH banding) → connected components →
+    * one canonical survivor per cluster (min doc_id), emitting
+    * (keep, n_members, n_dropped). Pairs are already bucket-bounded
+    * (SCALE.md), CC is the pointer-jumping machinery with size dispatch —
+    * nothing here scales beyond the dup-graph, which is ≪ corpus. */
+  def dedupSurvivors(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = minhashDupPairs(docs, threshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+    LabelOps.connectedComponents(pairs)
+      .groupBy(col("comp"))
+      .agg(min(col("node")).as("keep"), count(lit(1)).as("n_members"))
+      .select(col("keep"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+  }
+
   /** 16-bit SimHash over token counts: bit j set iff
     * Σ_tokens tf·(±1 per bit j of h32(token)) > 0. Exact integer sums —
     * order-independent, reproducible anywhere. */

@@ -97,6 +97,8 @@ object PipelineQueries extends QueryGroup {
       DedupOps.embeddingNearDups(Tables.vectors(s, d), 0.45)),
     "pipe_boilerplate" -> ((s, d) =>
       DedupOps.boilerplateShingles(Tables.documents(s, d), 3L)),
+    "pipe_dedup_survivors" -> ((s, d) =>
+      DedupOps.dedupSurvivors(Tables.documents(s, d), 0.5)),
     "pipe_quantization" -> ((s, d) =>
       AnnOps.quantizationError(Tables.vectors(s, d))),
     // Lloyd's on a well-separated make_blobs fixture: seeds (first k rows)
@@ -222,6 +224,42 @@ object PipelineQueries extends QueryGroup {
          |SELECT i.a, i.b, round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jac
          |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
          |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5""".stripMargin,
+    // same banding CTE as pipe_minhash_lsh, then transitive closure by
+    // recursive min-label propagation over the (small) dup-pair graph
+    "pipe_dedup_survivors" ->
+      s"""${shCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         |mh AS (
+         |  SELECT doc_id, i, min((hs * (2*i+1) + (12345*i+7)) % 2147483647) AS mh
+         |  FROM sh, unnest(range(16)) AS p(i) GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, string_agg(mh, ':' ORDER BY i) AS sig
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS inter FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+         |  WHERE sa.hs = sb.hs GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT i.a, i.b
+         |  FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+         |  JOIN sizes sb ON i.b = sb.doc_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+         |nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT n AS node, n AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst AS node, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.node),
+         |comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node)
+         |SELECT min(node) AS keep, count(*) AS n_members,
+         |       count(*) - 1 AS n_dropped
+         |FROM comp GROUP BY c""".stripMargin,
     "pipe_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

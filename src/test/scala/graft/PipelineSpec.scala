@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{AnnOps, DedupOps, LabelOps, RandomOps}
+import graft.operators.{AnnOps, ClusterOps, DedupOps, LabelOps, RandomOps}
 
 /** Behavior tests for the pipeline ops whose guarantees go beyond what the
   * oracle hash-compare shows: RNG partition-invariance, LSH recall quality,
@@ -131,5 +131,30 @@ class PipelineSpec extends AnyFunSuite {
     // deterministic: same init on a second run
     val init2 = ClusterOps.kmeansParallelInit(blobs, k)
     assert(init.map(_.toSeq).toSeq == init2.map(_.toSeq).toSeq)
+  }
+
+  test("mini-batch k-means converges to the blob means (scale path for large nlist)") {
+    import org.apache.spark.sql.functions._
+    val blobs = graft.operators.RandomOps.makeBlobs(spark, 2000, 8, 5, 42)
+      .select(col("id"), col("vec"), col("cluster"))
+    val mb = ClusterOps.kmeansMiniBatch(blobs.select(col("id"), col("vec")),
+      5, iters = 8, fraction = 0.3)
+    // generative blob means (exact, from the labeled fixture)
+    val means = blobs.groupBy(col("cluster").cast("int").as("c"))
+      .agg(graft.functions.VectorAgg.vectorSum(col("vec")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Double](1).map(_ / r.getLong(2)).toArray).toMap
+    // seeds are ids 0..4 (one per blob) → centroid c approximates mean of
+    // blob c; mini-batch noise stays well inside the 10-sigma separation
+    (0 until 5).foreach { c =>
+      val err = math.sqrt(mb(c).zip(means(c))
+        .map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(err < 1.0, s"centroid $c off generative mean by $err")
+    }
+    // deterministic: hash-draw batches reproduce exactly
+    val mb2 = ClusterOps.kmeansMiniBatch(blobs.select(col("id"), col("vec")),
+      5, iters = 8, fraction = 0.3)
+    assert(mb.map(_.toSeq).toSeq == mb2.map(_.toSeq).toSeq)
   }
 }
