@@ -36,6 +36,21 @@ object SparseOps {
       sqrt(sum(col("value") * col("value"))).as("l2"),
       max(abs(col("value"))).as("linf"))
 
+  /** csr_row_normalize: scale every entry by its row's norm — reference:
+    * sparse/linalg/norm.cuh:39. A per-row window sum (no join, one shuffle
+    * keyed by row); zero-norm rows pass through, matching the dense
+    * normalize's eps-guard semantics. */
+  def rowNormalize(coo: DataFrame, norm: String = "l2"): DataFrame = {
+    val w = Window.partitionBy(col("row"))
+    val n = norm match {
+      case "l1"   => sum(abs(col("value"))).over(w)
+      case "linf" => max(abs(col("value"))).over(w)
+      case _      => sqrt(sum(col("value") * col("value")).over(w))
+    }
+    coo.select(col("row"), col("col"),
+      when(n =!= 0.0, col("value") / n).otherwise(col("value")).as("value"))
+  }
+
   /** Dense (id, vec) → COO lanes — reference: sparse/convert/coo.cuh. */
   def denseToCoo(m: DataFrame): DataFrame =
     m.select(col("id").as("row"), posexplode(col("vec")).as(Seq("col", "value")))

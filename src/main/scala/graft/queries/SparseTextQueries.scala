@@ -121,6 +121,10 @@ object SparseTextQueries extends QueryGroup {
         .select(col("row"), col("l0"), round(col("l1"), 2).as("l1"),
           round(col("l2"), 4).as("l2"), round(col("linf"), 2).as("linf"))
     }),
+    "sp_row_normalize" -> ((s, d) => {
+      SparseOps.rowNormalize(Tables.cooOrdersParts(s, d).where(col("row") < 1000))
+        .select(col("row"), col("col"), (round(col("value"), 6) + 0.0).as("value"))
+    }),
     "sp_dense_roundtrip" -> ((s, d) => {
       // dense → COO → dense must reproduce the original rows exactly
       val v = Tables.vectors(s, d).where(col("id") < 30).select(col("id"), col("vec"))
@@ -204,6 +208,12 @@ object SparseTextQueries extends QueryGroup {
          |  round(sqrt(sum(value * value)), 4) AS l2,
          |  round(max(abs(value)), 2) AS linf
          |FROM coo GROUP BY row""".stripMargin,
+    "sp_row_normalize" ->
+      s"""$cooCte
+         |SELECT row, col,
+         |  round(value / sqrt(sum(value * value) OVER (PARTITION BY row)), 6)
+         |    + 0.0 AS value
+         |FROM coo WHERE row < 1000""".stripMargin,
     "sp_dense_roundtrip" ->
       """SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
         |  round(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS v
