@@ -18,7 +18,8 @@ object SparkEntry {
   private def groups: Seq[graft.queries.QueryGroup] = Seq(
     RelationalQueries, graft.queries.MatrixQueries, graft.queries.SparseTextQueries,
     graft.queries.StatsQueries, graft.queries.RandomLabelQueries,
-    graft.queries.PipelineQueries, graft.queries.SolverQueries)
+    graft.queries.PipelineQueries, graft.queries.SolverQueries,
+    graft.queries.DistanceQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -22,14 +22,17 @@ object ClusterOps {
 
   /** (−2·v·c + ‖c‖², clusterId) structs; array_min picks the nearest
     * centroid with lowest-id tie-break (‖v‖² is constant per row). */
-  private def nearestExpr(centroids: Array[Array[Double]]): Column = {
+  private def nearestOf(v: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val cNorm = c.map(x => x * x).sum
-      struct((ArrayDot.dot(col("vec"), centroidLit(c)) * -2.0 + cNorm).as("s"),
+      struct((ArrayDot.dot(v, centroidLit(c)) * -2.0 + cNorm).as("s"),
         lit(i).as("c"))
     }
     array_min(array(scored: _*)).getField("c")
   }
+
+  private def nearestExpr(centroids: Array[Array[Double]]): Column =
+    nearestOf(col("vec"), centroids)
 
   /** Probe list: the `nprobe` nearest centroid ids, ascending by distance. */
   private def probesExpr(centroids: Array[Array[Double]], nprobe: Int): Column = {
@@ -163,6 +166,63 @@ object ClusterOps {
           element_at(array(centroids.map(centroidLit): _*), col("cluster") + 1)) * 2.0)
         .as("d2"))
     withDist.agg(sum(col("d2"))).head().getDouble(0)
+  }
+
+  /** Product-quantization codebooks (Jegou et al., PAMI'11 — the PQ the
+    * reference ecosystem pairs with IVF for compressed ANN): the d lanes
+    * split into m subspaces of d/m lanes, one k-means codebook per
+    * subspace. Codebooks are m·ksub·(d/m) driver doubles — broadcast as
+    * literals, like the IVF centroids. A PQ code is m bytes per vector vs
+    * 8d for raw doubles: the memory path that makes a 100 TB embedding
+    * corpus fit an executor fleet. */
+  def pqTrain(vectors: DataFrame, d: Int, m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val dsub = d / m
+    (0 until m).map { s =>
+      val sub = vectors.select(col("id"),
+        slice(col("vec"), s * dsub + 1, dsub).as("vec"))
+      kmeans(sub, ksub, iters)._2
+    }.toArray
+  }
+
+  /** Encode each vector as m per-subspace nearest-codeword ids
+    * (columns c0..c{m-1}) — codegen argmin per subspace, no shuffle. */
+  def pqEncode(vectors: DataFrame, d: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = d / m
+    val codeCols = (0 until m).map { s =>
+      nearestOf(slice(col("vec"), s * dsub + 1, dsub), codebooks(s)).as(s"c$s")
+    }
+    vectors.select(col("id") +: col("vec") +: codeCols: _*)
+  }
+
+  /** PQ-ADC top-k: corpus is stored only as PQ codes; each query scores a
+    * candidate by the asymmetric distance Σ_s ‖q_s − codeword(c_s)‖² (the
+    * classic ADC lookup — here an expression over the broadcast codebook
+    * literals). Exact-over-candidates; this brute variant is the bounded
+    * oracle baseline, and composing with IVF cells (ivfTopK's candidate
+    * equi-join) is the scale path. */
+  def pqTopK(vectors: DataFrame, nQueries: Int, topK: Int, d: Int,
+      m: Int, ksub: Int, iters: Int): DataFrame = {
+    val dsub = d / m
+    val codebooks = pqTrain(vectors, d, m, ksub, iters)
+    val corpus = pqEncode(vectors, d, codebooks)
+      .withColumnRenamed("id", "nid").drop("vec")
+    val queries = vectors.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val adc = (0 until m).map { s =>
+      val cb = array(codebooks(s).map(centroidLit): _*)
+      ArrayMath.foldSum(
+        zip_with(slice(col("qv"), s * dsub + 1, dsub),
+          element_at(cb, col(s"c$s") + 1), (a, b) => (a - b) * (a - b)),
+        identity)
+    }.reduce(_ + _)
+    val scored = queries.join(corpus, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), adc.as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= topK)
+      .select(col("qid"), col("nid"), (round(col("adc"), 4) + 0.0).as("adc"), col("rnk"))
   }
 
   /** IVF ANN: nlist k-means cells, queries probe the nprobe nearest cells,

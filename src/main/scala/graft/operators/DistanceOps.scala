@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayMath
+
+/** Pairwise-distance primitives and the neighborhood graphs built from
+  * them. The reference keeps pairwise distance + select_k as its core
+  * primitives (its packaged ANN moved to cuVS); these are the
+  * corresponding Spark shapes plus the graphs an ML pipeline derives from
+  * them: epsilon-neighborhood (degree/adjacency), symmetric kNN graph
+  * (UMAP/HDBSCAN input), and mutual-reachability single-linkage
+  * (HDBSCAN's core construction: core distance -> max(core_a, core_b,
+  * d_ab) -> MST -> cut).
+  *
+  * Scale shape: every exact all-pairs form here is a *bounded, documented
+  * oracle baseline* (`maxId` caps the block). The 100 TB path swaps the
+  * pair generator for the LSH/IVF candidate equi-joins (AnnOps.lshTopK,
+  * ClusterOps.ivfTopK) and feeds the identical per-pair metric
+  * expressions and downstream MST/CC machinery — the metric layer and the
+  * graph layer are independent of how candidate pairs were produced.
+  */
+object DistanceOps {
+
+  /** Squared L2 distance between two lane arrays (strict fold — the same
+    * expression both engines evaluate lane-by-lane). */
+  def l2sq(a: Column, b: Column): Column =
+    ArrayMath.foldSum(zip_with(a, b, (x, y) => (x - y) * (x - y)), identity)
+
+  /** Canberra distance: sum |a-b| / (|a|+|b|), 0/0 lanes contribute 0 —
+    * the zero-guard convention of the classic metric. */
+  def canberra(a: Column, b: Column): Column =
+    ArrayMath.foldSum(
+      zip_with(a, b, (x, y) =>
+        when(abs(x) + abs(y) =!= 0.0, abs(x - y) / (abs(x) + abs(y)))
+          .otherwise(0.0)),
+      identity)
+
+  /** Pairwise metric suite over the bounded block id < maxId (a < b):
+    * L1, L2, Chebyshev (L-inf), Canberra, cosine — one row per pair with
+    * every metric as a column. Exact baseline; candidates-from-LSH is the
+    * scale path (see object doc). */
+  def pairwiseMetrics(vectors: DataFrame, maxId: Int): DataFrame = {
+    val a = vectors.where(col("id") < maxId)
+      .select(col("id").as("a"), col("vec").as("va"))
+    val b = vectors.where(col("id") < maxId)
+      .select(col("id").as("b"), col("vec").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (round(ArrayMath.l1(ArrayMath.sub(col("va"), col("vb"))), 4) + 0.0).as("l1"),
+        (round(sqrt(l2sq(col("va"), col("vb"))), 4) + 0.0).as("l2"),
+        (round(ArrayMath.linf(ArrayMath.sub(col("va"), col("vb"))), 4) + 0.0).as("linf"),
+        (round(canberra(col("va"), col("vb")), 4) + 0.0).as("canberra"),
+        (round(ArrayMath.cosine(col("va"), col("vb")), 4) + 0.0).as("cos"))
+  }
+
+  /** Epsilon-neighborhood degree: for each point, how many points (self
+    * included — the adjacency diagonal is true) lie within squared L2
+    * distance eps2. Exact over the bounded block; at scale the same count
+    * runs over LSH/IVF candidates only. */
+  def epsNeighborhood(vectors: DataFrame, eps2: Double): DataFrame = {
+    val a = vectors.select(col("id").as("a"), col("vec").as("va"))
+    val b = vectors.select(col("id").as("b"), col("vec").as("vb"))
+    a.join(b, l2sq(col("va"), col("vb")) <= eps2)
+      .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .select(col("id"), col("deg"))
+  }
+
+  /** Symmetric kNN graph: directed top-k edges by ascending L2 (ties by
+    * dst), symmetrized with a `mutual` flag (dst also has src in ITS
+    * top-k) — the neighbor graph UMAP/HDBSCAN consume. */
+  def knnGraph(vectors: DataFrame, k: Int): DataFrame = {
+    val a = vectors.select(col("id").as("src"), col("vec").as("va"))
+    val b = vectors.select(col("id").as("dst"), col("vec").as("vb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("d2").asc, col("dst").asc)
+    val directed = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), l2sq(col("va"), col("vb")).as("d2"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+    val rev = directed.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("m", lit(1))
+    directed.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), (round(sqrt(col("d2")), 4) + 0.0).as("dist"),
+        col("rnk"), coalesce(col("m"), lit(0)).as("mutual"))
+  }
+
+  /** Core distance (HDBSCAN): distance to the kCore-th nearest neighbor
+    * (self excluded). */
+  def coreDistances(vectors: DataFrame, kCore: Int): DataFrame = {
+    val a = vectors.select(col("id").as("a"), col("vec").as("va"))
+    val b = vectors.select(col("id").as("b"), col("vec").as("vb"))
+    val w = Window.partitionBy(col("a")).orderBy(col("d2").asc, col("b").asc)
+    a.join(b, col("a") =!= col("b"))
+      .select(col("a"), col("b"), l2sq(col("va"), col("vb")).as("d2"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") === kCore)
+      .select(col("a").as("id"), sqrt(col("d2")).as("core"))
+  }
+
+  /** Mutual-reachability single-linkage (the HDBSCAN construction,
+    * reference ecosystem: cluster/single_linkage.cuh:37 generalized with
+    * core distances): d_mr(a,b) = max(core_a, core_b, d(a,b)), then the
+    * already-distributed MST + cut + connected-components pipeline
+    * produces k flat clusters. Returns (node, comp). */
+  def mutualReachabilityLinkage(vectors: DataFrame, kCore: Int, k: Int): DataFrame = {
+    val core = coreDistances(vectors, kCore)
+    val a = vectors.select(col("id").as("src"), col("vec").as("va"))
+    val b = vectors.select(col("id").as("dst"), col("vec").as("vb"))
+    val pairs = a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"), sqrt(l2sq(col("va"), col("vb"))).as("d"))
+    val mrd = pairs
+      .join(core.select(col("id").as("src"), col("core").as("ca")), Seq("src"))
+      .join(core.select(col("id").as("dst"), col("core").as("cb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        greatest(col("d"), col("ca"), col("cb")).as("value"))
+    SolverOps.singleLinkage(mrd, k)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{DistanceOps, RandomOps}
+
+/** Pairwise-distance / neighborhood-graph queries. Exact all-pairs forms
+  * run on bounded blocks or the separated-blobs fixture (documented oracle
+  * baselines — SCALE.md names each); the LSH/IVF candidate joins are the
+  * scale path for every one of them. Fold-based lane math matches the
+  * oracle lane-by-lane (strict left folds both engines).
+  */
+object DistanceQueries extends QueryGroup {
+
+  // ---- local DuckDB fragments (strict-fold lane math, one per metric) ----
+
+  private def foldL2sq(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2]))), (s, x) -> s + x)"
+  private def foldL1(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> abs(p[1] - p[2]))), (s, x) -> s + x)"
+  private def foldCanberra(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      "p -> CASE WHEN abs(p[1]) + abs(p[2]) <> 0.0 THEN abs(p[1] - p[2]) / (abs(p[1]) + abs(p[2])) ELSE 0.0 END)), (s, x) -> s + x)"
+  private def foldDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> p[1] * p[2])), (s, x) -> s + x)"
+  private def foldSq(a: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (s, x) -> s + x)"
+  private def linfExpr(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), p -> abs(p[1] - p[2])), 'max')"
+  private def cosExpr(a: String, b: String): String =
+    s"CASE WHEN sqrt(${foldSq(a)}) * sqrt(${foldSq(b)}) <> 0.0 THEN " +
+      s"${foldDot(a, b)} / (sqrt(${foldSq(a)}) * sqrt(${foldSq(b)})) ELSE 0.0 END"
+
+  private val vCte =
+    """v AS (SELECT vec_id AS id,
+      |  list_transform(embedding, f -> CAST(f AS DOUBLE)) AS vec FROM embeddings)""".stripMargin
+
+  /** Separated-blobs fixture as DOUBLE lists (same md5 draws as
+    * RandomOps.makeBlobs(n, 8, 5, 42)). */
+  private def blobsCte(n: Int): String = {
+    val u1 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b1')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+    val u2 = "((CAST(('0x' || substr(md5(concat_ws(':', id, j, 42, 'b2')), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)"
+    s"""bl AS (
+       |  SELECT id, id % 5 AS cluster,
+       |    [CAST(((id % 5) * 7 + j) % 5 AS DOUBLE) * 10.0 +
+       |     sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2) FOR j IN range(8)] AS vec
+       |  FROM range($n) t(id))""".stripMargin
+  }
+
+  // ---- queries ----
+
+  val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dist_pairwise_metrics" -> ((s, d) =>
+      DistanceOps.pairwiseMetrics(Tables.vectors(s, d), 200)),
+    "dist_eps_neighborhood" -> ((s, d) =>
+      DistanceOps.epsNeighborhood(
+        RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")), 64.0)),
+    "dist_knn_graph" -> ((s, d) =>
+      DistanceOps.knnGraph(Tables.vectors(s, d).where(col("id") < 300), 5)),
+    // HDBSCAN-style mutual-reachability linkage on the separated blobs
+    // fixture: cutting the 4 heaviest MST edges recovers exactly the
+    // generative blobs (inter-blob mutual-reachability distance dwarfs
+    // intra), so labels (= min id per blob = 0..4) and counts are closed
+    // form. Real-data behavior is covered in DistanceSpec.
+    "dist_mrd_linkage" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec"))
+      DistanceOps.mutualReachabilityLinkage(blobs, 5, 5)
+        .groupBy(col("comp").as("cluster")).agg(count(lit(1)).as("n"))
+    }),
+  )
+
+  // ---- oracles ----
+
+  val sql: Map[String, String] = Map(
+    "dist_pairwise_metrics" ->
+      s"""WITH $vCte
+         |SELECT a.id AS a, b.id AS b,
+         |  round(${foldL1("a.vec", "b.vec")}, 4) + 0.0 AS l1,
+         |  round(sqrt(${foldL2sq("a.vec", "b.vec")}), 4) + 0.0 AS l2,
+         |  round(${linfExpr("a.vec", "b.vec")}, 4) + 0.0 AS linf,
+         |  round(${foldCanberra("a.vec", "b.vec")}, 4) + 0.0 AS canberra,
+         |  round(${cosExpr("a.vec", "b.vec")}, 4) + 0.0 AS cos
+         |FROM v a JOIN v b ON a.id < b.id
+         |WHERE a.id < 200 AND b.id < 200""".stripMargin,
+    "dist_eps_neighborhood" ->
+      s"""WITH ${blobsCte(500)}
+         |SELECT a.id AS id, count(*) AS deg
+         |FROM bl a JOIN bl b ON ${foldL2sq("a.vec", "b.vec")} <= 64.0
+         |GROUP BY 1""".stripMargin,
+    "dist_knn_graph" ->
+      s"""WITH $vCte,
+         |vb AS (SELECT * FROM v WHERE id < 300),
+         |d AS (
+         |  SELECT a.id AS src, b.id AS dst, ${foldL2sq("a.vec", "b.vec")} AS d2
+         |  FROM vb a JOIN vb b ON a.id <> b.id),
+         |e AS (
+         |  SELECT src, dst, d2,
+         |         row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rnk
+         |  FROM d QUALIFY rnk <= 5)
+         |SELECT e.src, e.dst, round(sqrt(e.d2), 4) + 0.0 AS dist, e.rnk,
+         |  CASE WHEN rev.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+         |FROM e LEFT JOIN e rev ON rev.src = e.dst AND rev.dst = e.src""".stripMargin,
+    // closed form on the separated fixture: component label = min id in
+    // blob = blob index; 100 members each
+    "dist_mrd_linkage" ->
+      """SELECT id % 5 AS cluster, count(*) AS n
+        |FROM range(500) t(id) GROUP BY 1""".stripMargin,
+  )
+}

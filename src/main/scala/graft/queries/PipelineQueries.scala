@@ -32,6 +32,9 @@ object PipelineQueries extends QueryGroup {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> p[1] * p[2])), (s, x) -> s + x)"
   private def foldSq(a: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($a, x -> x * x)), (s, x) -> s + x)"
+  /** Strict-fold squared L2 between two lists (PQ ADC lane math). */
+  private def pqL2sq(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2]))), (s, x) -> s + x)"
 
   private val vCte =
     """v AS (SELECT vec_id AS id,
@@ -123,6 +126,17 @@ object PipelineQueries extends QueryGroup {
       val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec"))
       ClusterOps.ivfTopK(blobs, 5, 10, nlist = 5, nprobe = 2, iters = 5)
     }),
+    // PQ-ADC ANN on the separated blobs fixture: per-subspace k-means
+    // codebooks converge to the per-(blob, subspace) generative means
+    // (one seed per blob, separation >> noise), so codes, asymmetric
+    // distances and the top-k ranking are all SQL-expressible — the whole
+    // train -> encode -> ADC-search pipeline is hash-checked. Candidates
+    // sharing a code tie on ADC and break by id, deterministically on
+    // both engines.
+    "pipe_ann_pq" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec"))
+      ClusterOps.pqTopK(blobs, 5, 10, d = 8, m = 2, ksub = 5, iters = 5)
+    }),
     "pipe_kmeans_pp" -> ((s, d) => {
       // k-means|| seeding + Lloyd's on the same separated fixture: any
       // one-seed-per-blob init converges to the same generative optimum
@@ -176,6 +190,38 @@ object PipelineQueries extends QueryGroup {
   }
 
   val sql: Map[String, String] = Map(
+    // PQ on blobs: codebook = per-(blob, subspace) mean; encode = nearest
+    // codeword per subspace; ADC = sum over subspaces of ||q_sub - cw||².
+    "pipe_ann_pq" ->
+      s"""WITH $blobsVecCte,
+         |lanes AS (SELECT id, cluster, generate_subscripts(vec, 1) - 1 AS pos,
+         |                 unnest(vec) AS x FROM bl),
+         |muL AS (SELECT cluster, pos // 4 AS sub, pos, avg(x) AS m
+         |        FROM lanes GROUP BY 1, 2, 3),
+         |cw AS (SELECT cluster, sub, list(m ORDER BY pos) AS cvec
+         |       FROM muL GROUP BY 1, 2),
+         |sv AS (SELECT id, pos // 4 AS sub, list(x ORDER BY pos) AS svec
+         |       FROM lanes GROUP BY 1, 2),
+         |enc AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT sv.id, sv.sub, cw.cluster AS code,
+         |      row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+         |        ${pqL2sq("sv.svec", "cw.cvec")}, cw.cluster) AS rk
+         |    FROM sv JOIN cw ON cw.sub = sv.sub)
+         |  WHERE rk = 1),
+         |qsv AS (SELECT * FROM sv WHERE id < 5),
+         |adc AS (
+         |  SELECT qsv.id AS qid, enc.id AS nid,
+         |         sum(${pqL2sq("qsv.svec", "cw.cvec")}) AS adc
+         |  FROM qsv JOIN enc ON enc.sub = qsv.sub AND enc.id <> qsv.id
+         |  JOIN cw ON cw.sub = enc.sub AND cw.cluster = enc.code
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, nid, adc,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
+         |  FROM adc)
+         |SELECT qid, nid, round(adc, 4) + 0.0 AS adc, rnk
+         |FROM ranked WHERE rnk <= 10""".stripMargin,
     "pipe_ann_ivf" ->
       s"""WITH $blobsVecCte,
          |lanes AS (SELECT id, cluster, generate_subscripts(vec, 1) - 1 AS pos,

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ClusterOps, DistanceOps, RandomOps}
+
+/** Behavior tests for the pairwise-distance layer and the structures built
+  * on it (kNN graph, mutual-reachability linkage, PQ-ADC) — properties the
+  * oracle hash-compare can't see: metric identities, graph symmetry
+  * semantics, PQ cluster recall.
+  */
+class DistanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def twoVecs = {
+    import spark.implicits._
+    Seq((0L, Seq(1.0, -2.0, 0.0, 3.0)), (1L, Seq(-1.0, 2.0, 4.0, 3.0)))
+      .toDF("id", "vec")
+  }
+
+  test("pairwise metrics match hand-computed values") {
+    val r = DistanceOps.pairwiseMetrics(twoVecs, 2).collect().head
+    // diffs = (2, -4, -4, 0): l1 = 10, l2 = 6, linf = 4
+    assert(r.getAs[Double]("l1") == 10.0)
+    assert(r.getAs[Double]("l2") == 6.0)
+    assert(r.getAs[Double]("linf") == 4.0)
+    // canberra = 2/2 + 4/4 + 4/4 + 0/6 = 3.0
+    assert(r.getAs[Double]("canberra") == 3.0)
+    // dot = -1-4+0+9 = 4; |a| = sqrt(14), |b| = sqrt(30)
+    assert(math.abs(r.getAs[Double]("cos") - 4.0 / math.sqrt(14.0 * 30.0)) < 1e-4)
+  }
+
+  test("eps-neighborhood degree counts self and is symmetric in total") {
+    val blobs = RandomOps.makeBlobs(spark, 200, 8, 5, 42).select(col("id"), col("vec"))
+    val deg = DistanceOps.epsNeighborhood(blobs, 64.0).collect()
+    assert(deg.length == 200)
+    assert(deg.forall(_.getLong(1) >= 1L)) // self always within eps
+    // degree sum counts each (a,b) pair twice plus n selves -> even parity check
+    val total = deg.map(_.getLong(1)).sum
+    assert((total - 200) % 2 == 0)
+  }
+
+  test("kNN graph: k edges per node, mutual flag agrees with reverse edge") {
+    val blobs = RandomOps.makeBlobs(spark, 150, 8, 5, 42).select(col("id"), col("vec"))
+    val g = DistanceOps.knnGraph(blobs, 4).collect()
+    val bySrc = g.groupBy(_.getLong(0))
+    assert(bySrc.size == 150 && bySrc.forall(_._2.length == 4))
+    val edges = g.map(r => (r.getLong(0), r.getLong(1))).toSet
+    g.foreach { r =>
+      val mutual = r.getAs[Int]("mutual") == 1
+      assert(mutual == edges.contains((r.getLong(1), r.getLong(0))))
+    }
+  }
+
+  test("mutual-reachability linkage recovers separated blobs") {
+    val blobs = RandomOps.makeBlobs(spark, 300, 8, 5, 42).select(col("id"), col("vec"))
+    val labels = DistanceOps.mutualReachabilityLinkage(blobs, 5, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 300)
+    // every node labeled with its blob's min id = blob index
+    labels.foreach { case (node, comp) => assert(comp == node % 5) }
+  }
+
+  test("PQ-ADC top-k stays within the query's generative blob") {
+    val blobs = RandomOps.makeBlobs(spark, 1000, 8, 5, 42).select(col("id"), col("vec"))
+    val top = ClusterOps.pqTopK(blobs, 5, 10, d = 8, m = 2, ksub = 5, iters = 5)
+      .collect()
+    assert(top.length == 50)
+    top.foreach { r =>
+      assert(r.getLong(1) % 5 == r.getLong(0) % 5,
+        s"PQ neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s blob")
+    }
+  }
+
+  test("PQ encode compresses same-blob points to identical codes") {
+    val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42).select(col("id"), col("vec"))
+    val cb = ClusterOps.pqTrain(blobs, d = 8, m = 2, ksub = 5, iters = 5)
+    assert(cb.length == 2 && cb.forall(_.length == 5) && cb.forall(_.forall(_.length == 4)))
+    val codes = ClusterOps.pqEncode(blobs, 8, cb)
+      .select(col("id"), col("c0"), col("c1")).collect()
+    val byBlob = codes.groupBy(_.getLong(0) % 5)
+    byBlob.foreach { case (_, rows) =>
+      assert(rows.map(r => (r.getInt(1), r.getInt(2))).distinct.length == 1)
+    }
+  }
+}
