@@ -205,24 +205,60 @@ object ClusterOps {
     * equi-join) is the scale path. */
   def pqTopK(vectors: DataFrame, nQueries: Int, topK: Int, d: Int,
       m: Int, ksub: Int, iters: Int): DataFrame = {
-    val dsub = d / m
     val codebooks = pqTrain(vectors, d, m, ksub, iters)
     val corpus = pqEncode(vectors, d, codebooks)
       .withColumnRenamed("id", "nid").drop("vec")
     val queries = vectors.where(col("id") < nQueries)
       .select(col("id").as("qid"), col("vec").as("qv"))
-    val adc = (0 until m).map { s =>
+    val scored = queries.join(corpus, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), adcExpr(codebooks, d / m, col("qv")).as("adc"))
+    rankTopK(scored, topK)
+  }
+
+  /** ADC score Σ_s ‖q_s − codeword(c_s)‖² as one expression: the query side
+    * contributes raw subvectors, the corpus side only its code columns
+    * c0..c{m-1}; codebooks ride along as broadcast literals. */
+  private def adcExpr(codebooks: Array[Array[Array[Double]]], dsub: Int,
+      qv: Column): Column =
+    codebooks.indices.map { s =>
       val cb = array(codebooks(s).map(centroidLit): _*)
       ArrayMath.foldSum(
-        zip_with(slice(col("qv"), s * dsub + 1, dsub),
+        zip_with(slice(qv, s * dsub + 1, dsub),
           element_at(cb, col(s"c$s") + 1), (a, b) => (a - b) * (a - b)),
         identity)
     }.reduce(_ + _)
-    val scored = queries.join(corpus, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), adc.as("adc"))
+
+  private def rankTopK(scored: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= topK)
       .select(col("qid"), col("nid"), (round(col("adc"), 4) + 0.0).as("adc"), col("rnk"))
+  }
+
+  /** IVF-PQ ANN — the production composition (what FAISS calls IVFPQ):
+    * coarse k-means cells bound the candidate set (queries probe the
+    * nprobe nearest cells; candidates come from one equi-join on cell id),
+    * and PQ-ADC scores candidates from their m-byte codes — the raw corpus
+    * vectors are never touched at query time. Codebooks are trained on raw
+    * vectors (no residual step) so the closed-form blobs oracle holds; at
+    * 100 TB the corpus table is (nid, cluster, c0..c{m-1}) — bytes per
+    * vector — and both centroids and codebooks are driver-small literals. */
+  def ivfPqTopK(vectors: DataFrame, nQueries: Int, topK: Int, d: Int,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val dsub = d / m
+    val (assigned, centroids) = kmeans(vectors, nlist, iters)
+    val codebooks = pqTrain(vectors, d, m, ksub, iters)
+    val codeCols = (0 until m).map { s =>
+      nearestOf(slice(col("vec"), s * dsub + 1, dsub), codebooks(s)).as(s"c$s")
+    }
+    val corpus = assigned.select(
+      Seq(col("id").as("nid"), col("cluster")) ++ codeCols: _*)
+    val queries = vectors.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"),
+        explode(probesExpr(centroids, nprobe)).as("cluster"))
+    val scored = queries.join(corpus, Seq("cluster"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), adcExpr(codebooks, dsub, col("qv")).as("adc"))
+    rankTopK(scored, topK)
   }
 
   /** IVF ANN: nlist k-means cells, queries probe the nprobe nearest cells,

@@ -137,6 +137,15 @@ object PipelineQueries extends QueryGroup {
       val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec"))
       ClusterOps.pqTopK(blobs, 5, 10, d = 8, m = 2, ksub = 5, iters = 5)
     }),
+    // IVF-PQ composed: nprobe=2 of 5 cells bound the candidates, ADC over
+    // m=2 codebooks scores them — cells, codebooks, codes, probe ranks and
+    // ADC are all closed-form on the separated fixture, so the full
+    // compressed-ANN pipeline is hash-checked end-to-end.
+    "pipe_ann_ivfpq" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec"))
+      ClusterOps.ivfPqTopK(blobs, 5, 10, d = 8, nlist = 5, nprobe = 2,
+        m = 2, ksub = 5, iters = 5)
+    }),
     "pipe_kmeans_pp" -> ((s, d) => {
       // k-means|| seeding + Lloyd's on the same separated fixture: any
       // one-seed-per-blob init converges to the same generative optimum
@@ -214,6 +223,50 @@ object PipelineQueries extends QueryGroup {
          |  SELECT qsv.id AS qid, enc.id AS nid,
          |         sum(${pqL2sq("qsv.svec", "cw.cvec")}) AS adc
          |  FROM qsv JOIN enc ON enc.sub = qsv.sub AND enc.id <> qsv.id
+         |  JOIN cw ON cw.sub = enc.sub AND cw.cluster = enc.code
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, nid, adc,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
+         |  FROM adc)
+         |SELECT qid, nid, round(adc, 4) + 0.0 AS adc, rnk
+         |FROM ranked WHERE rnk <= 10""".stripMargin,
+    // IVF-PQ: coarse cells = per-blob means (probe rank by -2·q·c + ‖c‖²,
+    // ties by cell id, as in pipe_ann_ivf); codebooks/codes/ADC as in
+    // pipe_ann_pq; candidates restricted to the 2 probed cells.
+    "pipe_ann_ivfpq" ->
+      s"""WITH $blobsVecCte,
+         |lanes AS (SELECT id, cluster, generate_subscripts(vec, 1) - 1 AS pos,
+         |                 unnest(vec) AS x FROM bl),
+         |muL AS (SELECT cluster, pos, avg(x) AS m FROM lanes GROUP BY 1, 2),
+         |mu AS (SELECT cluster, list(m ORDER BY pos) AS cvec FROM muL GROUP BY 1),
+         |cw AS (SELECT cluster, pos // 4 AS sub, list(m ORDER BY pos) AS cvec
+         |       FROM muL GROUP BY 1, 2),
+         |sv AS (SELECT id, pos // 4 AS sub, list(x ORDER BY pos) AS svec
+         |       FROM lanes GROUP BY 1, 2),
+         |enc AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT sv.id, sv.sub, cw.cluster AS code,
+         |      row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+         |        ${pqL2sq("sv.svec", "cw.cvec")}, cw.cluster) AS rk
+         |    FROM sv JOIN cw ON cw.sub = sv.sub)
+         |  WHERE rk = 1),
+         |qc AS (
+         |  SELECT q.id AS qid, mu.cluster,
+         |    row_number() OVER (PARTITION BY q.id ORDER BY
+         |      -2.0 * ${foldDot("q.vec", "mu.cvec")} + ${foldSq("mu.cvec")},
+         |      mu.cluster) AS prnk
+         |  FROM bl q, mu WHERE q.id < 5),
+         |qsv AS (SELECT * FROM sv WHERE id < 5),
+         |cand AS (
+         |  SELECT qc.qid, c.id AS nid
+         |  FROM qc JOIN bl c ON c.cluster = qc.cluster AND qc.prnk <= 2
+         |  WHERE c.id <> qc.qid),
+         |adc AS (
+         |  SELECT cand.qid, cand.nid,
+         |         sum(${pqL2sq("qsv.svec", "cw.cvec")}) AS adc
+         |  FROM cand JOIN qsv ON qsv.id = cand.qid
+         |  JOIN enc ON enc.id = cand.nid AND enc.sub = qsv.sub
          |  JOIN cw ON cw.sub = enc.sub AND cw.cluster = enc.code
          |  GROUP BY 1, 2),
          |ranked AS (

@@ -96,6 +96,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF-PQ on separated blobs: neighbors come from the query's blob") {
+    import graft.operators.{ClusterOps, RandomOps}
+    // Within a blob every candidate shares its PQ code, so ADC ties
+    // collapse to the query-to-own-codeword distance and break by id —
+    // neighbor-set recall vs exact L2 is meaningless on this fixture. The
+    // closed-form property PQ must deliver is coarser and absolute: the
+    // in-blob ADC (≈ noise²) is dwarfed by any cross-blob ADC (≥ one
+    // 10-apart lane), so all top-10 of every query land in its own blob,
+    // with exactly 10 rows per query. (Exact ADC values are hash-checked
+    // end-to-end by the pipe_ann_ivfpq oracle.)
+    val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42)
+      .select(col("id"), col("vec"))
+    val rows = ClusterOps.ivfPqTopK(blobs, 3, 10, d = 8, nlist = 5,
+      nprobe = 2, m = 2, ksub = 5, iters = 5).collect()
+    assert(rows.length == 30, s"expected 3x10 rows, got ${rows.length}")
+    rows.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(nid % 5 == qid % 5,
+        s"neighbor $nid of query $qid crossed blobs (ADC should forbid)")
+    }
+  }
+
   test("native ArrayDot is bit-identical to the fold-based dot") {
     import graft.functions.{ArrayDot, ArrayMath}
     val v = graft.Tables.vectors(spark, sf)
