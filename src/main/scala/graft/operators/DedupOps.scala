@@ -130,6 +130,37 @@ object DedupOps {
         round(ArrayDot.dot(col("ua"), col("ub")), 4).as("cos"))
   }
 
+  /** LSH-bucketed embedding near-dup — the 100 TB path for
+    * embeddingNearDups: random-hyperplane sign buckets (nTables
+    * independent tables) generate candidate pairs as an equi-join on
+    * (table, bucket); only candidates pay the exact cosine. Same
+    * hyperplane/bucket machinery as AnnOps.lshTopK, same verification
+    * metric as the exact baseline — recall is the nTables knob. */
+  def embeddingNearDupsLsh(vectors: DataFrame, threshold: Double,
+      nPlanes: Int = 4, d: Int = 64, seed: Long = 11, nTables: Int = 4): DataFrame = {
+    import graft.functions.{ArrayDot, ArrayMath}
+    val tables = array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        AnnOps.lshBucket(col("vec"), nPlanes, d, seed + t * 1000L).as("bucket"))
+    }: _*)
+    // buckets from the RAW vector (normalization can flip a near-zero
+    // hyperplane dot's sign); unit vectors materialized once so the pair
+    // join consumes plain rows and the ArrayDot filter stays codegen'd
+    val bucketed = vectors.select(col("id"),
+        ArrayMath.normalize(col("vec"), ArrayMath.l2(col("vec"))).as("uv"),
+        explode(tables).as("tb"))
+      .select(col("id"), col("uv"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .localCheckpoint(true)
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("a"), col("uv").as("ua"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("b"), col("uv").as("ub"))
+    a.join(b, Seq("tbl", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ua"), col("ub"))
+      .dropDuplicates("a", "b")
+      .where(ArrayDot.dot(col("ua"), col("ub")) >= threshold)
+      .select(col("a"), col("b"),
+        round(ArrayDot.dot(col("ua"), col("ub")), 4).as("cos"))
+  }
+
   /** Near-dup cluster collapse — the op a dedup pipeline actually ends
     * with: dup PAIRS (from MinHash-LSH banding) → connected components →
     * one canonical survivor per cluster (min doc_id), emitting
@@ -158,5 +189,73 @@ object DedupOps {
     td.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 16).map(j => when(col(s"s_$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _).as("sim"))
+  }
+
+  /** Eval-set contamination check (the decontamination pass an LLM data
+    * pipeline runs before training): training docs (doc_id ≥ evalMax)
+    * that share ≥1 token-shingle with the held-out eval set
+    * (doc_id < evalMax). One equi-join on the shingle hash — the eval
+    * side is small by construction, so it broadcasts; at 100 TB the train
+    * side streams through map-side hash probes with no shuffle of the
+    * corpus. Emits per contaminated doc the distinct shared shingles and
+    * distinct eval docs hit.
+    */
+  def contamination(docs: DataFrame, evalMax: Int): DataFrame = {
+    val sh = shingles(docs)
+    val ev = sh.where(col("doc_id") < evalMax)
+      .select(col("hs"), col("doc_id").as("eval_id"))
+    sh.where(col("doc_id") >= evalMax)
+      .join(broadcast(ev), Seq("hs"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("hs")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  // Bloom filter geometry: m = 2^16 bits packed 32-per-BIGINT-word (2048
+  // words — bit 63 stays clear so neither engine's checked shift/sign
+  // semantics bite); kHash affine probes p_j(hs) = (hs·(2j+1) + 12345j+7)
+  // mod m — the same affine family the MinHash permutations use,
+  // reproducible in SQL.
+  val BloomBits: Int = 1 << 16
+  private def bloomPos(j: Int): Column =
+    pmod(col("hs") * (2L * j + 1L) + (12345L * j + 7L), lit(BloomBits.toLong))
+
+  /** Build a Bloom filter over the reference corpus's shingle hashes
+    * (doc_id < refMax): one bit_or aggregate keyed by word index →
+    * ≤1024 rows. This is the scale-path membership structure for
+    * streaming dedup: the built filter is a broadcastable few-KB table
+    * no matter how large the reference corpus is. */
+  def bloomBits(docs: DataFrame, refMax: Int, kHash: Int = 3): DataFrame = {
+    val sh = shingles(docs).where(col("doc_id") < refMax).select(col("hs")).distinct()
+    val pos = sh.select(explode(array((0 until kHash).map(bloomPos): _*)).as("p"))
+    pos.select((col("p") / 32).cast("long").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
+      .groupBy(col("word")).agg(expr("bit_or(m)").as("mask"))
+  }
+
+  /** Probe the Bloom filter with the post-refMax docs: a shingle is
+    * "seen" iff all kHash probed bits are set; per doc emit shingle
+    * count, seen count, and the seen fraction (≈ overlap with the
+    * reference corpus; no false negatives, bounded false positives).
+    * The filter side is a broadcast join — the probe side never
+    * shuffles. */
+  def bloomProbe(docs: DataFrame, refMax: Int, kHash: Int = 3): DataFrame = {
+    val bits = bloomBits(docs, refMax, kHash)
+    val probes = shingles(docs).where(col("doc_id") >= refMax)
+      .select(col("doc_id"), col("hs"),
+        posexplode(array((0 until kHash).map(bloomPos): _*)).as(Seq("j", "p")))
+      .select(col("doc_id"), col("hs"),
+        (col("p") / 32).cast("long").as("word"), (col("p") % 32).cast("int").as("bit"))
+    // left join: a probe whose word no ref shingle ever touched is simply
+    // an unset bit — the shingle must still count in n_shingles
+    val hit = probes.join(broadcast(bits), Seq("word"), "left")
+      .select(col("doc_id"), col("hs"),
+        expr("shiftright(coalesce(mask, CAST(0 AS BIGINT)), bit) & CAST(1 AS BIGINT)").as("b"))
+      .groupBy(col("doc_id"), col("hs"))
+      .agg((sum(col("b")) === kHash).cast("int").as("seen"))
+    hit.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("seen")).as("n_seen"),
+        (round(sum(col("seen")).cast("double") / count(lit(1)), 4) + 0.0)
+          .as("seen_frac"))
   }
 }

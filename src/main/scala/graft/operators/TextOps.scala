@@ -140,4 +140,50 @@ object TextOps {
     scored.select(col("doc_id"), best.getField("lang").as("pred_lang"),
       greatest(langs.map(l => col(s"s_$l")): _*).as("score"))
   }
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1
+    * repetition filters, re-expressed over token 2-grams since the
+    * synthetic corpus has no line structure): the duplicate-2-gram
+    * fraction (1 − distinct/total) and the top-2-gram fraction (count of
+    * the most frequent 2-gram / total). One explode + one (doc, gram)
+    * aggregation — shuffle keyed by doc, scales linearly in corpus size.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = tokenize(docs).where(size(col("tokens")) >= 2)
+    val grams = toks.select(col("doc_id"), (size(col("tokens")) - 1).as("total"),
+      explode(transform(sequence(lit(0), size(col("tokens")) - 2),
+        i => concat_ws(" ", element_at(col("tokens"), i + 1),
+          element_at(col("tokens"), i + 2)))).as("g"))
+    grams.groupBy(col("doc_id"), col("total"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("total"))
+      .agg(count(lit(1)).as("nd"), max(col("c")).as("topc"))
+      .select(col("doc_id"), col("total").as("n_2grams"),
+        (round(lit(1.0) - col("nd").cast("double") / col("total"), 4) + 0.0)
+          .as("dup_2gram_frac"),
+        (round(col("topc").cast("double") / col("total"), 4) + 0.0)
+          .as("top_2gram_frac"))
+  }
+
+  /** Composed quality gate (the C4/Gopher-style keep/drop decision a
+    * training pipeline applies before tokenization): a document is kept
+    * iff token count, mean token length, distinct-token ratio, and
+    * duplicate-2-gram fraction all sit inside fixed bounds. Emits
+    * per-source keep rates — the corpus-curation report. Joins are all
+    * keyed by doc_id (one shuffle each); the final per-source rollup is a
+    * tiny aggregate.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val q = quality(docs)
+    val r = repetition(docs)
+    val keep = (col("n_tokens") >= 8) && (col("n_tokens") <= 2000) &&
+      (col("mean_tok_len") >= 2.0) && (col("mean_tok_len") <= 12.0) &&
+      (col("distinct_ratio") >= 0.2) && (col("dup_2gram_frac") <= 0.9)
+    docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id")).join(r, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), keep.cast("int").as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
+        (round(sum(col("keep")).cast("double") / count(lit(1)), 4) + 0.0)
+          .as("keep_rate"))
+  }
 }

@@ -98,10 +98,20 @@ object PipelineQueries extends QueryGroup {
       StreamingOps.sessionWindowCounts(Tables.events(s, d))),
     "pipe_embed_neardup" -> ((s, d) =>
       DedupOps.embeddingNearDups(Tables.vectors(s, d), 0.45)),
+    "pipe_embed_neardup_lsh" -> ((s, d) =>
+      DedupOps.embeddingNearDupsLsh(Tables.vectors(s, d), 0.45)),
     "pipe_boilerplate" -> ((s, d) =>
       DedupOps.boilerplateShingles(Tables.documents(s, d), 3L)),
     "pipe_dedup_survivors" -> ((s, d) =>
       DedupOps.dedupSurvivors(Tables.documents(s, d), 0.5)),
+    "pipe_repetition" -> ((s, d) =>
+      TextOps.repetition(Tables.documents(s, d))),
+    "pipe_quality_gate" -> ((s, d) =>
+      TextOps.qualityGate(Tables.documents(s, d))),
+    "pipe_contamination" -> ((s, d) =>
+      DedupOps.contamination(Tables.documents(s, d), 50)),
+    "pipe_bloom_dedup" -> ((s, d) =>
+      DedupOps.bloomProbe(Tables.documents(s, d), 400)),
     "pipe_quantization" -> ((s, d) =>
       AnnOps.quantizationError(Tables.vectors(s, d))),
     // Lloyd's on a well-separated make_blobs fixture: seeds (first k rows)
@@ -359,6 +369,96 @@ object PipelineQueries extends QueryGroup {
          |SELECT min(node) AS keep, count(*) AS n_members,
          |       count(*) - 1 AS n_dropped
          |FROM comp GROUP BY c""".stripMargin,
+    // Gopher-style repetition metrics over token 2-grams
+    "pipe_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(tokens) - 1 AS total,
+        |         tokens[i+1] || ' ' || tokens[i+2] AS g
+        |  FROM toks, unnest(range(len(tokens) - 1)) AS t(i)
+        |  WHERE len(tokens) >= 2),
+        |c AS (SELECT doc_id, total, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, total AS n_2grams,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / total, 4) + 0.0 AS dup_2gram_frac,
+        |  round(CAST(max(c) AS DOUBLE) / total, 4) + 0.0 AS top_2gram_frac
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // composed C4/Gopher keep-drop gate -> per-source keep rates; the
+    // rule thresholds compare the same ROUNDED statistics on both engines
+    "pipe_quality_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, len(tokens) AS n_tokens,
+        |    round(CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+        |          / len(tokens), 4) AS mean_tok_len,
+        |    round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 4)
+        |      AS distinct_ratio
+        |  FROM toks),
+        |g AS (
+        |  SELECT doc_id, len(tokens) - 1 AS total,
+        |         tokens[i+1] || ' ' || tokens[i+2] AS g
+        |  FROM toks, unnest(range(len(tokens) - 1)) AS t(i)
+        |  WHERE len(tokens) >= 2),
+        |cg AS (SELECT doc_id, total, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT doc_id, round(1.0 - CAST(count(*) AS DOUBLE) / total, 4)
+        |    AS dup_2gram_frac
+        |  FROM cg GROUP BY doc_id, total),
+        |k AS (
+        |  SELECT d.source,
+        |    CASE WHEN q.n_tokens >= 8 AND q.n_tokens <= 2000
+        |          AND q.mean_tok_len >= 2.0 AND q.mean_tok_len <= 12.0
+        |          AND q.distinct_ratio >= 0.2 AND r.dup_2gram_frac <= 0.9
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM documents d
+        |  JOIN q ON q.doc_id = d.doc_id
+        |  JOIN r ON r.doc_id = d.doc_id)
+        |SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_keep,
+        |  round(CAST(sum(keep) AS DOUBLE) / count(*), 4) + 0.0 AS keep_rate
+        |FROM k GROUP BY source""".stripMargin,
+    // decontamination: train docs sharing a 3-token shingle with the
+    // held-out eval slice (doc_id < 50)
+    "pipe_contamination" ->
+      s"""$shCte,
+         |ev AS (SELECT DISTINCT hs, doc_id AS eval_id FROM sh WHERE doc_id < 50),
+         |tr AS (SELECT doc_id, hs FROM sh WHERE doc_id >= 50)
+         |SELECT tr.doc_id, count(DISTINCT tr.hs) AS n_shared,
+         |       count(DISTINCT ev.eval_id) AS n_eval_docs
+         |FROM tr JOIN ev ON ev.hs = tr.hs
+         |GROUP BY tr.doc_id""".stripMargin,
+    // Bloom filter (m = 2^16 bits, 32 per BIGINT word, 3 affine probes)
+    // built over ref shingles (doc_id < 400), probed by the rest
+    "pipe_bloom_dedup" ->
+      s"""$shCte,
+         |ref AS (SELECT DISTINCT hs FROM sh WHERE doc_id < 400),
+         |pos AS (
+         |  SELECT p FROM ref, unnest([
+         |    (hs + 7) % 65536, (hs * 3 + 12352) % 65536,
+         |    (hs * 5 + 24697) % 65536]) AS u(p)),
+         |bits AS (
+         |  SELECT p // 32 AS word,
+         |         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+         |  FROM pos GROUP BY 1),
+         |probes AS (
+         |  SELECT doc_id, hs, p // 32 AS word, CAST(p % 32 AS INT) AS bit
+         |  FROM (SELECT doc_id, hs, unnest([
+         |          (hs + 7) % 65536, (hs * 3 + 12352) % 65536,
+         |          (hs * 5 + 24697) % 65536]) AS p
+         |        FROM sh WHERE doc_id >= 400)),
+         |hit AS (
+         |  SELECT doc_id, hs,
+         |    CASE WHEN CAST(sum((coalesce(b.mask, 0) >> p.bit) & 1) AS BIGINT) = 3
+         |         THEN 1 ELSE 0 END AS seen
+         |  FROM probes p LEFT JOIN bits b ON b.word = p.word
+         |  GROUP BY doc_id, hs)
+         |SELECT doc_id, count(*) AS n_shingles, CAST(sum(seen) AS BIGINT) AS n_seen,
+         |  round(CAST(sum(seen) AS DOUBLE) / count(*), 4) + 0.0 AS seen_frac
+         |FROM hit GROUP BY doc_id""".stripMargin,
     "pipe_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -456,6 +556,25 @@ object PipelineQueries extends QueryGroup {
          |SELECT a.id AS a, b.id AS b, round(${foldDot("a.uv", "b.uv")}, 4) AS cos
          |FROM un a JOIN un b ON a.id < b.id
          |WHERE ${foldDot("a.uv", "b.uv")} >= 0.45""".stripMargin,
+    // LSH-bucketed near-dup: candidates share a sign-bucket in ANY of the
+    // 4 tables (same bucket machinery as pipe_ann_lsh), exact cosine only
+    // on candidates
+    "pipe_embed_neardup_lsh" ->
+      s"""WITH $vCte,
+         |$bucketCte,
+         |un AS (
+         |  SELECT id, CASE WHEN sqrt(${foldSq("vec")}) <> 0.0
+         |    THEN list_transform(vec, x -> x / sqrt(${foldSq("vec")}))
+         |    ELSE vec END AS uv
+         |  FROM v),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM b x JOIN b y ON x.id < y.id
+         |    AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
+         |SELECT c.a, c.b, round(${foldDot("ua.uv", "ub.uv")}, 4) AS cos
+         |FROM cand c
+         |JOIN un ua ON ua.id = c.a JOIN un ub ON ub.id = c.b
+         |WHERE ${foldDot("ua.uv", "ub.uv")} >= 0.45""".stripMargin,
     "pipe_mm_decode" ->
       """SELECT doc_id, length(text) AS n_bytes,
         |  64 + length(text) % 577 AS width,

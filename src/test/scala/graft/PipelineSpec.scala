@@ -179,4 +179,68 @@ class PipelineSpec extends AnyFunSuite {
       5, iters = 8, fraction = 0.3)
     assert(mb.map(_.toSeq).toSeq == mb2.map(_.toSeq).toSeq)
   }
+
+  test("LSH near-dup pairs are a verified subset of the exact near-dups") {
+    val vecs = graft.Tables.vectors(spark, sf)
+    val exact = DedupOps.embeddingNearDups(vecs, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.embeddingNearDupsLsh(vecs, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "bucketed path found no near-dups")
+    // precision 1 by construction: every candidate is exact-cosine verified
+    assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
+    // the planted near-identical pairs sit at cos ~1 → every table agrees
+    // on their bucket; recall of the high-cos stratum is ~1
+    val high = DedupOps.embeddingNearDups(vecs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high.subsetOf(lsh), s"LSH missed high-cos pairs: ${high -- lsh}")
+  }
+
+  test("repetition metrics are closed-form on constructed docs") {
+    import spark.implicits._
+    // "a b a b a b": 5 2-grams, 2 distinct, top ("a b") occurs 3x
+    // "w x y z":     3 2-grams, all distinct, top occurs once
+    val docs = Seq((0L, "a b a b a b", "x", "s", 11),
+      (1L, "w x y z", "x", "s", 7)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextOps.repetition(docs).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(0L) == ((5, 0.6, 0.6)))
+    assert(r(1L) == ((3, 0.0, math.rint(10000.0 / 3) / 10000)))
+  }
+
+  test("bloom probe has no false negatives; disjoint probe scores low") {
+    import spark.implicits._
+    // ref docs 0..9; probe 10 = exact copy of doc 0 (all shingles seen),
+    // probe 11 = disjoint vocabulary (any hits are FP-rate-bounded)
+    val mk = (i: Long, t: String) => (i, t, "x", "s", t.length)
+    val ref = (0L until 10L).map(i =>
+      mk(i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val copy = mk(10L, "alpha0 beta0 gamma0 delta0 epsilon0 zeta0")
+    val fresh = mk(11L, "qq ww ee rr tt yy uu ii oo pp")
+    val docs = (ref :+ copy :+ fresh)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.bloomProbe(docs, refMax = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(10L)._1 == out(10L)._2, "copied doc must hit every shingle")
+    assert(out(10L)._3 == 1.0)
+    // 30k-of-65536 bits set worst case → per-probe FP ~ (bits_set/m)^3 ≪ 1;
+    // 8 disjoint shingles should essentially never all collide
+    assert(out(11L)._3 <= 0.5, s"disjoint doc scored ${out(11L)._3}")
+  }
+
+  test("contamination flags exactly the docs sharing eval shingles") {
+    import spark.implicits._
+    // eval = docs 0,1; doc 50 copies three tokens of doc 0 (1 shared
+    // shingle), doc 51 is clean
+    val docs = Seq(
+      (0L, "one two three four five", "x", "s", 23),
+      (1L, "six seven eight nine ten", "x", "s", 24),
+      (50L, "one two three zz yy xx", "x", "s", 22),
+      (51L, "aa bb cc dd ee ff", "x", "s", 17))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.contamination(docs, evalMax = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(50L))
+    assert(out(50L) == ((1L, 1L)))
+  }
 }
