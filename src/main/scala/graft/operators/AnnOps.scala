@@ -36,12 +36,29 @@ object AnnOps {
       (h32(concat_ws(":", lit(h), j, lit(seed), lit("hp"))) + lit(0.5)) / lit(4294967296.0)
         - lit(0.5))
 
+  /** The same hyperplane lanes computed ONCE on the driver: md5 prefix →
+    * integer → exact power-of-two scaling, bit-identical to the
+    * `hyperplane` expression (and to the DuckDB oracle's replay). The
+    * expression form re-evaluated d md5 draws per plane per ROW
+    * (interpreted — about half the wall time of every LSH query at bench
+    * scale); the lanes are row-independent, so they belong in a literal. */
+  def hyperplaneValues(h: Int, d: Int, seed: Long): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(d) { j =>
+      val hex = md.digest(s"$h:$j:$seed:hp".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0 - 0.5
+    }
+  }
+
   /** Sign-bucket of a vector under nPlanes hyperplanes. The dot products
-    * use a strict left fold so bucket bits are bit-identical across
-    * engines and partitionings. */
+    * are strict left folds (codegen'd ArrayDot — bit-identical to the HOF
+    * fold, see PipelineSpec) against driver-precomputed literal lanes, so
+    * bucket bits are bit-identical across engines and partitionings. */
   def lshBucket(vec: Column, nPlanes: Int, d: Int, seed: Long): Column =
     (0 until nPlanes).map { h =>
-      when(ArrayMath.dot(vec, hyperplane(h, d, seed)) >= 0.0, lit(1 << h)).otherwise(0)
+      when(graft.functions.ArrayDot.dot(vec,
+        typedLit(hyperplaneValues(h, d, seed).toSeq)) >= 0.0, lit(1 << h)).otherwise(0)
     }.reduce(_ + _)
 
   /** Multi-table LSH ANN: `nTables` independent sign-buckets; candidates

@@ -144,18 +144,26 @@ object DedupOps {
         AnnOps.lshBucket(col("vec"), nPlanes, d, seed + t * 1000L).as("bucket"))
     }: _*)
     // buckets from the RAW vector (normalization can flip a near-zero
-    // hyperplane dot's sign); unit vectors materialized once so the pair
-    // join consumes plain rows and the ArrayDot filter stays codegen'd
-    val bucketed = vectors.select(col("id"),
-        ArrayMath.normalize(col("vec"), ArrayMath.l2(col("vec"))).as("uv"),
-        explode(tables).as("tb"))
-      .select(col("id"), col("uv"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // hyperplane dot's sign); unit vectors materialized once so the score
+    // joins consume plain rows and the ArrayDot filter stays codegen'd
+    val unit = vectors.select(col("id"),
+        ArrayMath.normalize(col("vec"), ArrayMath.l2(col("vec"))).as("uv"))
       .localCheckpoint(true)
-    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("a"), col("uv").as("ua"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("b"), col("uv").as("ub"))
-    a.join(b, Seq("tbl", "bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ua"), col("ub"))
-      .dropDuplicates("a", "b")
+    val bucketed = vectors.select(col("id"), explode(tables).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // candidate generation carries ONLY ids through the bucket join and
+    // the (a,b) dedup — the d-lane unit vectors re-attach afterwards by
+    // id-keyed joins (AQE broadcasts the uv side when it is small; at
+    // corpus scale it is a hash join keyed by id, and candidates ≪ n²).
+    // Carrying uv through the dedup shuffle made this path SLOWER than
+    // the exact baseline at bench scale.
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("b"))
+    val cand = a.join(b, Seq("tbl", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(unit.select(col("id").as("a"), col("uv").as("ua")), Seq("a"))
+      .join(unit.select(col("id").as("b"), col("uv").as("ub")), Seq("b"))
       .where(ArrayDot.dot(col("ua"), col("ub")) >= threshold)
       .select(col("a"), col("b"),
         round(ArrayDot.dot(col("ua"), col("ub")), 4).as("cos"))

@@ -74,6 +74,18 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
 
+  /** Streaming exact dedup — the incremental form of the pipeline's
+    * exact-dedup pass: the first event per event_id survives; replays and
+    * cross-batch duplicates are dropped from the stream. State is Spark's
+    * own dropDuplicates store, bounded by the watermark (an id older than
+    * the watermark can no longer collide, so its state is evicted) — the
+    * property that keeps the state size proportional to the watermark
+    * horizon, not the corpus, at 100 TB/day ingest. */
+  def streamingDedup(events: Dataset[Ev]): Dataset[Ev] =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+
   /** Streaming meanvar: mergeable (n, Σx, Σx²) state per key — the
     * reference's single-pass meanvar as flatMapGroupsWithState. */
   def streamingMeanVar(events: Dataset[Ev]): Dataset[MeanVarOut] = {

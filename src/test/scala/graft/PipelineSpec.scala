@@ -180,6 +180,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(mb.map(_.toSeq).toSeq == mb2.map(_.toSeq).toSeq)
   }
 
+  test("driver-side hyperplane lanes match the expression draw bit-for-bit") {
+    val expr = TestSpark.spark.range(1)
+      .select(AnnOps.hyperplane(3, 64, 1011).as("h"))
+      .collect()(0).getSeq[Double](0)
+    assert(expr == AnnOps.hyperplaneValues(3, 64, 1011).toSeq)
+  }
+
   test("LSH near-dup pairs are a verified subset of the exact near-dups") {
     val vecs = graft.Tables.vectors(spark, sf)
     val exact = DedupOps.embeddingNearDups(vecs, 0.45).collect()

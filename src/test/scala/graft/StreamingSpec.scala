@@ -184,4 +184,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(emitted.get(0L).contains(1L)) // late event NOT counted
     } finally query.stop()
   }
+
+  test("streaming dedup drops replays within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.streamingDedup(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val ev = (id: Long, m: Long) =>
+        Ev(id, new Timestamp(t0 + m * 60000L), 1, "click", id * 1.0)
+      // batch 1: ids 1,2,3 with 2 replayed inside the batch
+      input.addData(Seq(ev(1, 0), ev(2, 1), ev(2, 2), ev(3, 3)))
+      query.processAllAvailable()
+      // batch 2: ids 2,3 replayed across batches, 4 is new
+      input.addData(Seq(ev(2, 4), ev(3, 5), ev(4, 6)))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L, 4L)),
+        s"expected first-occurrence ids 1..4, got ${ids.mkString(",")}")
+    } finally query.stop()
+  }
 }
