@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -139,6 +140,65 @@ object TextOps {
       .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
     scored.select(col("doc_id"), best.getField("lang").as("pred_lang"),
       greatest(langs.map(l => col(s"s_$l")): _*).as("score"))
+  }
+
+  /** Domain re-balancing sample (the data-mixing step of corpus assembly;
+    * the inverse-sqrt shape of word2vec subsampling): per (lang, source)
+    * group the keep rate is min(1, c/√n) — over-represented domains are
+    * down-sampled toward a flatter mixture. Kept docs are decided by the
+    * deterministic counter-hash draw, so the sample is reproducible under
+    * any partitioning (and by the SQL oracle). Rates use only IEEE-exact
+    * ops (sqrt, divide) so both engines compare the same bits. Emits the
+    * per-group curation report (n_docs, rate, n_kept). */
+  def mixtureSample(docs: DataFrame, c: Double = 2.0, seed: Long = 19): DataFrame = {
+    val rates = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"), col("n"),
+        least(lit(1.0), lit(c) / sqrt(col("n").cast("double"))).as("rate"))
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        RandomOps.hashU(col("doc_id"), seed, "mix").as("u"))
+      .join(broadcast(rates), Seq("lang", "source"))
+      .groupBy(col("lang"), col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        (round(max(col("rate")), 6) + 0.0).as("rate"),
+        sum((col("u") < col("rate")).cast("int")).as("n_kept"))
+  }
+
+  /** Greedy sequence packing into fixed context windows (the
+    * docs→training-sequences step): concatenate docs in doc_id order
+    * within each source shard; bin = which ctx-token window the doc's
+    * first token lands in. Pure integer arithmetic over a per-shard
+    * window cumsum — at 100 TB the shard key bounds each window
+    * partition (packing is per-shard by construction, as in real
+    * pipelines; there is no global order to sort). Emits per
+    * (source, bin) doc and token counts. */
+  def seqPacking(docs: DataFrame, ctx: Long = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tokenCounts(docs).select(col("doc_id"), col("ws_tokens"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("cum", sum(col("ws_tokens")).over(w))
+      .select(col("source"),
+        ((col("cum") - col("ws_tokens")) / ctx).cast("long").as("bin"),
+        col("ws_tokens"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).cast("long").as("n_tokens"))
+  }
+
+  /** Unigram-LM negative log-likelihood per document (the CCNet-style
+    * perplexity proxy for quality bucketing): train p(term) = cf/total on
+    * the corpus itself, score each doc by −Σ tf·ln p / Σ tf. The model is
+    * one aggregate over the term-doc table; scoring is a broadcast join —
+    * same two-shuffle shape as tfidf. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val td = termDoc(docs)
+    val cf = td.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val tot = td.agg(sum(col("tf")).as("tot"))
+    td.join(broadcast(cf), Seq("term")).crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg((round(-sum(col("tf") * log(col("cf") / col("tot"))) / sum(col("tf")), 4)
+          + 0.0).as("nll"),
+        sum(col("tf")).cast("long").as("n_tokens"))
   }
 
   /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1

@@ -112,6 +112,12 @@ object PipelineQueries extends QueryGroup {
       DedupOps.contamination(Tables.documents(s, d), 50)),
     "pipe_bloom_dedup" -> ((s, d) =>
       DedupOps.bloomProbe(Tables.documents(s, d), 400)),
+    "pipe_mixture_sample" -> ((s, d) =>
+      TextOps.mixtureSample(Tables.documents(s, d))),
+    "pipe_seq_packing" -> ((s, d) =>
+      TextOps.seqPacking(Tables.documents(s, d))),
+    "pipe_unigram_logprob" -> ((s, d) =>
+      TextOps.unigramLogprob(Tables.documents(s, d))),
     "pipe_quantization" -> ((s, d) =>
       AnnOps.quantizationError(Tables.vectors(s, d))),
     // Lloyd's on a well-separated make_blobs fixture: seeds (first k rows)
@@ -369,6 +375,55 @@ object PipelineQueries extends QueryGroup {
          |SELECT min(node) AS keep, count(*) AS n_members,
          |       count(*) - 1 AS n_dropped
          |FROM comp GROUP BY c""".stripMargin,
+    // inverse-sqrt domain re-balancing: keep rate min(1, 2/sqrt(n)) per
+    // (lang, source); kept docs decided by the md5 counter draw
+    "pipe_mixture_sample" ->
+      """WITH rates AS (
+        |  SELECT lang, source, count(*) AS n,
+        |         least(1.0, 2.0 / sqrt(CAST(count(*) AS DOUBLE))) AS rate
+        |  FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT doc_id, lang, source,
+        |    (CAST(('0x' || substr(md5(concat_ws(':', doc_id, 19, 'mix')), 1, 8))
+        |      AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT u.lang, u.source, max(r.n) AS n_docs,
+        |  round(max(r.rate), 6) + 0.0 AS rate,
+        |  CAST(sum(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM u JOIN rates r ON r.lang = u.lang AND r.source = u.source
+        |GROUP BY 1, 2""".stripMargin,
+    // greedy per-source packing into 512-token context windows; bin =
+    // window containing the doc's first token (integer-only arithmetic)
+    "pipe_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, ws,
+        |    sum(ws) OVER (PARTITION BY source ORDER BY doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - ws) // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // corpus-trained unigram LM NLL per doc (perplexity-proxy quality)
+    "pipe_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |tdc AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+        |  GROUP BY 1, 2),
+        |cf AS (SELECT term, sum(tf) AS cf FROM tdc GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS tot FROM tdc)
+        |SELECT doc_id,
+        |  round(-sum(tf * ln(cf.cf / tot.tot)) / sum(tf), 4) + 0.0 AS nll,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens
+        |FROM tdc JOIN cf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     // Gopher-style repetition metrics over token 2-grams
     "pipe_repetition" ->
       """WITH toks AS (
