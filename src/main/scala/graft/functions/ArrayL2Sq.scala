@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native codegen'd squared-L2 distance Σ(a−b)² over two ARRAY<DOUBLE>
+  * columns — third member of the fused-kernel Expression family
+  * ([[ArrayDot]], [[ArrayNormSq]]; SURVEY.md §2.13). Semantically equal to
+  * `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0d, _+_)` (same strict
+  * left fold → bit-identical, oracle-compatible) but one generated Java
+  * loop with no intermediate zipped array. It is the pair kernel of the
+  * distance suite: epsilon-neighborhood joins, kNN graphs, core
+  * distances — reference: the fused L2 distance tile loop the reference
+  * builds from contractions (distance path of linalg/contractions.cuh:34).
+  */
+case class ArrayL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $sum += $d * $d;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayL2Sq {
+  /** Column-level API: native fused squared-L2 distance (inputs must be
+    * ARRAY<DOUBLE> — cast lanes before calling). */
+  def l2sq(a: Column, b: Column): Column = ColumnBridge.column(
+    ArrayL2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -24,9 +24,12 @@ import graft.functions.ArrayMath
 object DistanceOps {
 
   /** Squared L2 distance between two lane arrays (strict fold — the same
-    * expression both engines evaluate lane-by-lane). */
+    * expression both engines evaluate lane-by-lane). Written in the
+    * canonical aggregate(zip_with) shape so the L2Sq fusion rule
+    * (GraftExtensions) swaps in the codegen'd ArrayL2Sq on extended
+    * sessions — declarative here, fused kernel in the executed plan. */
   def l2sq(a: Column, b: Column): Column =
-    ArrayMath.foldSum(zip_with(a, b, (x, y) => (x - y) * (x - y)), identity)
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** Canberra distance: sum |a-b| / (|a|+|b|), 0/0 lanes contribute 0 —
     * the zero-guard convention of the classic metric. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.{ArrayDot, ArrayNormSq}
+import graft.functions.{ArrayDot, ArrayL2Sq, ArrayNormSq}
 
 /** Optimizer rule: rewrite the declarative HOF dot-product pattern
   *
@@ -54,6 +54,16 @@ object DotFusionRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** (x, y) bound to the zip lambda's (first, second) args IN ORDER —
+    * a−b is not b−a, so the diff-square match must be positional. */
+  private def firstSecond(x: Expression, y: Expression,
+      args: Seq[NamedExpression]): Boolean = (x, y, args) match {
+    case (xv: NamedLambdaVariable, yv: NamedLambdaVariable,
+        Seq(a1: NamedLambdaVariable, a2: NamedLambdaVariable)) =>
+      xv.exprId == a1.exprId && yv.exprId == a2.exprId
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
         ZipWith(a, b, LambdaFunction(Multiply(x, y, _), zipArgs, _)),
@@ -64,6 +74,19 @@ object DotFusionRule extends Rule[LogicalPlan] {
         boundTo(Seq(x, y), zipArgs) && boundTo(Seq(acc, el), mergeArgs) &&
         isIdentity(finish) =>
       ArrayDot(a, b)
+    // aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, +) → fused
+    // Σ(a-b)² (the pair kernel of the distance suite); same strict fold
+    // order → bit-identical
+    case ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(
+          Multiply(Subtract(x1, y1, _), Subtract(x2, y2, _), _), zipArgs, _)),
+        Literal(zero, DoubleType),
+        LambdaFunction(Add(acc, el, _), mergeArgs, _),
+        finish)
+      if zero == 0.0 && doubleArray(a) && doubleArray(b) &&
+        firstSecond(x1, y1, zipArgs) && firstSecond(x2, y2, zipArgs) &&
+        boundTo(Seq(acc, el), mergeArgs) && isIdentity(finish) =>
+      ArrayL2Sq(a, b)
     // aggregate(transform(v, x*x), 0.0, +) → fused Σx² (the L2/cosine/
     // normalize inner kernel); same strict fold order → bit-identical
     case ArrayAggregate(

@@ -42,6 +42,40 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("L2Sq fusion rewrites the diff-square zip fold to ArrayL2Sq, same bits") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      def dDf(sess: SparkSession) = sess.range(50).select(col("id"),
+        graft.operators.DistanceOps.l2sq(
+          transform(sequence(lit(0), lit(7)), j => (col("id") + j).cast("double")),
+          transform(sequence(lit(0), lit(7)), j => (j * 3).cast("double"))).as("d2"))
+      val df = dDf(s)
+      assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("arrayl2sq"),
+        "optimizer did not substitute ArrayL2Sq")
+      // the sibling rules must not misfire on the diff-square pattern
+      assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot("))
+      assert(!dDf(base).queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("arrayl2sq"), "un-extended session must keep the HOF form")
+      val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (0L until 50L).foreach { id =>
+        var expected = 0.0 // strict left fold, same order as the HOF
+        (0 until 8).foreach { j =>
+          val d = (id + j).toDouble - j * 3; expected += d * d }
+        assert(got(id) == expected, s"id=$id: ${got(id)} vs $expected")
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("NormSq fusion rewrites aggregate(transform(v, x*x)) to ArrayNormSq, same bits") {
     val base = TestSpark.spark
     SparkSession.clearActiveSession()
