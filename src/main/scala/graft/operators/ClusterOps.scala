@@ -234,6 +234,28 @@ object ClusterOps {
       .select(col("qid"), col("nid"), (round(col("adc"), 4) + 0.0).as("adc"), col("rnk"))
   }
 
+  /** ANN refine — exact re-rank of a compressed shortlist (the cuVS
+    * refine step layered on the reference's pairwise-distance + select_k
+    * primitives): PQ-ADC ranks a `shortlist`-deep candidate set from
+    * codes alone, then ONLY those rows re-touch the raw vectors for an
+    * exact-L2 re-rank to topK. At 100 TB the raw-vector scan is bounded
+    * by |queries|·shortlist — an id-keyed join, never a corpus scan;
+    * shortlist/topK is the recall-vs-IO knob. */
+  def pqRefine(vectors: DataFrame, nQueries: Int, topK: Int, shortlist: Int,
+      d: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val short = pqTopK(vectors, nQueries, shortlist, d, m, ksub, iters)
+      .select(col("qid"), col("nid"))
+    val q = vectors.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val c = vectors.select(col("id").as("nid"), col("vec").as("nv"))
+    val exact = short.join(q, Seq("qid")).join(c, Seq("nid"))
+      .select(col("qid"), col("nid"), DistanceOps.l2sq(col("qv"), col("nv")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    exact.withColumn("rnk", row_number().over(w)).where(col("rnk") <= topK)
+      .select(col("qid"), col("nid"),
+        (round(sqrt(col("d2")), 4) + 0.0).as("dist"), col("rnk"))
+  }
+
   /** IVF-PQ ANN — the production composition (what FAISS calls IVFPQ):
     * coarse k-means cells bound the candidate set (queries probe the
     * nprobe nearest cells; candidates come from one equi-join on cell id),

@@ -162,6 +162,13 @@ object PipelineQueries extends QueryGroup {
       ClusterOps.ivfPqTopK(blobs, 5, 10, d = 8, nlist = 5, nprobe = 2,
         m = 2, ksub = 5, iters = 5)
     }),
+    // ADC shortlist (top-20 from codes alone) → exact-L2 re-rank to
+    // top-10 — the refine step of a compressed-ANN pipeline; raw vectors
+    // are only touched for the shortlist
+    "pipe_ann_refine" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec"))
+      ClusterOps.pqRefine(blobs, 5, 10, shortlist = 20, d = 8, m = 2, ksub = 5, iters = 5)
+    }),
     "pipe_kmeans_pp" -> ((s, d) => {
       // k-means|| seeding + Lloyd's on the same separated fixture: any
       // one-seed-per-blob init converges to the same generative optimum
@@ -247,6 +254,46 @@ object PipelineQueries extends QueryGroup {
          |  FROM adc)
          |SELECT qid, nid, round(adc, 4) + 0.0 AS adc, rnk
          |FROM ranked WHERE rnk <= 10""".stripMargin,
+    // same PQ chain, then refine: ADC top-20 shortlist re-ranked by exact
+    // L2 against the raw blob vectors
+    "pipe_ann_refine" ->
+      s"""WITH $blobsVecCte,
+         |lanes AS (SELECT id, cluster, generate_subscripts(vec, 1) - 1 AS pos,
+         |                 unnest(vec) AS x FROM bl),
+         |muL AS (SELECT cluster, pos // 4 AS sub, pos, avg(x) AS m
+         |        FROM lanes GROUP BY 1, 2, 3),
+         |cw AS (SELECT cluster, sub, list(m ORDER BY pos) AS cvec
+         |       FROM muL GROUP BY 1, 2),
+         |sv AS (SELECT id, pos // 4 AS sub, list(x ORDER BY pos) AS svec
+         |       FROM lanes GROUP BY 1, 2),
+         |enc AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT sv.id, sv.sub, cw.cluster AS code,
+         |      row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+         |        ${pqL2sq("sv.svec", "cw.cvec")}, cw.cluster) AS rk
+         |    FROM sv JOIN cw ON cw.sub = sv.sub)
+         |  WHERE rk = 1),
+         |qsv AS (SELECT * FROM sv WHERE id < 5),
+         |adc AS (
+         |  SELECT qsv.id AS qid, enc.id AS nid,
+         |         sum(${pqL2sq("qsv.svec", "cw.cvec")}) AS adc
+         |  FROM qsv JOIN enc ON enc.sub = qsv.sub AND enc.id <> qsv.id
+         |  JOIN cw ON cw.sub = enc.sub AND cw.cluster = enc.code
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, nid, adc,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rnk
+         |  FROM adc),
+         |short AS (SELECT qid, nid FROM ranked WHERE rnk <= 20),
+         |ex AS (
+         |  SELECT s.qid, s.nid, ${pqL2sq("qa.vec", "qb.vec")} AS d2
+         |  FROM short s JOIN bl qa ON qa.id = s.qid JOIN bl qb ON qb.id = s.nid),
+         |rr AS (
+         |  SELECT qid, nid, d2,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rnk
+         |  FROM ex)
+         |SELECT qid, nid, round(sqrt(d2), 4) + 0.0 AS dist, rnk
+         |FROM rr WHERE rnk <= 10""".stripMargin,
     // IVF-PQ: coarse cells = per-blob means (probe rank by -2·q·c + ‖c‖²,
     // ties by cell id, as in pipe_ann_ivf); codebooks/codes/ADC as in
     // pipe_ann_pq; candidates restricted to the 2 probed cells.
