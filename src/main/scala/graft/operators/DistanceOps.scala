@@ -100,17 +100,70 @@ object DistanceOps {
       .select(col("a").as("id"), sqrt(col("d2")).as("core"))
   }
 
+  /** NN-descent kNN-graph construction (Dong et al. 2011 — the
+    * construction modern ANN stacks ship as nn_descent): start from a
+    * deterministic hash-random k-neighbor graph, then each round proposes
+    * candidates = neighbors-of-neighbors over the UNDIRECTED current
+    * graph and keeps each node's top-k by distance. Every round is one
+    * self-join on the edge list + one distance attach + a per-node
+    * window top-k — candidate volume is O(n·k²) per round and no
+    * all-pairs stage ever materializes, which is the whole point at
+    * 100 TB: the exact graph emerges from local moves. Converges to the
+    * exact kNN graph on clustered data in a few rounds (DistanceSpec
+    * measures recall; the driver query runs on the separated-blobs
+    * fixture where convergence is exact and the oracle is the direct
+    * SQL kNN). */
+  def nnDescent(vectors: DataFrame, k: Int, rounds: Int, seed: Long = 7): DataFrame = {
+    import graft.operators.TextOps.h32
+    val n = vectors.count()
+    def attach(cand: DataFrame): DataFrame =
+      cand.join(vectors.select(col("id").as("src"), col("vec").as("va")), Seq("src"))
+        .join(vectors.select(col("id").as("dst"), col("vec").as("vb")), Seq("dst"))
+        .select(col("src"), col("dst"), l2sq(col("va"), col("vb")).as("d2"))
+    def topk(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src")).orderBy(col("d2").asc, col("dst").asc)
+      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+        .select(col("src"), col("dst"), col("d2"), col("rnk"))
+    }
+    val init = vectors.select(col("id").as("src"),
+        explode(transform(sequence(lit(1), lit(k)), j =>
+          pmod(h32(concat_ws(":", col("id"), j, lit(seed))), lit(n)))).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    var graph = topk(attach(init)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val und = graph.select(col("src"), col("dst"))
+        .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val nofn = und.select(col("src"), col("dst").as("mid"))
+        .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val cand = nofn.unionByName(graph.select(col("src"), col("dst"))).distinct()
+      graph = topk(attach(cand)).localCheckpoint(true)
+    }
+    graph.select(col("src"), col("dst"),
+      (round(sqrt(col("d2")), 4) + 0.0).as("dist"), col("rnk"))
+  }
+
   /** Mutual-reachability single-linkage (the HDBSCAN construction,
     * reference ecosystem: cluster/single_linkage.cuh:37 generalized with
     * core distances): d_mr(a,b) = max(core_a, core_b, d(a,b)), then the
     * already-distributed MST + cut + connected-components pipeline
-    * produces k flat clusters. Returns (node, comp). */
+    * produces k flat clusters. The pair-distance table is computed ONCE
+    * and checkpointed — core distances rank its symmetrized form (same
+    * values/ties as [[coreDistances]], which pays a second all-pairs
+    * pass when called standalone). Returns (node, comp). */
   def mutualReachabilityLinkage(vectors: DataFrame, kCore: Int, k: Int): DataFrame = {
-    val core = coreDistances(vectors, kCore)
     val a = vectors.select(col("id").as("src"), col("vec").as("va"))
     val b = vectors.select(col("id").as("dst"), col("vec").as("vb"))
     val pairs = a.join(b, col("src") < col("dst"))
       .select(col("src"), col("dst"), sqrt(l2sq(col("va"), col("vb"))).as("d"))
+      .localCheckpoint(true)
+    val sym = pairs.select(col("src").as("id"), col("dst").as("nb"), col("d"))
+      .unionByName(pairs.select(col("dst").as("id"), col("src").as("nb"), col("d")))
+    val w = Window.partitionBy(col("id")).orderBy(col("d").asc, col("nb").asc)
+    val core = sym.withColumn("rnk", row_number().over(w)).where(col("rnk") === kCore)
+      .select(col("id"), col("d").as("core"))
     val mrd = pairs
       .join(core.select(col("id").as("src"), col("core").as("ca")), Seq("src"))
       .join(core.select(col("id").as("dst"), col("core").as("cb")), Seq("dst"))

@@ -142,6 +142,22 @@ object TextOps {
       greatest(langs.map(l => col(s"s_$l")): _*).as("score"))
   }
 
+  /** First step of BPE vocabulary induction: corpus-wide adjacent
+    * character-pair frequencies within tokens — the argmax pair is the
+    * first merge, and every merge round repeats exactly this shape (pair
+    * explode + count). One map-side explode + one count aggregate over
+    * the corpus; the top-N window runs over distinct pairs only (≤
+    * charset², never corpus-sized). */
+  def bpePairStats(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val toks = tokenize(docs).select(explode(col("tokens")).as("t"))
+    val pairs = toks.where(length(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as("pair"))
+    val counts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("pair").asc)
+    counts.withColumn("rnk", row_number().over(w)).where(col("rnk") <= topN)
+  }
+
   /** Domain re-balancing sample (the data-mixing step of corpus assembly;
     * the inverse-sqrt shape of word2vec subsampling): per (lang, source)
     * group the keep rate is min(1, c/√n) — over-represented domains are

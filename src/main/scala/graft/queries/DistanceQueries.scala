@@ -68,6 +68,15 @@ object DistanceQueries extends QueryGroup {
       DistanceOps.mutualReachabilityLinkage(blobs, 5, 5)
         .groupBy(col("comp").as("cluster")).agg(count(lit(1)).as("n"))
     }),
+    // NN-descent on the separated blobs. Deliberately NO SQL oracle: the
+    // output is the fixpoint of an iterative local search (it plateaus at
+    // ~0.99 recall of the exact graph — the algorithm's documented
+    // behavior, not a bug), so the driver records rows-only and
+    // DistanceSpec pins the deterministic recall vs the exact kNN graph.
+    "dist_nn_descent" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec"))
+      DistanceOps.nnDescent(blobs, 5, 4)
+    }),
   )
 
   // ---- oracles ----

@@ -118,6 +118,8 @@ object PipelineQueries extends QueryGroup {
       TextOps.seqPacking(Tables.documents(s, d))),
     "pipe_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogprob(Tables.documents(s, d))),
+    "pipe_bpe_pairs" -> ((s, d) =>
+      TextOps.bpePairStats(Tables.documents(s, d))),
     "pipe_quantization" -> ((s, d) =>
       AnnOps.quantizationError(Tables.vectors(s, d))),
     // Lloyd's on a well-separated make_blobs fixture: seeds (first k rows)
@@ -471,6 +473,21 @@ object PipelineQueries extends QueryGroup {
         |  CAST(sum(tf) AS BIGINT) AS n_tokens
         |FROM tdc JOIN cf USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // first BPE merge round: corpus-wide adjacent character-pair counts
+    // within tokens, top-20 with deterministic ties
+    "pipe_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |t AS (SELECT unnest(tokens) AS t FROM toks),
+        |p AS (
+        |  SELECT substr(t, i, 2) AS pair
+        |  FROM t, unnest(range(1, length(t))) AS u(i)
+        |  WHERE length(t) >= 2),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+        |SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+        |FROM c QUALIFY rnk <= 20""".stripMargin,
     // Gopher-style repetition metrics over token 2-grams
     "pipe_repetition" ->
       """WITH toks AS (

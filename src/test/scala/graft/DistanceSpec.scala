@@ -72,6 +72,24 @@ class DistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("NN-descent reaches >=0.98 recall of the exact kNN graph in 4 rounds") {
+    val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42)
+      .select(col("id"), col("vec")).localCheckpoint(true)
+    val exact = DistanceOps.knnGraph(blobs, 5).select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nn = DistanceOps.nnDescent(blobs, 5, 4).select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (nn intersect exact).size.toDouble / exact.size
+    // hash-deterministic: measured 0.9844 at these parameters; the
+    // plateau (~0.99, not 1.0) is the algorithm's documented local-search
+    // behavior, which is why the driver query records rows-only
+    assert(recall >= 0.98, s"NN-descent recall $recall")
+    // determinism: the fixpoint reproduces exactly
+    val nn2 = DistanceOps.nnDescent(blobs, 5, 4).select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nn == nn2)
+  }
+
   test("PQ encode compresses same-blob points to identical codes") {
     val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42).select(col("id"), col("vec"))
     val cb = ClusterOps.pqTrain(blobs, d = 8, m = 2, ksub = 5, iters = 5)
