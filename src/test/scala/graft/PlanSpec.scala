@@ -53,6 +53,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), "vector_sum partial aggregation lost")
   }
 
+  test("LSH bucketing uses literal hyperplane lanes — no per-row md5 draw") {
+    // the hyperplane lanes are row-independent driver-side literals; a
+    // regression back to the expression draw puts d md5 calls per plane
+    // per ROW into the plan (~half the wall time of every LSH query)
+    val p = plan("pipe_ann_lsh")
+    assert(!p.toLowerCase.contains("md5"),
+      s"per-row md5 hyperplane draw is back in the LSH plan:\n${p.take(2000)}")
+  }
+
   test("pipe_embed_neardup pair stage: native dot, cheap conjunct first, no HOF fold") {
     val p = plan("pipe_embed_neardup")
     assert(p.contains("arraydot"), s"pair stage lost the native fused dot:\n$p")
