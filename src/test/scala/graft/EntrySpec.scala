@@ -45,7 +45,8 @@ class EntrySpec extends AnyFunSuite {
     val groups = Seq(
       graft.queries.MatrixQueries.q, graft.queries.SparseTextQueries.q,
       graft.queries.StatsQueries.q, graft.queries.RandomLabelQueries.q,
-      graft.queries.PipelineQueries.q, graft.queries.SolverQueries.q)
+      graft.queries.PipelineQueries.q, graft.queries.SolverQueries.q,
+      graft.queries.DistanceQueries.q)
     val groupTotal = groups.map(_.size).sum
     val merged = groups.map(_.keySet).reduce(_ ++ _).size
     assert(groupTotal == merged, "duplicate query keys across groups")
