@@ -235,6 +235,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(11L)._3 <= 0.5, s"disjoint doc scored ${out(11L)._3}")
   }
 
+  test("text/dedup ops return empty results (not errors) on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String, Int)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    import graft.operators.TextOps
+    assert(TextOps.repetition(empty).count() == 0)
+    assert(TextOps.qualityGate(empty).count() == 0)
+    assert(TextOps.mixtureSample(empty).count() == 0)
+    assert(TextOps.seqPacking(empty).count() == 0)
+    assert(TextOps.unigramLogprob(empty).count() == 0)
+    assert(TextOps.bpePairStats(empty).count() == 0)
+    assert(DedupOps.minhashDupPairs(empty, 0.5).count() == 0)
+    assert(DedupOps.contamination(empty, 50).count() == 0)
+    assert(DedupOps.bloomProbe(empty, 400).count() == 0)
+    assert(DedupOps.dedupSurvivors(empty, 0.5).count() == 0)
+  }
+
   test("contamination flags exactly the docs sharing eval shingles") {
     import spark.implicits._
     // eval = docs 0,1; doc 50 copies three tokens of doc 0 (1 shared
