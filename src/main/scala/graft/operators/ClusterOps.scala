@@ -18,7 +18,7 @@ import graft.functions.{ArrayDot, ArrayMath, VectorAgg}
 object ClusterOps {
 
   private def centroidLit(c: Array[Double]): Column =
-    array(c.map(lit(_)): _*)
+    array(c.toIndexedSeq.map(lit(_)): _*)
 
   /** (−2·v·c + ‖c‖², clusterId) structs; array_min picks the nearest
     * centroid with lowest-id tie-break (‖v‖² is constant per row). */
@@ -28,7 +28,7 @@ object ClusterOps {
       struct((ArrayDot.dot(v, centroidLit(c)) * -2.0 + cNorm).as("s"),
         lit(i).as("c"))
     }
-    array_min(array(scored: _*)).getField("c")
+    array_min(array(scored.toIndexedSeq: _*)).getField("c")
   }
 
   private def nearestExpr(centroids: Array[Array[Double]]): Column =
@@ -41,12 +41,12 @@ object ClusterOps {
       struct((ArrayDot.dot(col("vec"), centroidLit(c)) * -2.0 + cNorm).as("s"),
         lit(i).as("c"))
     }
-    slice(transform(array_sort(array(scored: _*)), s => s.getField("c")), 1, nprobe)
+    slice(transform(array_sort(array(scored.toIndexedSeq: _*)), s => s.getField("c")), 1, nprobe)
   }
 
   /** Squared distance to the nearest of the given centers (expression). */
   private def minDist2(centers: Array[Array[Double]]): Column = {
-    val best = array_min(array(centers.map { c =>
+    val best = array_min(array(centers.toIndexedSeq.map { c =>
       val cNorm = c.map(x => x * x).sum
       ArrayDot.dot(col("vec"), centroidLit(c)) * -2.0 + cNorm
     }: _*))
@@ -160,10 +160,10 @@ object ClusterOps {
   def inertia(assigned: DataFrame, centroids: Array[Array[Double]]): Double = {
     val withDist = assigned.select(
       (ArrayMath.foldSum(col("vec"), x => x * x)
-        + element_at(array(centroids.map(c => lit(c.map(x => x * x).sum)): _*),
+        + element_at(array(centroids.toIndexedSeq.map(c => lit(c.map(x => x * x).sum)): _*),
           col("cluster") + 1)
         - ArrayDot.dot(col("vec"),
-          element_at(array(centroids.map(centroidLit): _*), col("cluster") + 1)) * 2.0)
+          element_at(array(centroids.toIndexedSeq.map(centroidLit): _*), col("cluster") + 1)) * 2.0)
         .as("d2"))
     withDist.agg(sum(col("d2"))).head().getDouble(0)
   }
@@ -221,7 +221,7 @@ object ClusterOps {
   private def adcExpr(codebooks: Array[Array[Array[Double]]], dsub: Int,
       qv: Column): Column =
     codebooks.indices.map { s =>
-      val cb = array(codebooks(s).map(centroidLit): _*)
+      val cb = array(codebooks(s).toIndexedSeq.map(centroidLit): _*)
       ArrayMath.foldSum(
         zip_with(slice(qv, s * dsub + 1, dsub),
           element_at(cb, col(s"c$s") + 1), (a, b) => (a - b) * (a - b)),

@@ -428,7 +428,7 @@ object SolverOps {
           val yc = (0 until big).map(t => es.eigenvectors(t, c))
           ArrayMath.dot(org.apache.spark.sql.functions.slice(
             col("qs"), lit(1), lit(big)), typedLit(yc))
-        } :+ element_at(col("qs"), lanes)).toArray
+        } :+ element_at(col("qs"), lanes)).toIndexedSeq
         basis = basis.select(col("i"), array(newLanes: _*).as("qs")).localCheckpoint(true)
         h = DenseMatrix.zeros[Double](steps + 1, steps + 1)
         order.take(l).zipWithIndex.foreach { case ((th, _), t) => h(t, t) = th }
