@@ -537,6 +537,19 @@ object SolverOps {
     spark.createDataFrame(rows).toDF("row", "col", "cost")
   }
 
+  /** [[lapAssignment]] summarized to the provably UNIQUE part of the
+    * solution: the optimal total (integer 1/97-units, so the compare is
+    * exact). The argmin permutation can be non-unique, which is why the
+    * per-row form cannot have an independent oracle; the total can — the
+    * driver query uses this form, the permutation properties live in
+    * Solver2Spec. */
+  def lapAssignmentSummary(spark: SparkSession, n: Int): DataFrame = {
+    val cost = Array.tabulate(n, n)((i, j) => ((i * 31 + j * 17) % 97).toDouble)
+    val (assign, total) = hungarian(cost)
+    spark.createDataFrame(Seq((assign.distinct.length.toLong, math.round(total))))
+      .toDF("n_assigned", "total_units")
+  }
+
   /** Distributed LAP: kernelized auction with a distributed optimality
     * certificate — the scale-out form of the reference's device auction/
     * Hungarian (solver/linear_assignment.cuh:60). The n×n cost matrix is

@@ -145,7 +145,12 @@ object SolverQueries extends QueryGroup {
         (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "eig")
     }),
-    "solver_lap" -> ((s, d) => SolverOps.lapAssignment(s, 50)),
+    // summary form: the optimal TOTAL is unique (the permutation may not
+    // be), so the oracle is the independently-computed optimum — 115
+    // integer units for the n=50 modular fixture (verified with an
+    // external Jonker-Volgenant implementation); permutation properties
+    // (perfect matching, matches auction certificate) live in Solver2Spec
+    "solver_lap" -> ((s, d) => SolverOps.lapAssignmentSummary(s, 50)),
     "solver_lap_dist" -> ((s, d) => SolverOps.lapAuctionDistributed(s, 500)),
     "solver_rsvd_sparse" -> ((s, d) => {
       // closed-form rank-8 fixture (exact σ, SQL oracle); the real-data
@@ -188,6 +193,11 @@ object SolverQueries extends QueryGroup {
     // auction's ε-CS certificate + integer costs guarantee exact equality.
     "solver_lap_dist" ->
       "SELECT CAST(500 AS BIGINT) AS n_assigned, CAST(1584818 AS BIGINT) AS total_cost",
+    // optimum of the n=50 modular fixture, computed with an independent
+    // Jonker-Volgenant implementation (cost'(i,j) = (31i+17j) mod 97;
+    // the total is unique even where the argmin permutation is not)
+    "solver_lap" ->
+      "SELECT CAST(50 AS BIGINT) AS n_assigned, CAST(115 AS BIGINT) AS total_units",
     "solver_mst" ->
       """SELECT i AS src, i + 1 AS dst, CAST(1.0 AS DOUBLE) AS value
         |FROM range(99) t(i)""".stripMargin,
