@@ -86,6 +86,23 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
 
+  /** Incremental corpus curation — the quality gate + exact dedup
+    * composed as one always-on streaming pipeline: the gate is pure
+    * per-row expressions (stateless, no shuffle), dedup keys on the
+    * content hash with state bounded by the watermark. The batch twins
+    * of these rules are TextOps.qualityGate / DedupOps.exactDedupStats;
+    * this is the ingest-time form a 100 TB/day feed runs. */
+  def streamingCurate(docs: DataFrame, minTokens: Int = 8): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    docs
+      .withWatermark("ts", "1 hour")
+      .withColumn("n_tokens", size(toks))
+      .where(col("n_tokens") >= minTokens &&
+        size(array_distinct(toks)).cast("double") / size(toks) >= 0.2)
+      .withColumn("content_h", md5(col("text")))
+      .dropDuplicates("content_h")
+  }
+
   /** Streaming meanvar: mergeable (n, Σx, Σx²) state per key — the
     * reference's single-pass meanvar as flatMapGroupsWithState. */
   def streamingMeanVar(events: Dataset[Ev]): Dataset[MeanVarOut] = {

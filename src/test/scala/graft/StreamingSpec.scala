@@ -10,7 +10,12 @@ import graft.operators.StreamingOps.Ev
 /** Drives the genuinely-streaming paths (watermarked window agg, stateful
   * meanvar) through MemoryStream and checks them against their batch twins.
   */
+object StreamingSpec {
+  case class SDoc(doc_id: Long, text: String, ts: Timestamp)
+}
+
 class StreamingSpec extends AnyFunSuite {
+  import StreamingSpec.SDoc
   import TestSpark._
 
   private def mkEvents(): Seq[Ev] = {
@@ -182,6 +187,32 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("wstart"), col("cnt")).collect()
         .map(r => (r.getTimestamp(0).getTime - t0) / 3600000L -> r.getLong(1)).toMap
       assert(emitted.get(0L).contains(1L)) // late event NOT counted
+    } finally query.stop()
+  }
+
+  test("streaming curation gates quality and dedups content incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SDoc]
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val short = "alpha beta"
+    val repet = "aa aa aa aa aa aa aa aa aa aa" // distinct ratio 0.1 < 0.2
+    val query = StreamingOps.streamingCurate(input.toDF())
+      .select(col("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      input.addData(Seq(SDoc(1, good, new Timestamp(t0)),
+        SDoc(2, short, new Timestamp(t0 + 1000))))
+      query.processAllAvailable()
+      // batch 2: exact replay of doc 1's text + a repetitive doc
+      input.addData(Seq(SDoc(3, good, new Timestamp(t0 + 2000)),
+        SDoc(4, repet, new Timestamp(t0 + 3000))))
+      query.processAllAvailable()
+      val kept = spark.table("curate_out").collect().map(_.getLong(0)).sorted
+      assert(kept.sameElements(Array(1L)),
+        s"expected only doc 1 to survive gate+dedup, got ${kept.mkString(",")}")
     } finally query.stop()
   }
 
