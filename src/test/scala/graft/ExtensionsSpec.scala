@@ -76,6 +76,36 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fusion rules do not fire on near-miss patterns") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val v = transform(sequence(lit(0), lit(7)), j => (col("id") + j).cast("double"))
+      val w = transform(sequence(lit(0), lit(7)), j => (j * 2).cast("double"))
+      // (x+y)*(x-y), reversed diff order, and non-zero init: all must stay HOF
+      val nearMisses = Seq(
+        aggregate(zip_with(v, w, (x, y) => (x + y) * (x - y)), lit(0.0), (a, b) => a + b),
+        aggregate(zip_with(v, w, (x, y) => (y - x) * (x - y)), lit(0.0), (a, b) => a + b),
+        aggregate(zip_with(v, w, (x, y) => (x - y) * (x - y)), lit(1.0), (a, b) => a + b),
+        aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (a, b) => a - b))
+      nearMisses.zipWithIndex.foreach { case (c, i) =>
+        val p = s.range(3).select(c.as("r")).queryExecution.optimizedPlan
+          .toString.toLowerCase
+        assert(!p.contains("arraydot") && !p.contains("arrayl2sq")
+          && !p.contains("arraynormsq"), s"near-miss $i was rewritten:\n$p")
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("NormSq fusion rewrites aggregate(transform(v, x*x)) to ArrayNormSq, same bits") {
     val base = TestSpark.spark
     SparkSession.clearActiveSession()
