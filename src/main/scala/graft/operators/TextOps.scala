@@ -248,7 +248,9 @@ object TextOps {
     * keyed by doc_id (one shuffle each); the final per-source rollup is a
     * tiny aggregate.
     */
-  def qualityGate(docs: DataFrame): DataFrame = {
+  /** Per-doc keep flag under the composed rules (the decision
+    * [[qualityGate]] rolls up and [[curationReport]] pipelines). */
+  def qualityKeepFlags(docs: DataFrame): DataFrame = {
     val q = quality(docs)
     val r = repetition(docs)
     val keep = (col("n_tokens") >= 8) && (col("n_tokens") <= 2000) &&
@@ -257,9 +259,41 @@ object TextOps {
     docs.select(col("doc_id"), col("source"))
       .join(q, Seq("doc_id")).join(r, Seq("doc_id"))
       .select(col("doc_id"), col("source"), keep.cast("int").as("keep"))
+  }
+
+  def qualityGate(docs: DataFrame): DataFrame =
+    qualityKeepFlags(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
         (round(sum(col("keep")).cast("double") / count(lit(1)), 4) + 0.0)
           .as("keep_rate"))
+
+  /** End-to-end curation report — the whole batch pipeline composed as
+    * ONE declarative query: quality gate → exact-dedup survivor collapse
+    * (min doc_id per content hash) → token budget + context-window
+    * packing of the survivors, rolled up per source. Every stage is an
+    * operator that also ships standalone; the composition costs only
+    * doc-keyed joins and the per-source rollups, so the 100 TB shape is
+    * the sum of its parts — no new shuffle classes appear. */
+  def curationReport(docs: DataFrame, ctx: Long = 512): DataFrame = {
+    val kept = docs.join(
+      qualityKeepFlags(docs).where(col("keep") === 1).select(col("doc_id")), Seq("doc_id"))
+    val survIds = kept.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val sdocs = kept.join(survIds, Seq("doc_id"))
+    val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val gated = kept.groupBy(col("source")).agg(count(lit(1)).as("n_gated"))
+    val uniq = tokenCounts(sdocs).select(col("doc_id"), col("ws_tokens"))
+      .join(sdocs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("ws_tokens")).cast("long").as("n_tokens"))
+    val bins = seqPacking(sdocs, ctx).groupBy(col("source")).agg(count(lit(1)).as("n_bins"))
+    raw.join(gated, Seq("source"), "left").join(uniq, Seq("source"), "left")
+      .join(bins, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"))
   }
 }

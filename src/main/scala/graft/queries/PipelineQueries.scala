@@ -120,6 +120,8 @@ object PipelineQueries extends QueryGroup {
       TextOps.unigramLogprob(Tables.documents(s, d))),
     "pipe_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairStats(Tables.documents(s, d))),
+    "pipe_curation_e2e" -> ((s, d) =>
+      TextOps.curationReport(Tables.documents(s, d))),
     "pipe_quantization" -> ((s, d) =>
       AnnOps.quantizationError(Tables.vectors(s, d))),
     // Lloyd's on a well-separated make_blobs fixture: seeds (first k rows)
@@ -473,6 +475,67 @@ object PipelineQueries extends QueryGroup {
         |  CAST(sum(tf) AS BIGINT) AS n_tokens
         |FROM tdc JOIN cf USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // end-to-end curation: gate -> exact-dedup survivors -> token budget
+    // + packing, per source — the composed pipeline as one query
+    "pipe_curation_e2e" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, len(tokens) AS n_tokens,
+        |    round(CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+        |          / len(tokens), 4) AS mean_tok_len,
+        |    round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 4)
+        |      AS distinct_ratio
+        |  FROM toks),
+        |g AS (
+        |  SELECT doc_id, len(tokens) - 1 AS total,
+        |         tokens[i+1] || ' ' || tokens[i+2] AS g
+        |  FROM toks, unnest(range(len(tokens) - 1)) AS t(i)
+        |  WHERE len(tokens) >= 2),
+        |cg AS (SELECT doc_id, total, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT doc_id, round(1.0 - CAST(count(*) AS DOUBLE) / total, 4)
+        |    AS dup_2gram_frac
+        |  FROM cg GROUP BY doc_id, total),
+        |k AS (
+        |  SELECT d.doc_id
+        |  FROM documents d
+        |  JOIN q ON q.doc_id = d.doc_id
+        |  JOIN r ON r.doc_id = d.doc_id
+        |  WHERE q.n_tokens >= 8 AND q.n_tokens <= 2000
+        |    AND q.mean_tok_len >= 2.0 AND q.mean_tok_len <= 12.0
+        |    AND q.distinct_ratio >= 0.2 AND r.dup_2gram_frac <= 0.9),
+        |kept AS (SELECT d.* FROM documents d JOIN k ON k.doc_id = d.doc_id),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        |sdocs AS (SELECT kept.* FROM kept JOIN surv USING (doc_id)),
+        |raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY 1),
+        |gated AS (SELECT source, count(*) AS n_gated FROM kept GROUP BY 1),
+        |tok2 AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws
+        |  FROM sdocs),
+        |uniqc AS (SELECT source, count(*) AS n_unique,
+        |                 CAST(sum(ws) AS BIGINT) AS n_tokens
+        |          FROM tok2 GROUP BY 1),
+        |c AS (
+        |  SELECT doc_id, source, ws,
+        |    sum(ws) OVER (PARTITION BY source ORDER BY doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tok2),
+        |bins AS (
+        |  SELECT source, count(DISTINCT CAST((cum - ws) // 512 AS BIGINT)) AS n_bins
+        |  FROM c GROUP BY 1)
+        |SELECT raw.source, raw.n_raw,
+        |  coalesce(gated.n_gated, 0) AS n_gated,
+        |  coalesce(uniqc.n_unique, 0) AS n_unique,
+        |  coalesce(uniqc.n_tokens, 0) AS n_tokens,
+        |  coalesce(bins.n_bins, 0) AS n_bins
+        |FROM raw
+        |LEFT JOIN gated ON gated.source = raw.source
+        |LEFT JOIN uniqc ON uniqc.source = raw.source
+        |LEFT JOIN bins ON bins.source = raw.source""".stripMargin,
     // first BPE merge round: corpus-wide adjacent character-pair counts
     // within tokens, top-20 with deterministic ties
     "pipe_bpe_pairs" ->
