@@ -49,6 +49,10 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_set_ops" -> ((s, d) => Relational.customerSetOps(s, d)),
     "rel_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(s, d)),
     "rel_event_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
+    // connector round-trips: the ORACLE reads the original parquet, so a
+    // quoting/escaping/null bug in the CSV/JSON path breaks the hash
+    "rel_csv_roundtrip" -> ((s, d) => graft.sources.Connectors.csvRoundTrip(s, d)),
+    "rel_json_roundtrip" -> ((s, d) => graft.sources.Connectors.jsonRoundTrip(s, d)),
   )
 
   val sql: Map[String, String] = Map(
@@ -142,6 +146,16 @@ private object RelationalQueries extends graft.queries.QueryGroup {
         |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
         |       AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM pu""".stripMargin,
+    // connector oracles read the ORIGINAL parquet — the round-trip must
+    // reproduce it exactly through the CSV/JSON parse path
+    "rel_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_cents
+        |FROM customer GROUP BY 1""".stripMargin,
+    "rel_json_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1""".stripMargin,
     "rel_set_ops" ->
       """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |s AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
