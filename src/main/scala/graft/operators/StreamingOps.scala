@@ -103,6 +103,53 @@ object StreamingOps {
       .dropDuplicates("content_h")
   }
 
+  case class BandHit(doc_id: Long, band: Int, sig: String)
+
+  /** Streaming MinHash-LSH near-dup candidates — the incremental twin of
+    * DedupOps.minhashDupPairs. The signature pipeline is re-expressed as
+    * pure per-row expressions (shingles as an array column, each minhash
+    * as an array_min over it — no shuffle, so it composes with the ONE
+    * stateful stage Structured Streaming allows): state per (band, sig)
+    * bucket = first doc_id seen; later arrivals emit (doc_id, dup_of)
+    * candidates. Exact-Jaccard verification of candidates is a
+    * micro-batch join downstream, as in the batch pipeline. Same affine
+    * permutation family as the batch op. */
+  def streamingMinhashCandidates(docs: DataFrame): Dataset[(Long, Long)] = {
+    import DedupOps.P
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    val sh = transform(sequence(lit(0), size(col("tk")) - 3),
+      i => graft.operators.TextOps.h32(concat_ws(" ",
+        element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
+        element_at(col("tk"), i + 3))))
+    val mh = (0 until 16).map { i =>
+      array_min(transform(col("sh"),
+        h => pmod(h * (2L * i + 1L) + (12345L * i + 7L), lit(P)))).as(s"mh_$i")
+    }
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as("sig"))
+    }
+    val banded = docs
+      .select(col("doc_id"), toks.as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id") +: mh: _*)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .as[BandHit]
+    banded.groupByKey(h => (h.band, h.sig))
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[BandHit], state: GroupState[Long]) =>
+          val ids = rows.map(_.doc_id).toSeq.sorted
+          val first = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(first)
+          ids.filter(_ != first).map(d => (d, first)).iterator
+      }
+  }
+
   /** Streaming meanvar: mergeable (n, Σx, Σx²) state per key — the
     * reference's single-pass meanvar as flatMapGroupsWithState. */
   def streamingMeanVar(events: Dataset[Ev]): Dataset[MeanVarOut] = {

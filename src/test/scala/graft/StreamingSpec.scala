@@ -216,6 +216,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming minhash flags cross-batch near-duplicates via bucket state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SDoc]
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val query = StreamingOps.streamingMinhashCandidates(input.toDF())
+      .toDF("doc_id", "dup_of")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mh_out").start()
+    try {
+      input.addData(Seq(SDoc(1, a, new Timestamp(t0)),
+        SDoc(2, b, new Timestamp(t0 + 1000))))
+      query.processAllAvailable()
+      // batch 2: doc 10 replays doc 1's text (all bands collide), doc 11 is fresh
+      input.addData(Seq(SDoc(10, a, new Timestamp(t0 + 2000)),
+        SDoc(11, "unrelated words entirely distinct tokens here appear once only now", new Timestamp(t0 + 3000))))
+      query.processAllAvailable()
+      val cands = spark.table("mh_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands == Set((10L, 1L)),
+        s"expected exactly the cross-batch dup candidate (10,1), got $cands")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops replays within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
