@@ -125,12 +125,23 @@ object DistanceOps {
       scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
         .select(col("src"), col("dst"), col("d2"), col("rnk"))
     }
+    // order-independent edge-set checksum (xor of row hashes — edges are
+    // distinct, so nothing self-cancels): identical graph ⇒ identical
+    // checksum, so an unchanged round proves the fixpoint and every later
+    // round would be a no-op — stop (the early-termination knob of the
+    // published algorithm; a 64-bit collision is ~2^-64 per round)
+    def checksum(g: DataFrame): Long =
+      g.select(xxhash64(col("src"), col("dst")).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
     val init = vectors.select(col("id").as("src"),
         explode(transform(sequence(lit(1), lit(k)), j =>
           pmod(h32(concat_ws(":", col("id"), j, lit(seed))), lit(n)))).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
     var graph = topk(attach(init)).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var prev = checksum(graph)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val und = graph.select(col("src"), col("dst"))
         .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
@@ -140,6 +151,10 @@ object DistanceOps {
         .select(col("src"), col("dst"))
       val cand = nofn.unionByName(graph.select(col("src"), col("dst"))).distinct()
       graph = topk(attach(cand)).localCheckpoint(true)
+      val cur = checksum(graph)
+      converged = cur == prev
+      prev = cur
+      r += 1
     }
     graph.select(col("src"), col("dst"),
       (round(sqrt(col("d2")), 4) + 0.0).as("dist"), col("rnk"))

