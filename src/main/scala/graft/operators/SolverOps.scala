@@ -741,12 +741,16 @@ object SolverOps {
     */
   def singleLinkage(edges: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val mst = boruvkaMst(edges)
+    // the edge list is consumed three times (MST size probe, MST build,
+    // node set) — materialize once so an expensive upstream (e.g. the
+    // mutual-reachability pair join) isn't re-evaluated per consumer
+    val e = edges.localCheckpoint(true)
+    val mst = boruvkaMst(e)
     val w = Window.orderBy(col("value").desc, col("src").desc, col("dst").desc)
     val kept = mst.withColumn("rnk", row_number().over(w))
       .where(col("rnk") > k - 1).select(col("src"), col("dst"))
-    val nodes = edges.select(col("src").as("n"))
-      .unionByName(edges.select(col("dst").as("n"))).distinct()
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
     LabelOps.connectedComponents(
       kept.unionByName(nodes.select(col("n").as("src"), col("n").as("dst"))))
   }
