@@ -10,24 +10,35 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 /** Native codegen'd dot product over two ARRAY<DOUBLE> columns — the
   * custom-`Expression` tier of the extension ladder (compose built-ins →
   * custom Expression → custom plan; SURVEY.md §2.13). Semantically equal to
-  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` (same strict left fold, so
-  * results are bit-identical and oracle-compatible) but generates a single
-  * fused Java loop with no intermediate array allocation, and stays inside
-  * whole-stage codegen. Mirrors the fusion the reference gets from its
-  * device lambdas (linalg/dot.cuh:38, map.cuh:95).
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` on ALL inputs: the same strict
+  * left fold (bit-identical, oracle-compatible) on equal-length non-null
+  * lanes, and null when lengths differ or any lane is null (zip_with
+  * null-pads the shorter array; a null term poisons the fold). The payoff
+  * is one fused Java loop with no intermediate array allocation that stays
+  * inside whole-stage codegen — the per-lane null check is compiled away
+  * when the schema says lanes are non-nullable. Mirrors the fusion the
+  * reference gets from its device lambdas (linalg/dot.cuh:38, map.cuh:95).
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // null on length mismatch / null lane, even for non-null inputs
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -36,13 +47,22 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val laneCheck =
+        if (FusedKernels.lanesNullable(left) || FusedKernels.lanesNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $laneCheck
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

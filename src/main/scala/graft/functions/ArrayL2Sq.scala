@@ -16,19 +16,31 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * distance suite: epsilon-neighborhood joins, kNN graphs, core
   * distances — reference: the fused L2 distance tile loop the reference
   * builds from contractions (distance path of linalg/contractions.cuh:34).
+  * Equality holds on ALL inputs: null when lengths differ or any lane is
+  * null (zip_with null-pads; a null term poisons the fold), the identical
+  * strict fold otherwise.
   */
 case class ArrayL2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // null on length mismatch / null lane, even for non-null inputs
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
     s
   }
 
@@ -38,14 +50,23 @@ case class ArrayL2Sq(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       val sum = ctx.freshName("sum")
+      val laneCheck =
+        if (FusedKernels.lanesNullable(left) || FusedKernels.lanesNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $sum += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $laneCheck
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $sum += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -76,22 +76,31 @@ object StreamingOps {
 
   /** Streaming exact dedup — the incremental form of the pipeline's
     * exact-dedup pass: the first event per event_id survives; replays and
-    * cross-batch duplicates are dropped from the stream. State is Spark's
-    * own dropDuplicates store, bounded by the watermark (an id older than
-    * the watermark can no longer collide, so its state is evicted) — the
-    * property that keeps the state size proportional to the watermark
-    * horizon, not the corpus, at 100 TB/day ingest. */
+    * cross-batch duplicates are dropped from the stream. Uses
+    * `dropDuplicatesWithinWatermark`, whose state entries carry the event
+    * time and ARE evicted once the watermark passes them (plain
+    * `dropDuplicates("event_id")` would keep every id forever because the
+    * event-time column is not part of the key) — the property that keeps
+    * state proportional to the watermark horizon, not the corpus, at
+    * 100 TB/day ingest. Replays are assumed to arrive within the
+    * watermark delay of the original (the standard at-least-once
+    * redelivery window). */
   def streamingDedup(events: Dataset[Ev]): Dataset[Ev] =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Incremental corpus curation — the quality gate + exact dedup
     * composed as one always-on streaming pipeline: the gate is pure
     * per-row expressions (stateless, no shuffle), dedup keys on the
-    * content hash with state bounded by the watermark. The batch twins
-    * of these rules are TextOps.qualityGate / DedupOps.exactDedupStats;
-    * this is the ingest-time form a 100 TB/day feed runs. */
+    * content hash via `dropDuplicatesWithinWatermark`, so each hash's
+    * state entry is evicted once the watermark passes it — state stays
+    * proportional to the 1-hour horizon, not the corpus (plain
+    * `dropDuplicates` would grow without bound). Content replays landing
+    * beyond the horizon are the batch dedup pass's job, as in any
+    * lambda-style curation stack. The batch twins of these rules are
+    * TextOps.qualityGate / DedupOps.exactDedupStats; this is the
+    * ingest-time form a 100 TB/day feed runs. */
   def streamingCurate(docs: DataFrame, minTokens: Int = 8): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
     docs
@@ -100,10 +109,10 @@ object StreamingOps {
       .where(col("n_tokens") >= minTokens &&
         size(array_distinct(toks)).cast("double") / size(toks) >= 0.2)
       .withColumn("content_h", md5(col("text")))
-      .dropDuplicates("content_h")
+      .dropDuplicatesWithinWatermark("content_h")
   }
 
-  case class BandHit(doc_id: Long, band: Int, sig: String)
+  case class BandHit(doc_id: Long, band: Int, sig: String, ts: java.sql.Timestamp)
 
   /** Streaming MinHash-LSH near-dup candidates — the incremental twin of
     * DedupOps.minhashDupPairs. The signature pipeline is re-expressed as
@@ -113,7 +122,11 @@ object StreamingOps {
     * bucket = first doc_id seen; later arrivals emit (doc_id, dup_of)
     * candidates. Exact-Jaccard verification of candidates is a
     * micro-batch join downstream, as in the batch pipeline. Same affine
-    * permutation family as the batch op. */
+    * permutation family as the batch op. Bucket state expires via an
+    * event-time timeout one day past the bucket's newest document (under
+    * the 2-hour watermark), so state is proportional to the buckets
+    * touched in the last day, not every bucket ever seen — near-dups
+    * farther apart than that are the batch LSH pass's job. */
   def streamingMinhashCandidates(docs: DataFrame): Dataset[(Long, Long)] = {
     import DedupOps.P
     val spark = docs.sparkSession
@@ -132,21 +145,32 @@ object StreamingOps {
         concat_ws(":", (0 until 4).map(r => col(s"mh_${b * 4 + r}")): _*).as("sig"))
     }
     val banded = docs
-      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("ts"), toks.as("tk"))
       .where(size(col("tk")) >= 3)
-      .select(col("doc_id"), sh.as("sh"))
-      .select(col("doc_id") +: mh: _*)
-      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc_id"), col("ts"), sh.as("sh"))
+      .select(col("doc_id") +: col("ts") +: mh: _*)
+      .select(col("doc_id"), col("ts"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("ts"))
       .as[BandHit]
-    banded.groupByKey(h => (h.band, h.sig))
+    banded
+      .withWatermark("ts", "2 hours")
+      .groupByKey(h => (h.band, h.sig))
       .flatMapGroupsWithState[Long, (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, rows: Iterator[BandHit], state: GroupState[Long]) =>
-          val ids = rows.map(_.doc_id).toSeq.sorted
-          val first = state.getOption.getOrElse(ids.head)
-          if (!state.exists) state.update(first)
-          ids.filter(_ != first).map(d => (d, first)).iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val hits = rows.toSeq
+            val ids = hits.map(_.doc_id).sorted
+            val first = state.getOption.getOrElse(ids.head)
+            if (!state.exists) state.update(first)
+            // evict a bucket one day after its newest doc's event time
+            state.setTimeoutTimestamp(hits.map(_.ts.getTime).max, "24 hours")
+            ids.filter(_ != first).map(d => (d, first)).iterator
+          }
       }
   }
 

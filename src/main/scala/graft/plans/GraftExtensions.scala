@@ -19,12 +19,13 @@ import graft.functions.{ArrayDot, ArrayL2Sq, ArrayNormSq}
   * the Catalyst analog of the reference dispatching a fused device kernel
   * for the same composed lambda (linalg/dot.cuh:38, map.cuh:95).
   *
-  * Precondition (guaranteed by the canonical `(id, vec)` encoding): both
-  * arrays have equal lane counts and no null lanes — `zip_with` would
-  * null-pad a shorter side where ArrayDot min-length-stops, so the rewrite
-  * is only registered on sessions whose data upholds the encoding.
-  * For equal-length inputs the fold order is identical, so results are
-  * bit-for-bit the same (oracle-compatible).
+  * The rewrite is exact on ALL inputs, not just well-formed ones: the
+  * kernels return null exactly where the HOF form does (length mismatch →
+  * zip_with null-pads → poisoned fold; null lane → poisoned fold), and on
+  * equal-length non-null lanes the fold order is identical, so results
+  * are bit-for-bit the same (oracle-compatible). Installing the
+  * extensions therefore never changes results, even on ragged or
+  * null-laned data outside the canonical `(id, vec)` encoding.
   */
 object DotFusionRule extends Rule[LogicalPlan] {
 

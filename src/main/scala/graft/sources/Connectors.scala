@@ -15,7 +15,10 @@ import graft.Tables
   */
 object Connectors {
 
-  private def tmpDir(name: String) = s"target/tmp/connectors/$name"
+  // Unique per invocation: concurrent drivers (bench + correctness, or a
+  // re-invoked query lambda) must not race on one Overwrite directory.
+  private def tmpDir(name: String) =
+    s"target/tmp/connectors/$name-${java.util.UUID.randomUUID()}"
 
   /** CSV round-trip: customer → CSV → read with explicit schema →
     * rollup. The DOUBLE acctbal exercises float print/parse fidelity;

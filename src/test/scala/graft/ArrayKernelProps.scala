@@ -1,23 +1,30 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.functions.{ArrayDot, ArrayL2Sq, ArrayNormSq}
 
 /** Property tests for the fused-kernel Expression family: the interpreted
-  * eval must equal the strict left fold it documents, bit for bit, for
-  * arbitrary lane data — including unequal lengths (min-length stop) and
-  * denormal/large magnitudes. (Codegen-vs-interpreted identity is covered
-  * by ExtensionsSpec through a live session; these pin the SEMANTICS with
-  * ScalaCheck's coverage instead of fixed examples.)
+  * eval must equal the HOF form it replaces — the strict left fold, bit for
+  * bit, on equal-length non-null lanes; null on a length mismatch (zip_with
+  * null-pads the shorter side, poisoning the fold) and on any null lane —
+  * for arbitrary lane data including denormal/large magnitudes. (Codegen-
+  * vs-interpreted identity is covered by ExtensionsSpec through a live
+  * session; these pin the SEMANTICS with ScalaCheck's coverage instead of
+  * fixed examples.)
   */
 object ArrayKernelProps extends Properties("ArrayKernels") {
 
   private def arrLit(a: Array[Double]) =
     Literal(ArrayData.toArrayData(a), ArrayType(DoubleType))
+
+  // array with possibly-null lanes, typed as containsNull = true
+  private def raggedLit(a: Array[java.lang.Double]) =
+    Literal(ArrayData.toArrayData(a.map(v => if (v == null) null else v.doubleValue(): Any)),
+      ArrayType(DoubleType, containsNull = true))
 
   private val lane = Gen.oneOf(
     Gen.chooseNum(-1e6, 1e6),
@@ -26,14 +33,37 @@ object ArrayKernelProps extends Properties("ArrayKernels") {
   private val arr: Gen[Array[Double]] =
     Gen.choose(0, 40).flatMap(n => Gen.containerOfN[Array, Double](n, lane))
 
-  property("dot = strict left fold over min length") = forAll(arr, arr) {
-    (a: Array[Double], b: Array[Double]) =>
-      val n = math.min(a.length, b.length)
+  property("dot = strict left fold on equal lengths") = forAll(arr) {
+    (a: Array[Double]) =>
+      val b = a.map(v => v * 0.5 - 1.0)
       var s = 0.0; var i = 0
-      while (i < n) { s += a(i) * b(i); i += 1 }
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
       val got = ArrayDot(arrLit(a), arrLit(b)).eval(null).asInstanceOf[Double]
       Prop(java.lang.Double.doubleToLongBits(got) ==
         java.lang.Double.doubleToLongBits(s)) :| s"got $got want $s"
+  }
+
+  property("dot/l2sq = null on length mismatch (zip_with null-pad semantics)") =
+    forAll(arr, arr) { (a: Array[Double], b: Array[Double]) =>
+      (a.length != b.length) ==> {
+        val d = ArrayDot(arrLit(a), arrLit(b)).eval(null)
+        val l = ArrayL2Sq(arrLit(a), arrLit(b)).eval(null)
+        Prop(d == null && l == null) :| s"dot=$d l2sq=$l for ${a.length}x${b.length}"
+      }
+    }
+
+  property("null lane poisons all three kernels") = forAll(arr, Gen.choose(0, 39)) {
+    (a: Array[Double], k: Int) =>
+      (a.length > 0) ==> {
+        val boxed: Array[java.lang.Double] = a.map(java.lang.Double.valueOf)
+        boxed(k % a.length) = null
+        val r = raggedLit(boxed)
+        val clean = arrLit(a)
+        Prop(ArrayDot(r, clean).eval(null) == null &&
+          ArrayDot(clean, r).eval(null) == null &&
+          ArrayL2Sq(r, clean).eval(null) == null &&
+          ArrayNormSq(r).eval(null) == null) :| "expected null results"
+      }
   }
 
   property("normsq = strict left fold of squares") = forAll(arr) {
@@ -45,11 +75,11 @@ object ArrayKernelProps extends Properties("ArrayKernels") {
         java.lang.Double.doubleToLongBits(s)) :| s"got $got want $s"
   }
 
-  property("l2sq = strict left fold of squared diffs over min length") =
-    forAll(arr, arr) { (a: Array[Double], b: Array[Double]) =>
-      val n = math.min(a.length, b.length)
+  property("l2sq = strict left fold of squared diffs on equal lengths") =
+    forAll(arr) { (a: Array[Double]) =>
+      val b = a.map(v => v + 0.25)
       var s = 0.0; var i = 0
-      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       val got = ArrayL2Sq(arrLit(a), arrLit(b)).eval(null).asInstanceOf[Double]
       Prop(java.lang.Double.doubleToLongBits(got) ==
         java.lang.Double.doubleToLongBits(s)) :| s"got $got want $s"
