@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.mllib.linalg.{Vectors => MLVectors}
 import org.apache.spark.mllib.linalg.distributed.RowMatrix
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -307,13 +307,22 @@ object SolverOps {
     * Layout: the basis V lives as a DataFrame (i, qs ARRAY<DOUBLE>) — row i
     * holds coordinate i of every basis vector; the driver holds only the
     * m×m projected matrix H = VᵀAV and per-step coefficient vectors (m
-    * doubles), never an n-vector. Each expansion step is three keyed
-    * distributed ops: SpMV (join on col + sum), full reorthogonalization
-    * (ONE vector_sum aggregate computes all ⟨q_t, w⟩ at once), and the
-    * residual norm. Restart compresses the basis to the l best Ritz vectors
-    * (a per-row broadcast matvec) plus the residual lane, resets H to
-    * diag(θ) and continues — the thick-restart scheme, with the coupling
-    * block re-measured exactly by the full-reorth coefficients.
+    * doubles), never an n-vector. Each expansion step is two keyed
+    * distributed jobs: the SpMV (join on col + sum) feeding the first
+    * Gram-Schmidt pass (ONE hash aggregate computes every ⟨q_t, w⟩ as a
+    * per-lane codegen'd sum), then the second pass re-MEASURING
+    * ⟨q_t, w₁⟩ from the subtracted data plus ‖w₁‖² so the residual norm
+    * comes from Pythagoras. The second pass must read the subtracted
+    * vector, not be derived from a driver-held Gram: c₂ ≈ (I−VᵀV)c₁ ≈ 0
+    * only corrects the measurement error in c₁, while the orthogonality
+    * drift CGS2 exists to kill is the CANCELLATION rounding in
+    * fl(w − Vc₁) itself — the Gram shortcut is CGS1 in disguise and
+    * produces ghost eigenvalues (observed: a duplicate zero on the chain
+    * fixture under a plan-order perturbation). Restart compresses the
+    * basis to the l best Ritz vectors (a per-row broadcast matvec) plus
+    * the residual lane, resets H to diag(θ) and continues — the
+    * thick-restart scheme, with the coupling block re-measured exactly by
+    * the full-reorth coefficients.
     */
   def eigshSmallestSharded(coo: DataFrame, n: Long, k: Int, m: Int = 25,
       maxRestarts: Int = 3, seed: Long = 3): Seq[Double] = {
@@ -339,6 +348,14 @@ object SolverOps {
     // provides — there is no per-DataFrame equivalent of this knob).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // AQE re-plans every exchange stage-by-stage; at the already-chosen
+    // width that is pure per-step planning latency in a ~steps-long driver
+    // loop (measured ~30% of wall time on the n=30 fixture). Restored on
+    // exit, same session-global caveat as the width knob above.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
     val edges = coo.select(col("row"), col("col"), col("value"))
       .repartition(parts).localCheckpoint(true)
@@ -438,7 +455,11 @@ object SolverOps {
       }
     }
     result
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
   }
 
   /** tsvd transform + inverse_transform + reconstruction error —
