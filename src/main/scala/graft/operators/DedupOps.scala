@@ -59,7 +59,11 @@ object DedupOps {
     * at `threshold`. Returns (a, b, jac) with a < b.
     */
   def minhashDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).cache()
+    // eager materialization, not cache(): the shingle set feeds six
+    // subtrees of one action (both self-join sides, both jaccard probes,
+    // both size lookups), and racing stages of a single job all miss a
+    // still-cold cache and recompute the tokenize+explode pipeline
+    val sh = shingles(docs).localCheckpoint(true)
     val bands = lshBands(minhash(sh))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -176,8 +180,12 @@ object DedupOps {
     * (SCALE.md), CC is the pointer-jumping machinery with size dispatch —
     * nothing here scales beyond the dup-graph, which is ≪ corpus. */
   def dedupSurvivors(docs: DataFrame, threshold: Double): DataFrame = {
+    // materialize once: connectedComponents symmetrizes its input as
+    // edges ∪ swap(edges), which would evaluate the whole LSH pair
+    // pipeline twice (the singleLinkage double-eval lesson)
     val pairs = minhashDupPairs(docs, threshold)
       .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint(true)
     LabelOps.connectedComponents(pairs)
       .groupBy(col("comp"))
       .agg(min(col("node")).as("keep"), count(lit(1)).as("n_members"))
