@@ -106,6 +106,30 @@ object DedupOps {
       .groupBy(col("hs")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocs)
 
+  /** Per-document duplicated-n-gram fraction — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") at shingle granularity: the fraction of a doc's
+    * distinct 3-token shingles that occur in ≥ minDocs documents
+    * corpus-wide. Downstream policy drops or trims docs above a
+    * threshold. Two keyed aggregations plus one equi-join on the shingle
+    * hash — the same shuffle shape as boilerplateShingles, so it scales
+    * the same way (partial aggregation before the exchange, no
+    * corpus-wide state).
+    */
+  def dupNgramFraction(docs: DataFrame, minDocs: Long = 2L): DataFrame = {
+    // two consumers of the shingle set (DF counts + per-doc join):
+    // materialize once, as in minhashDupPairs
+    val sh = shingles(docs).localCheckpoint(true)
+    val dfreq = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("hs"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        (round(col("n_dup").cast("double") / col("n_shingles"), 4) + 0.0)
+          .as("dup_frac"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact, blocked cross-join) —
     * the embedding-space dedup mode of the training-pipeline surface. The
     * scale path blocks by LSH/IVF cell first (AnnOps/ClusterOps); this

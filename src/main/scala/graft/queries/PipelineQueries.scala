@@ -104,6 +104,8 @@ object PipelineQueries extends QueryGroup {
       DedupOps.boilerplateShingles(Tables.documents(s, d), 3L)),
     "pipe_dedup_survivors" -> ((s, d) =>
       DedupOps.dedupSurvivors(Tables.documents(s, d), 0.5)),
+    "pipe_dup_ngram_fraction" -> ((s, d) =>
+      DedupOps.dupNgramFraction(Tables.documents(s, d), 2L)),
     "pipe_repetition" -> ((s, d) =>
       TextOps.repetition(Tables.documents(s, d))),
     "pipe_quality_gate" -> ((s, d) =>
@@ -370,6 +372,14 @@ object PipelineQueries extends QueryGroup {
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "pipe_kmeans" -> kmeansBlobsOracle,
     "pipe_kmeans_pp" -> kmeansBlobsOracle,
+    "pipe_dup_ngram_fraction" ->
+      s"""$shCte,
+         |dfq AS (SELECT hs, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 4) + 0.0 AS dup_frac
+         |FROM sh s JOIN dfq d USING (hs) GROUP BY 1""".stripMargin,
     "pipe_minhash_lsh" ->
       s"""$shCte,
          |mh AS (

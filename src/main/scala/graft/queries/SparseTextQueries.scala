@@ -177,6 +177,24 @@ object SparseTextQueries extends QueryGroup {
     "txt_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "txt_token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    // word-soup corpus has no organic PII, so the query plants
+    // deterministic emails/IPs/phones on a doc_id schedule (same CASE on
+    // both engines) — the redaction then does real work and the hash
+    // proves the Java-regex and RE2 pattern semantics agree
+    "txt_pii_redact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+        .when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".17 logged")))
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" call +1 555 0"),
+            (pmod(col("doc_id"), lit(90)) + 10).cast("string"), lit(" end")))
+        .otherwise(col("text"))
+      TextOps.piiRedact(docs.select(col("doc_id"), planted.as("text")))
+    }),
   )
 
   /** Symmetrized COO slice A + Aᵀ (duplicate-summing) + its Laplacian —
@@ -385,6 +403,23 @@ object SparseTextQueries extends QueryGroup {
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS bpe_ish_tokens
         |FROM documents""".stripMargin,
+    "txt_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         WHEN doc_id % 5 = 0 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 logged'
+        |         WHEN doc_id % 3 = 0 THEN text || ' call +1 555 0' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' end'
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+\d[\d ]{6,}\d')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+        |    '\+\d[\d ]{6,}\d', '[PHONE]', 'g') AS redacted
+        |FROM aug""".stripMargin,
     "txt_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -252,6 +252,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(DedupOps.dedupSurvivors(empty, 0.5).count() == 0)
   }
 
+  test("PII redaction scrubs planted emails/IPs/phones and counts them") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (0L, "write to a.b+c@mail-host.org or x9@y.io today", "x", "s", 1),
+      (1L, "server 192.168.0.1 and 10.0.255.17 are up", "x", "s", 1),
+      (2L, "dial +1 555 0100 or +44 20 7946 0958 now", "x", "s", 1),
+      (3L, "no pii here at all", "x", "s", 1),
+      (4L, "mixed: u@v.co from 8.8.8.8 call +7 999 1234 x", "x", "s", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(0L)._1 == 2 && out(0L)._4 == "write to [EMAIL] or [EMAIL] today")
+    assert(out(1L)._2 == 2 && out(1L)._4 == "server [IP] and [IP] are up")
+    assert(out(2L)._3 == 2 && out(2L)._4 == "dial [PHONE] or [PHONE] now")
+    assert(out(3L) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(out(4L) == ((1L, 1L, 1L, "mixed: [EMAIL] from [IP] call [PHONE] x")))
+  }
+
+  test("duplicated-n-gram fraction is closed-form on constructed docs") {
+    import spark.implicits._
+    // doc 0 and 1 share their first 5 tokens (3 shared shingles); doc 0
+    // has 6 tokens -> 4 shingles, so dup_frac = 3/4; doc 2 is unique
+    val docs = Seq(
+      (0L, "a b c d e f", "x", "s", 1),
+      (1L, "a b c d e zz yy", "x", "s", 1),
+      (2L, "p q r s t u", "x", "s", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.dupNgramFraction(docs, 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((4L, 3L, 0.75)))
+    assert(out(1L) == ((5L, 3L, 0.6)))
+    assert(out(2L) == ((4L, 0L, 0.0)))
+  }
+
   test("contamination flags exactly the docs sharing eval shingles") {
     import spark.implicits._
     // eval = docs 0,1; doc 50 copies three tokens of doc 0 (1 shared
