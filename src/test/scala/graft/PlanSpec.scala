@@ -62,6 +62,30 @@ class PlanSpec extends AnyFunSuite {
       s"per-row md5 hyperplane draw is back in the LSH plan:\n${p.take(2000)}")
   }
 
+  test("minhash LSH candidates come from a bucketed equi-join, never all-pairs") {
+    // the banding design's whole point: candidate generation must stay a
+    // hash/merge join on (band, sig) — a BNLJ or CartesianProduct here is
+    // the O(n²) catastrophe the LSH exists to avoid
+    val p = plan("pipe_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate join degraded to all-pairs:\n${p.take(2000)}")
+  }
+
+  test("txt_pii_redact is scan + project only: no shuffle, pruned columns") {
+    val p = plan("txt_pii_redact")
+    assert(!p.contains("Exchange"), s"per-row redaction must not shuffle:\n$p")
+    assert(!p.contains("n_chars"), "unused column not pruned from the scan")
+  }
+
+  test("dup-ngram fraction joins on the shingle hash — no wide-row explode after shuffle") {
+    val p = plan("pipe_dup_ngram_fraction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"shingle DF join degraded:\n${p.take(2000)}")
+    // partial aggregation must run before the exchange (map-side combine)
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0, "hash aggregation missing")
+  }
+
   test("pipe_embed_neardup pair stage: native dot, cheap conjunct first, no HOF fold") {
     val p = plan("pipe_embed_neardup")
     assert(p.contains("arraydot"), s"pair stage lost the native fused dot:\n$p")
