@@ -265,9 +265,12 @@ object DedupOps {
     * ≤1024 rows. This is the scale-path membership structure for
     * streaming dedup: the built filter is a broadcastable few-KB table
     * no matter how large the reference corpus is. */
-  def bloomBits(docs: DataFrame, refMax: Int, kHash: Int = 3): DataFrame = {
-    val sh = shingles(docs).where(col("doc_id") < refMax).select(col("hs")).distinct()
-    val pos = sh.select(explode(array((0 until kHash).map(bloomPos): _*)).as("p"))
+  def bloomBits(docs: DataFrame, refMax: Int, kHash: Int = 3): DataFrame =
+    bloomBitsFrom(shingles(docs), refMax, kHash)
+
+  private def bloomBitsFrom(sh: DataFrame, refMax: Int, kHash: Int): DataFrame = {
+    val ref = sh.where(col("doc_id") < refMax).select(col("hs")).distinct()
+    val pos = ref.select(explode(array((0 until kHash).map(bloomPos): _*)).as("p"))
     pos.select((col("p") / 32).cast("long").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
       .groupBy(col("word")).agg(expr("bit_or(m)").as("mask"))
@@ -280,8 +283,11 @@ object DedupOps {
     * The filter side is a broadcast join — the probe side never
     * shuffles. */
   def bloomProbe(docs: DataFrame, refMax: Int, kHash: Int = 3): DataFrame = {
-    val bits = bloomBits(docs, refMax, kHash)
-    val probes = shingles(docs).where(col("doc_id") >= refMax)
+    // one tokenize+shingle pass feeds both the filter build (< refMax)
+    // and the probe side (>= refMax)
+    val sh = shingles(docs).localCheckpoint(true)
+    val bits = bloomBitsFrom(sh, refMax, kHash)
+    val probes = sh.where(col("doc_id") >= refMax)
       .select(col("doc_id"), col("hs"),
         posexplode(array((0 until kHash).map(bloomPos): _*)).as(Seq("j", "p")))
       .select(col("doc_id"), col("hs"),

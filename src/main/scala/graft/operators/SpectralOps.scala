@@ -31,9 +31,15 @@ object SpectralOps {
         .groupBy(col("c1"), col("c2")).agg(count(lit(1)).cast("double").as("value"))
         .select(col("c1").as("src"), col("c2").as("dst"), col("value"))
     })
-    // (re-)persist if the harness's per-query clearCache() dropped it
-    if (edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // (re-)persist if the harness's per-query clearCache() dropped it —
+    // EAGERLY: a lazy persist fills during the query's own job, where the
+    // symmetrizing union (and modularity's m2/per-cluster consumers) race
+    // on the still-cold cache and each recompute the co-occurrence
+    // self-join
+    if (edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count()
+    }
     edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"), col("value")))
   }
