@@ -168,21 +168,64 @@ object ClusterOps {
     withDist.agg(sum(col("d2"))).head().getDouble(0)
   }
 
+  /** One fused Lloyd loop updating SEVERAL codebooks at once. Each spec is
+    * (laneStart, laneCount, initial centroids) over a slice of `vec`; every
+    * iteration explodes each row into one (spec, subvector) entry, assigns
+    * it to its spec's nearest centroid (codegen argmin over broadcast
+    * literals), and aggregates every per-(spec, cluster) sum in ONE
+    * shuffle — training m codebooks costs the driver-round-trip count of
+    * one. The per-spec iteration is mathematically identical to running
+    * [[kmeans]] on that slice alone (same init, same mean updates, empty
+    * clusters keep their centroid). */
+  private def fusedLloyd(vectors: DataFrame,
+      specs: Array[(Int, Int, Array[Array[Double]])],
+      iters: Int): Array[Array[Array[Double]]] = {
+    val books = specs.map(_._3.map(_.clone()))
+    for (_ <- 0 until iters) {
+      val entries = explode(array(specs.indices.map { t =>
+        struct(lit(t).as("t"),
+          slice(col("vec"), specs(t)._1 + 1, specs(t)._2).as("sv"))
+      }: _*)).as("e")
+      val tagged = vectors.select(entries)
+        .select(col("e").getField("t").as("t"), col("e").getField("sv").as("sv"))
+      val cl = specs.indices.drop(1).foldLeft(
+        when(col("t") === 0, nearestOf(col("sv"), books(0)))) { (acc, t) =>
+        acc.when(col("t") === t, nearestOf(col("sv"), books(t)))
+      }
+      val sums = tagged.select(col("t"), cl.as("cluster"), col("sv"))
+        .groupBy(col("t"), col("cluster"))
+        .agg(VectorAgg.vectorSum(col("sv")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      sums.foreach { r =>
+        val t = r.getInt(0); val c = r.getInt(1)
+        val s = r.getSeq[Double](2); val n = r.getLong(3).toDouble
+        books(t)(c) = s.map(_ / n).toArray
+      }
+    }
+    books
+  }
+
+  /** First-k-rows init for a lane slice (the [[kmeans]] default init,
+    * sliced driver-side from ONE collect shared by every spec). */
+  private def initSlices(vectors: DataFrame, k: Int): Array[Array[Double]] =
+    vectors.where(col("id") < k).orderBy(col("id"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
+
   /** Product-quantization codebooks (Jegou et al., PAMI'11 — the PQ the
     * reference ecosystem pairs with IVF for compressed ANN): the d lanes
     * split into m subspaces of d/m lanes, one k-means codebook per
     * subspace. Codebooks are m·ksub·(d/m) driver doubles — broadcast as
     * literals, like the IVF centroids. A PQ code is m bytes per vector vs
     * 8d for raw doubles: the memory path that makes a 100 TB embedding
-    * corpus fit an executor fleet. */
+    * corpus fit an executor fleet. All m codebooks train in one fused
+    * Lloyd loop — one shuffle per iteration, not per subspace. */
   def pqTrain(vectors: DataFrame, d: Int, m: Int, ksub: Int,
       iters: Int): Array[Array[Array[Double]]] = {
     val dsub = d / m
-    (0 until m).map { s =>
-      val sub = vectors.select(col("id"),
-        slice(col("vec"), s * dsub + 1, dsub).as("vec"))
-      kmeans(sub, ksub, iters)._2
-    }.toArray
+    val init = initSlices(vectors, ksub)
+    fusedLloyd(vectors, (0 until m).map { s =>
+      (s * dsub, dsub, init.map(_.slice(s * dsub, s * dsub + dsub)))
+    }.toArray, iters)
   }
 
   /** Encode each vector as m per-subspace nearest-codeword ids
@@ -267,8 +310,18 @@ object ClusterOps {
   def ivfPqTopK(vectors: DataFrame, nQueries: Int, topK: Int, d: Int,
       nlist: Int, nprobe: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     val dsub = d / m
-    val (assigned, centroids) = kmeans(vectors, nlist, iters)
-    val codebooks = pqTrain(vectors, d, m, ksub, iters)
+    // coarse cells and all m PQ codebooks train in ONE fused Lloyd loop:
+    // spec 0 is the full-width coarse k-means, specs 1..m the subspaces —
+    // iters driver round-trips total instead of (1+m)·iters
+    val initK = initSlices(vectors, math.max(nlist, ksub))
+    val books = fusedLloyd(vectors,
+      (0, d, initK.take(nlist)) +: (0 until m).map { s =>
+        (s * dsub, dsub, initK.take(ksub).map(_.slice(s * dsub, s * dsub + dsub)))
+      }.toArray, iters)
+    val centroids = books(0)
+    val codebooks = books.tail
+    val assigned = vectors.select(col("id"), col("vec"),
+      nearestExpr(centroids).as("cluster"))
     val codeCols = (0 until m).map { s =>
       nearestOf(slice(col("vec"), s * dsub + 1, dsub), codebooks(s)).as(s"c$s")
     }

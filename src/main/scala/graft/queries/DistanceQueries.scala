@@ -55,7 +55,7 @@ object DistanceQueries extends QueryGroup {
       DistanceOps.pairwiseMetrics(Tables.vectors(s, d), 200)),
     "dist_eps_neighborhood" -> ((s, d) =>
       DistanceOps.epsNeighborhood(
-        RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).localCheckpoint(true), 64.0)),
+        RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true), 64.0)),
     "dist_knn_graph" -> ((s, d) =>
       DistanceOps.knnGraph(Tables.vectors(s, d).where(col("id") < 300), 5)),
     // HDBSCAN-style mutual-reachability linkage on the separated blobs
@@ -64,7 +64,7 @@ object DistanceQueries extends QueryGroup {
     // intra), so labels (= min id per blob = 0..4) and counts are closed
     // form. Real-data behavior is covered in DistanceSpec.
     "dist_mrd_linkage" -> ((s, d) => {
-      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).localCheckpoint(true)
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       DistanceOps.mutualReachabilityLinkage(blobs, 5, 5)
         .groupBy(col("comp").as("cluster")).agg(count(lit(1)).as("n"))
     }),
@@ -74,7 +74,7 @@ object DistanceQueries extends QueryGroup {
     // behavior, not a bug), so the driver records rows-only and
     // DistanceSpec pins the deterministic recall vs the exact kNN graph.
     "dist_nn_descent" -> ((s, d) => {
-      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).localCheckpoint(true)
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       DistanceOps.nnDescent(blobs, 5, 4)
     }),
   )

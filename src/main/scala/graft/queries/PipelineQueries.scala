@@ -133,7 +133,7 @@ object PipelineQueries extends QueryGroup {
     // md5-hash, replicable by the oracle). Real-data k-means stays in
     // PipelineSpec (determinism + inertia-improves properties).
     "pipe_kmeans" -> ((s, d) => {
-      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).localCheckpoint(true)
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       val (assigned, centroids) = ClusterOps.kmeans(blobs, 5, 5)
       val inert = ClusterOps.inertia(assigned, centroids)
       assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
@@ -145,7 +145,7 @@ object PipelineQueries extends QueryGroup {
     // equi-join → top-k) is hash-checked. Real-data IVF recall stays in
     // PipelineSpec.
     "pipe_ann_ivf" -> ((s, d) => {
-      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).localCheckpoint(true)
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       ClusterOps.ivfTopK(blobs, 5, 10, nlist = 5, nprobe = 2, iters = 5)
     }),
     // PQ-ADC ANN on the separated blobs fixture: per-subspace k-means
@@ -156,7 +156,7 @@ object PipelineQueries extends QueryGroup {
     // sharing a code tie on ADC and break by id, deterministically on
     // both engines.
     "pipe_ann_pq" -> ((s, d) => {
-      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).localCheckpoint(true)
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       ClusterOps.pqTopK(blobs, 5, 10, d = 8, m = 2, ksub = 5, iters = 5)
     }),
     // IVF-PQ composed: nprobe=2 of 5 cells bound the candidates, ADC over
@@ -164,7 +164,7 @@ object PipelineQueries extends QueryGroup {
     // ADC are all closed-form on the separated fixture, so the full
     // compressed-ANN pipeline is hash-checked end-to-end.
     "pipe_ann_ivfpq" -> ((s, d) => {
-      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).localCheckpoint(true)
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       ClusterOps.ivfPqTopK(blobs, 5, 10, d = 8, nlist = 5, nprobe = 2,
         m = 2, ksub = 5, iters = 5)
     }),
@@ -172,14 +172,14 @@ object PipelineQueries extends QueryGroup {
     // top-10 — the refine step of a compressed-ANN pipeline; raw vectors
     // are only touched for the shortlist
     "pipe_ann_refine" -> ((s, d) => {
-      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).localCheckpoint(true)
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       ClusterOps.pqRefine(blobs, 5, 10, shortlist = 20, d = 8, m = 2, ksub = 5, iters = 5)
     }),
     "pipe_kmeans_pp" -> ((s, d) => {
       // k-means|| seeding + Lloyd's on the same separated fixture: any
       // one-seed-per-blob init converges to the same generative optimum
       // (labels may permute — the (cluster,n,inertia) shape is invariant)
-      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).localCheckpoint(true)
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       val init = ClusterOps.kmeansParallelInit(blobs, 5)
       val (assigned, centroids) = ClusterOps.kmeans(blobs, 5, 5, Some(init))
       val inert = ClusterOps.inertia(assigned, centroids)
