@@ -160,6 +160,47 @@ object DistanceOps {
       (round(sqrt(col("d2")), 4) + 0.0).as("dist"), col("rnk"))
   }
 
+  /** DBSCAN flat clustering composed from the primitives the reference
+    * ships (eps-neighborhood counts + merge_labels connected components,
+    * label/merge_labels.cuh:47): core points have ≥ minPts neighbors
+    * within eps (self included), clusters are the connected components of
+    * the core-core eps-graph, border points adopt the smallest cluster
+    * label among their core eps-neighbors, and everything else is noise
+    * (cluster −1). The eps-pair join is the bounded exact baseline; at
+    * 100 TB the identical core/border/CC machinery consumes LSH/IVF
+    * candidate pairs instead (the metric layer is independent of how
+    * pairs were produced — object doc). Deterministic labels: cluster =
+    * min member id of the component; border ties break to the min label.
+    * Returns (id, cluster, is_core). */
+  def dbscan(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    val e2 = eps * eps
+    val a = points.select(col("id").as("a"), col("vec").as("va"))
+    val b = points.select(col("id").as("b"), col("vec").as("vb"))
+    val half = a.join(b, col("a") < col("b") && l2sq(col("va"), col("vb")) <= e2)
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val sym = half.unionByName(half.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val core = deg.where(col("deg") + 1 >= minPts).select(col("id"))
+      .localCheckpoint(true)
+    val coreEdges = sym
+      .join(core.select(col("id").as("a")), Seq("a"))
+      .join(core.select(col("id").as("b")), Seq("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val comp = LabelOps.connectedComponents(coreEdges)
+    // a core point with no core neighbor is its own singleton cluster
+    val coreLabeled = core.join(comp, core("id") === comp("node"), "left")
+      .select(core("id"), coalesce(col("comp"), core("id")).cast("long").as("cluster"),
+        lit(1).as("is_core"))
+    val borderCand = sym.join(core.select(col("id").as("b")), Seq("b"))
+      .join(coreLabeled.select(col("id").as("b"), col("cluster")), Seq("b"))
+      .groupBy(col("a").as("id")).agg(min(col("cluster")).as("cl"))
+    val nonCore = points.select(col("id")).join(core, Seq("id"), "left_anti")
+    val rest = nonCore.join(borderCand, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cl"), lit(-1L)).as("cluster"),
+        lit(0).as("is_core"))
+    coreLabeled.unionByName(rest)
+  }
+
   /** Mutual-reachability single-linkage (the HDBSCAN construction,
     * reference ecosystem: cluster/single_linkage.cuh:37 generalized with
     * core distances): d_mr(a,b) = max(core_a, core_b, d(a,b)), then the

@@ -325,7 +325,30 @@ object SolverOps {
     * the full-reorth coefficients.
     */
   def eigshSmallestSharded(coo: DataFrame, n: Long, k: Int, m: Int = 25,
-      maxRestarts: Int = 3, seed: Long = 3): Seq[Double] = {
+      maxRestarts: Int = 3, seed: Long = 3): Seq[Double] =
+    eigshShardedCore(coo, n, k, m, maxRestarts, seed)._1
+
+  /** [[eigshSmallestSharded]] plus the RITZ VECTORS — the factor output a
+    * pipeline consumes (spectral embeddings), not just the spectrum. The
+    * k eigenvectors come out as ONE distributed per-row matvec over the
+    * sharded basis: row i of V_k is ⟨qs_i, y_c⟩ for the m-dim subspace
+    * eigenvectors y_c (driver-held, m·k doubles) — no n-sized driver
+    * state, same shape as the basis itself. Returns (eigenvalues,
+    * DataFrame (i, v ARRAY<DOUBLE> of k coords)). */
+  def eigshShardedRitz(coo: DataFrame, n: Long, k: Int, m: Int = 25,
+      maxRestarts: Int = 3, seed: Long = 3): (Seq[Double], DataFrame) = {
+    val (vals, basis, ys, dim) = eigshShardedCore(coo, n, k, m, maxRestarts, seed)
+    val vecs = basis.select(col("i"),
+      array(ys.toIndexedSeq.map { y =>
+        graft.functions.ArrayMath.dot(
+          org.apache.spark.sql.functions.slice(col("qs"), lit(1), lit(dim)),
+          typedLit(y.toSeq))
+      }: _*).as("v"))
+    (vals, vecs)
+  }
+
+  private def eigshShardedCore(coo: DataFrame, n: Long, k: Int, m: Int,
+      maxRestarts: Int, seed: Long): (Seq[Double], DataFrame, Array[Array[Double]], Int) = {
     import breeze.linalg.{eigSym, DenseMatrix}
     import graft.functions.{ArrayMath, VectorAgg}
     val spark = coo.sparkSession
@@ -371,6 +394,10 @@ object SolverOps {
     var lanes = 1
     var prevRitz: Option[Seq[Double]] = None
     var result: Seq[Double] = null
+    // subspace eigenvectors + dimension captured at whichever exit fired,
+    // so Ritz vectors can be materialized as one basis matvec afterwards
+    var vecY: Array[Array[Double]] = null
+    var vecDim = 0
     var restart = 0
     while (result == null && restart <= maxRestarts) {
       var invariant = false
@@ -422,7 +449,12 @@ object SolverOps {
             val ord = es0.eigenvalues.toArray.zipWithIndex.sortBy(_._1).take(k)
             val maxBound = ord.map { case (_, c) =>
               beta * math.abs(es0.eigenvectors(dim - 1, c)) }.max
-            if (maxBound < 1e-9) result = ord.map(_._1).toSeq
+            if (maxBound < 1e-9) {
+              result = ord.map(_._1).toSeq
+              vecY = ord.map { case (_, c) =>
+                (0 until dim).map(t => es0.eigenvectors(t, c)).toArray }.toArray
+              vecDim = dim
+            }
           }
         }
       }
@@ -435,8 +467,12 @@ object SolverOps {
       val ritz = order.take(k).map(_._1).toSeq
       val converged = prevRitz.exists(p =>
         p.zip(ritz).map { case (a, b) => math.abs(a - b) }.max < 1e-9)
-      if (invariant || converged || restart == maxRestarts) result = ritz
-      else {
+      if (invariant || converged || restart == maxRestarts) {
+        result = ritz
+        vecY = order.take(k).map { case (_, c) =>
+          (0 until big).map(t => es.eigenvectors(t, c)).toArray }.toArray
+        vecDim = big
+      } else {
         // thick restart: compress to l best Ritz vectors + residual lane
         prevRitz = Some(ritz)
         val l = math.min(k + 2, big)
@@ -454,7 +490,7 @@ object SolverOps {
       }
       }
     }
-    result
+    (result, basis, vecY, vecDim)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

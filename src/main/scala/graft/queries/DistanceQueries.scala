@@ -68,6 +68,19 @@ object DistanceQueries extends QueryGroup {
       DistanceOps.mutualReachabilityLinkage(blobs, 5, 5)
         .groupBy(col("comp").as("cluster")).agg(count(lit(1)).as("n"))
     }),
+    // DBSCAN on the separated blobs plus 10 planted far outliers: with
+    // eps=8 every blob point is core (≈99 in-blob eps-neighbors) and each
+    // blob is one component (cluster = min id in blob = blob index), while
+    // the outliers are mutually-distant singletons with zero neighbors →
+    // noise (−1) — the full core/border/noise decision is closed form.
+    "dist_dbscan" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec"))
+      val outliers = s.range(10).select((col("id") + 500).as("id"),
+        transform(sequence(lit(0), lit(7)),
+          _ => lit(1.0e6) + col("id").cast("double") * 1.0e4).as("vec"))
+      val pts = blobs.unionByName(outliers).coalesce(4).localCheckpoint(true)
+      DistanceOps.dbscan(pts, 8.0, 5)
+    }),
     // NN-descent on the separated blobs. Deliberately NO SQL oracle: the
     // output is the fixpoint of an iterative local search (it plateaus at
     // ~0.99 recall of the exact graph — the algorithm's documented
@@ -115,5 +128,9 @@ object DistanceQueries extends QueryGroup {
     "dist_mrd_linkage" ->
       """SELECT id % 5 AS cluster, count(*) AS n
         |FROM range(500) t(id) GROUP BY 1""".stripMargin,
+    "dist_dbscan" ->
+      """SELECT id, CASE WHEN id < 500 THEN id % 5 ELSE -1 END AS cluster,
+        |  CAST(CASE WHEN id < 500 THEN 1 ELSE 0 END AS INTEGER) AS is_core
+        |FROM range(510) t(id)""".stripMargin,
   )
 }

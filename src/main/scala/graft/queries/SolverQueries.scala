@@ -130,6 +130,17 @@ object SolverQueries extends QueryGroup {
         (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "eig")
     }),
+    "solver_eigsh_vectors" -> ((s, d) => {
+      // Ritz VECTORS from the sharded basis (factor output, not just the
+      // spectrum): path-graph eigenvectors are the DCT-II basis,
+      // v_q(i) = sqrt(2/n)·cos(πq(i+1/2)/n) (q ≥ 1; v_0 = 1/sqrt(n)), so
+      // per-coordinate v² is closed form — sign-free, hence hash-stable.
+      val (_, vecs) = SolverOps.eigshShardedRitz(chainLaplacian(s, 30), 30, 3,
+        m = 40, maxRestarts = 4)
+      vecs.select(col("i"), posexplode(col("v")).as(Seq("q", "x")))
+        .select(col("i"), col("q").cast("long").as("q"),
+          (round(col("x") * col("x"), 4) + 0.0).as("v2"))
+    }),
     "solver_eigsh_sharded_big" -> ((s, d) => {
       // n = 1e5: the sharded basis is the only path that works here — the
       // driver-basis eigshSmallest would hold 25 n-vectors. Diagonal
@@ -217,6 +228,13 @@ object SolverQueries extends QueryGroup {
         |FROM range(3) t(i)""".stripMargin,
     "solver_eigsh_sharded_big" ->
       "SELECT i, CAST(i + 1.0 AS DOUBLE) AS eig FROM range(3) t(i)",
+    // DCT-II closed form for the path-graph eigenvectors, squared
+    "solver_eigsh_vectors" ->
+      """SELECT i, q,
+        |  round(CASE WHEN q = 0 THEN 1.0/30
+        |    ELSE (2.0/30) * cos(pi()*q*(i+0.5)/30) * cos(pi()*q*(i+0.5)/30)
+        |    END, 4) + 0.0 AS v2
+        |FROM range(30) t(i), range(3) s(q)""".stripMargin,
     "solver_svd" ->
       "SELECT i, CAST(16 * (8 - i) AS DOUBLE) AS sigma FROM range(5) t(i)",
     "solver_rsvd" ->

@@ -96,6 +96,26 @@ class DistanceSpec extends AnyFunSuite {
     assert(nn12 == nn || (nn12 intersect exact).size >= (nn intersect exact).size)
   }
 
+  test("DBSCAN: core/border/noise on a hand-built line cluster") {
+    import spark.implicits._
+    // 1-d line embedded in 2 lanes: 0,1,2,3 chained at unit spacing; point
+    // 4 at x=4.5 is within eps of only point 3 (border: non-core with a
+    // core neighbor); point 5 at x=100 is noise. eps=1.1, minPts=3 (self
+    // included): points 1,2 have 2 neighbors each (core); 0,3 have 1-2...
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(3.0, 0.0)), (4L, Seq(3.9, 0.0)), (5L, Seq(100.0, 0.0)),
+      (6L, Seq(4.9, 0.0))).toDF("id", "vec")
+    // neighbors within 1.1: 0-[1], 1-[0,2], 2-[1,3], 3-[2,4], 4-[3,6], 6-[4], 5-[]
+    // minPts=3 => core = {1,2,3,4}; components of core-core graph = {1,2,3,4} -> label 1
+    // border: 0 (neighbor of core 1), 6 (neighbor of core 4) -> label 1; noise: 5
+    val r = DistanceOps.dbscan(pts, 1.1, 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getInt(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => r(i) == (1L, 1)))
+    assert(r(0L) == (1L, 0) && r(6L) == (1L, 0)) // border points, not core
+    assert(r(5L) == (-1L, 0)) // noise
+  }
+
   test("PQ encode compresses same-blob points to identical codes") {
     val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42).select(col("id"), col("vec"))
     val cb = ClusterOps.pqTrain(blobs, d = 8, m = 2, ksub = 5, iters = 5)
