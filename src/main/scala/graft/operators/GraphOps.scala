@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-centrality scoring — the domain-authority signal a corpus
+  * curation pipeline weights documents by (CommonCrawl-style domain
+  * ranking). The engine already ships the graph primitives the reference
+  * provides (R-MAT generation random/rmat_rectangular_generator.cuh:86,
+  * COO degree, spmv, connected components); PageRank is their canonical
+  * composition: each round IS one spmv against the column-stochastic
+  * adjacency plus a rank-one damping correction.
+  *
+  * Scale shape: rank state is a (node, r) DataFrame, never driver-held;
+  * each round is ONE keyed shuffle (contributions grouped by
+  * destination) with the out-degree table joined on the edge stream. A
+  * fixed round count keeps the op deterministic and SQL-replicable (the
+  * driver oracle replays the same rounds as a recursive CTE). Dangling
+  * mass is dropped (the standardized simplification) so the update needs
+  * no per-round global aggregate — the whole solve is one declarative
+  * DAG executed by a single action.
+  */
+object GraphOps {
+
+  /** PageRank after `iters` synchronous rounds over the DISTINCT edge
+    * set: r_{t+1}(v) = (1−d)/N + d·Σ_{u→v} r_t(u)/outdeg(u).
+    * Returns (node, r) for all n nodes (isolated ones settle at (1−d)/N).
+    */
+  def pageRank(edges: DataFrame, n: Long, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("od"))
+      .localCheckpoint(true)
+    val nodes = spark.range(n).select(col("id").as("node"))
+    var r = nodes.select(col("node"), lit(1.0 / n).as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), (col("r") / col("od")).as("cv"))
+        .groupBy(col("node")).agg(sum(col("cv")).as("s"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit((1.0 - damping) / n) +
+          lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    r
+  }
+}

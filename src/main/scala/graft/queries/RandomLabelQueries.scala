@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{LabelOps, RandomOps}
+import graft.operators.{GraphOps, LabelOps, RandomOps}
 import graft.Tables
 
 /** RNG / generator / label-op queries (SURVEY.md §2.11, §2.1, §2.7).
@@ -73,6 +73,13 @@ object RandomLabelQueries extends QueryGroup {
         .select(col("id").as("src"), (col("id") + 1).as("dst"))
       LabelOps.connectedComponents(edges).select(col("node"), col("comp"))
     }),
+    // PageRank over the deterministic R-MAT graph (same hash draws the
+    // gen_rmat oracle replays); 10 fixed rounds -> the oracle replays the
+    // identical iteration as a recursive CTE. Engines differ only in
+    // float summation order (~1e-14), absorbed by round(.,6).
+    "graph_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(RandomOps.rmat(s, 1000, 8, 42), 256L, 10)
+        .select(col("node"), (round(col("r"), 6) + 0.0).as("r"))),
   )
 
   private def rmatSql(nEdges: Int, scale: Int, seed: Long,
@@ -163,5 +170,24 @@ object RandomLabelQueries extends QueryGroup {
         |FROM embeddings""".stripMargin,
     "label_cc" ->
       "SELECT id AS node, (id // 50) * 50 AS comp FROM range(200) t(id)",
+    "graph_pagerank" ->
+      s"""WITH RECURSIVE
+         |raw AS (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |e AS (SELECT DISTINCT src, dst FROM raw),
+         |deg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY 1),
+         |pr AS (
+         |  SELECT 0 AS it, id::BIGINT AS node, 1.0/256 AS r FROM range(256) t(id)
+         |  UNION ALL
+         |  SELECT it + 1, node, 0.15/256 + 0.85 * s AS r FROM (
+         |    SELECT p.it AS it, n.id AS node, COALESCE(sum(contrib.cv), 0.0) AS s
+         |    FROM range(256) n(id)
+         |    CROSS JOIN (SELECT DISTINCT it FROM pr WHERE it < 10) p
+         |    LEFT JOIN (
+         |      SELECT pr2.it AS cit, e.dst AS d, pr2.r / deg.od AS cv
+         |      FROM pr pr2 JOIN e ON e.src = pr2.node JOIN deg ON deg.src = e.src
+         |    ) contrib ON contrib.d = n.id AND contrib.cit = p.it
+         |    GROUP BY 1, 2)
+         |)
+         |SELECT node, round(r, 6) + 0.0 AS r FROM pr WHERE it = 10""".stripMargin,
   )
 }
