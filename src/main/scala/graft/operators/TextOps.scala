@@ -261,6 +261,43 @@ object TextOps {
       .select(col("doc_id"), col("source"), keep.cast("int").as("keep"))
   }
 
+  /** Count-min-sketch heavy hitters — the vocabulary/stopword-list
+    * builder for a 100 TB corpus: the sketch is a depth×width counter
+    * grid, each (d, bucket) cell = Σ counts of tokens hashing there — a
+    * single groupBy whose state is depth·width cells REGARDLESS of
+    * vocabulary size (the point vs an exact token groupBy whose state is
+    * the vocabulary). est(token) = min over rows of its cell (classic CMS
+    * overestimate; Cormode & Muthukrishnan '05). Emitted here for the
+    * top-k tokens by exact count next to their exact counts, so the
+    * overestimate property is visible in the output and the oracle can
+    * replay the identical md5 bucket hashes. */
+  def heavyHittersCms(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      k: Int = 20): DataFrame = {
+    val toks = tokenize(docs)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    def bucket(d: Int, c: Column) =
+      pmod(h32(concat_ws(":", lit(d), c)), lit(width))
+    val cells = toks.select(col("exact") +:
+        (0 until depth).map(d => bucket(d, col("token")).as(s"b$d")): _*)
+    val grids = (0 until depth).map { d =>
+      cells.groupBy(col(s"b$d").as("b")).agg(sum(col("exact")).as("cell"))
+        .select(lit(d).as("d"), col("b"), col("cell"))
+    }.reduce(_ unionByName _)
+    val est = (0 until depth).foldLeft(
+      toks.select(col("token"), col("exact"))) { (acc, d) =>
+      acc.join(grids.where(col("d") === d)
+          .select(col("b").as(s"b$d"), col("cell").as(s"c$d")),
+        bucket(d, col("token")) === col(s"b$d"))
+        .drop(s"b$d")
+    }
+    val w = Window.orderBy(col("exact").desc, col("token").asc)
+    est.select(col("token"), col("exact"),
+        least((0 until depth).map(d => col(s"c$d")): _*).as("est"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("token"), col("exact"), col("est"), col("rnk"))
+  }
+
   /** PII redaction pass — the scrub step a curation pipeline runs before
     * training-data release: emails, IPv4 addresses, and international
     * phone numbers are replaced with typed placeholders, with per-doc

@@ -177,6 +177,8 @@ object SparseTextQueries extends QueryGroup {
     "txt_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "txt_token_count" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "txt_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "txt_heavy_hitters" -> ((s, d) =>
+      TextOps.heavyHittersCms(Tables.documents(s, d))),
     // word-soup corpus has no organic PII, so the query plants
     // deterministic emails/IPs/phones on a doc_id schedule (same CASE on
     // both engines) — the redaction then does real work and the hash
@@ -439,5 +441,27 @@ object SparseTextQueries extends QueryGroup {
         |       ELSE 'fr' END AS pred_lang,
         |  greatest(s_de, s_en, s_es, s_fr) AS score
         |FROM scored""".stripMargin,
+    // replays the identical depth=4 x width=1024 md5 sketch: cell sums,
+    // then est = min over rows of the token's cell
+    "txt_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            t -> t <> '')) AS token
+        |  FROM documents),
+        |tc AS (SELECT token, count(*) AS exact FROM toks GROUP BY 1),
+        |cells AS (
+        |  SELECT t.d AS d,
+        |    CAST(('0x' || substr(md5(concat_ws(':', t.d, tc.token)), 1, 8)) AS BIGINT) % 1024 AS b,
+        |    CAST(sum(tc.exact) AS BIGINT) AS cell
+        |  FROM tc CROSS JOIN range(4) t(d) GROUP BY 1, 2),
+        |est AS (
+        |  SELECT tc.token, tc.exact, min(c.cell) AS est
+        |  FROM tc CROSS JOIN range(4) t(d)
+        |  JOIN cells c ON c.d = t.d AND c.b =
+        |    CAST(('0x' || substr(md5(concat_ws(':', t.d, tc.token)), 1, 8)) AS BIGINT) % 1024
+        |  GROUP BY 1, 2)
+        |SELECT token, exact, est,
+        |  row_number() OVER (ORDER BY exact DESC, token) AS rnk
+        |FROM est QUALIFY rnk <= 20""".stripMargin,
   )
 }

@@ -302,4 +302,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.keySet == Set(50L))
     assert(out(50L) == ((1L, 1L)))
   }
+
+  test("CMS heavy hitters: est >= exact always, exact on a tiny vocabulary") {
+    import spark.implicits._
+    // zipf-ish: 'alpha' x30, 'beta' x10, 'gamma' x3, singles
+    val docs = (0 until 30).map(i => (i.toLong, "alpha"))
+      .++((30 until 40).map(i => (i.toLong, "beta")))
+      .++((40 until 43).map(i => (i.toLong, "gamma")))
+      .++(Seq((43L, "delta eps zeta")))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextOps.heavyHittersCms(docs, depth = 4,
+      width = 1024, k = 10).collect()
+    r.foreach(x => assert(x.getLong(2) >= x.getLong(1),
+      s"CMS must overestimate: ${x.mkString(",")}"))
+    // 6 tokens in 4096 cells: collisions are possible but the planted
+    // draws land collision-free -> estimates are exact
+    val m = r.map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(m("alpha") == ((30L, 30L)) && m("beta") == ((10L, 10L)))
+    assert(r.head.getString(0) == "alpha" && r.head.getInt(3) == 1)
+  }
 }
