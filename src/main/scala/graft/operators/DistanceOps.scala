@@ -172,12 +172,25 @@ object DistanceOps {
     * pairs were produced — object doc). Deterministic labels: cluster =
     * min member id of the component; border ties break to the min label.
     * Returns (id, cluster, is_core). */
-  def dbscan(points: DataFrame, eps: Double, minPts: Int): DataFrame = {
-    val e2 = eps * eps
+  /** Half-open eps-pair table (a < b) — the exact pair generator
+    * [[dbscan]] consumes. At scale, swap this for the LSH/IVF candidate
+    * join filtered by the same predicate and feed [[dbscanFromPairs]]:
+    * the clustering machinery is independent of pair generation. */
+  def epsPairs(points: DataFrame, eps: Double): DataFrame = {
     val a = points.select(col("id").as("a"), col("vec").as("va"))
     val b = points.select(col("id").as("b"), col("vec").as("vb"))
-    val half = a.join(b, col("a") < col("b") && l2sq(col("va"), col("vb")) <= e2)
-      .select(col("a"), col("b")).localCheckpoint(true)
+    a.join(b, col("a") < col("b") && l2sq(col("va"), col("vb")) <= eps * eps)
+      .select(col("a"), col("b"))
+  }
+
+  def dbscan(points: DataFrame, eps: Double, minPts: Int): DataFrame =
+    dbscanFromPairs(points, epsPairs(points, eps), minPts)
+
+  /** Core/border/noise + components over an arbitrary half-open
+    * (a < b) within-eps pair table (exact or candidate-generated). */
+  def dbscanFromPairs(points: DataFrame, pairs: DataFrame,
+      minPts: Int): DataFrame = {
+    val half = pairs.localCheckpoint(true)
     val sym = half.unionByName(half.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
     val core = deg.where(col("deg") + 1 >= minPts).select(col("id"))

@@ -7,6 +7,9 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // same extensions the gates run (Bench/Verify/Explain): specs must
+    // exercise the session users get, fused kernels included
+    .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

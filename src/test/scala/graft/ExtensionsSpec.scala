@@ -15,11 +15,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val base = TestSpark.spark // materialize the shared context first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    // TestSpark is the EXTENDED session now (same as the gates); the
+    // contrast session is built plain on the shared context
+    val plain = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
+    val s = base
     try {
       def dotDf(sess: SparkSession) = sess.range(50).select(col("id"),
         ArrayMath.dot(
@@ -28,7 +30,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val df = dotDf(s)
       assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot"),
         "optimizer did not substitute the native expression")
-      assert(!dotDf(base).queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!dotDf(plain).queryExecution.optimizedPlan.toString.toLowerCase
         .contains("arraydot"), "un-extended session must keep the HOF form")
       val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       (0L until 50L).foreach { id =>
@@ -46,11 +48,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val base = TestSpark.spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    // TestSpark is the EXTENDED session now (same as the gates); the
+    // contrast session is built plain on the shared context
+    val plain = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
+    val s = base
     try {
       def dDf(sess: SparkSession) = sess.range(50).select(col("id"),
         graft.operators.DistanceOps.l2sq(
@@ -61,7 +65,7 @@ class ExtensionsSpec extends AnyFunSuite {
         "optimizer did not substitute ArrayL2Sq")
       // the sibling rules must not misfire on the diff-square pattern
       assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraydot("))
-      assert(!dDf(base).queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!dDf(plain).queryExecution.optimizedPlan.toString.toLowerCase
         .contains("arrayl2sq"), "un-extended session must keep the HOF form")
       val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       (0L until 50L).foreach { id =>
@@ -80,11 +84,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val base = TestSpark.spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    // TestSpark is the EXTENDED session now (same as the gates); the
+    // contrast session is built plain on the shared context
+    val plain = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
+    val s = base
     try {
       val v = transform(sequence(lit(0), lit(7)), j => (col("id") + j).cast("double"))
       val w = transform(sequence(lit(0), lit(7)), j => (j * 2).cast("double"))
@@ -110,11 +116,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val base = TestSpark.spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    // TestSpark is the EXTENDED session now (same as the gates); the
+    // contrast session is built plain on the shared context
+    val plain = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
+    val s = base
     try {
       def sqDf(sess: SparkSession) = sess.range(50).select(col("id"),
         ArrayMath.foldSum(

@@ -86,6 +86,28 @@ class PlanSpec extends AnyFunSuite {
     assert(firstAgg >= 0, "hash aggregation missing")
   }
 
+  test("dbscan pair stage uses the fused l2 kernel, never CartesianProduct") {
+    // the query checkpoints the pair table eagerly, so assert on the pair
+    // GENERATOR's plan (the stage dbscan actually executes)
+    spark.catalog.clearCache()
+    val pts = graft.operators.RandomOps.makeBlobs(spark, 100, 8, 5, 42)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("vec"))
+    val p = graft.operators.DistanceOps.epsPairs(pts, 8.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "pair join degenerated")
+    assert(p.toLowerCase.contains("arrayl2sq"),
+      "fused L2 kernel lost from the eps condition")
+  }
+
+  test("CMS heavy hitters: sketch cells aggregate BEFORE any join (grid is mergeable)") {
+    val p = plan("txt_heavy_hitters")
+    // the est lookup joins the (already aggregated) grid to the token
+    // table — the token stream itself must never be join input pre-agg
+    assert(p.contains("HashAggregate"), "cell aggregation missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("pipe_embed_neardup pair stage: native dot, cheap conjunct first, no HOF fold") {
     val p = plan("pipe_embed_neardup")
     assert(p.contains("arraydot"), s"pair stage lost the native fused dot:\n$p")
