@@ -40,6 +40,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_join_anti" -> ((s, d) => Relational.customersWithoutEvents(s, d)),
     "rel_asof_last_signup" -> ((s, d) => Relational.lastSignupBeforeEvent(s, d)),
     "rel_range_join_clicks" -> ((s, d) => Relational.clicksBeforePurchase(s, d)),
+    "rel_interval_join_global" -> ((s, d) => Relational.globalAttributionClicks(s, d)),
     "rel_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
     "rel_json_extract" -> ((s, d) => Relational.eventPropsExtract(s, d)),
     "rel_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
@@ -111,6 +112,17 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT o_orderstatus, o_orderpriority,
         |  round(sum(o_totalprice), 2) AS total, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    // keyless interval join: clicks from ANY user in the hour before each
+    // tracked purchase (epoch-micros arithmetic — the shared ts convention)
+    "rel_interval_join_global" ->
+      """SELECT p.event_id AS wid, count(*) AS n_clicks,
+        |  round(sum(c.value), 4) AS click_value
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND p.event_id < 2000
+        |  AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.ts) < epoch_us(p.ts)
+        |GROUP BY 1""".stripMargin,
     "rel_window_frames" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey

@@ -115,6 +115,43 @@ object Relational {
       .agg(count(lit(1)).as("n_clicks"), round(sum(col("c_value")), 4).as("click_value"))
   }
 
+  /** KEYLESS interval join via bucket replication — the scale path for
+    * range predicates with no equi-key (clicksBeforePurchase has the user
+    * key, so Spark already sort-merge-joins it; a global-window join has
+    * nothing to hash on and degenerates to BroadcastNestedLoopJoin).
+    * Intervals explode to the time buckets they overlap (×(span/bucket+1)
+    * replication — the classic trade), points carry their single bucket,
+    * and the join becomes a plain equi-join on bucket + residual range
+    * filter. Each (point, interval) match meets in EXACTLY one bucket
+    * (the point's), so no dedup pass is needed. Inputs in epoch-micros
+    * longs: (pt, ...) × (wid, lo, hi), hi exclusive. */
+  def intervalJoinBucketed(points: DataFrame, intervals: DataFrame,
+      bucketMicros: Long): DataFrame = {
+    val p = points.withColumn("b", floor(col("pt") / bucketMicros))
+    val iv = intervals.withColumn("b",
+      explode(sequence(floor(col("lo") / bucketMicros),
+        floor((col("hi") - 1) / bucketMicros))))
+    iv.join(p, Seq("b"))
+      .where(col("pt") >= col("lo") && col("pt") < col("hi"))
+      .drop("b")
+  }
+
+  /** Global attribution windows: clicks from ANY user falling in the hour
+    * before each tracked purchase — the keyless interval join
+    * [[intervalJoinBucketed]] exists for, aggregated per window. */
+  def globalAttributionClicks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("pt"), col("value"))
+    val windows = e.where(col("event_type") === "purchase" && col("event_id") < 2000)
+      .select(col("event_id").as("wid"),
+        (unix_micros(col("ts")) - 3600000000L).as("lo"),
+        unix_micros(col("ts")).as("hi"))
+    intervalJoinBucketed(clicks, windows, 3600000000L)
+      .groupBy(col("wid"))
+      .agg(count(lit(1)).as("n_clicks"), round(sum(col("value")), 4).as("click_value"))
+  }
+
   /** Analytic window frames: running revenue + rank/lag per supplier over a
     * unique (shipdate, orderkey, linenumber) order — the frame-spec surface
     * (SURVEY §2.6, declared free; required by the select_k/shift mappings).

@@ -49,4 +49,23 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("bucketed interval join equals the direct range predicate, incl. boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // points on a fine grid; intervals deliberately spanning 0, 1, and 2
+    // bucket boundaries, touching lo (inclusive) and hi (exclusive)
+    val pts = (0L until 200L).map(i => (i * 7L, i.toDouble)).toDF("pt", "value")
+    val ivs = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 100L, 300L),
+      (4L, 7L, 8L), (5L, 1393L, 1400L)).toDF("wid", "lo", "hi")
+    val got = graft.operators.Relational.intervalJoinBucketed(pts, ivs, 100L)
+      .select(col("wid"), col("pt")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (w, lo, hi) <- Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 100L, 300L),
+        (4L, 7L, 8L), (5L, 1393L, 1400L))
+      i <- 0L until 200L
+      p = i * 7L if p >= lo && p < hi
+    } yield (w, p)).toSet
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+  }
 }

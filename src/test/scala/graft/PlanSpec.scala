@@ -100,6 +100,13 @@ class PlanSpec extends AnyFunSuite {
       "fused L2 kernel lost from the eps condition")
   }
 
+  test("keyless interval join becomes an equi-join on bucket, never BNLJ") {
+    val p = plan("rel_interval_join_global")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bucket replication lost — the join degenerated to all-pairs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("CMS heavy hitters: sketch cells aggregate BEFORE any join (grid is mergeable)") {
     val p = plan("txt_heavy_hitters")
     // the est lookup joins the (already aggregated) grid to the token
