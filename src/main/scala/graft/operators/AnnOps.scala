@@ -30,6 +30,29 @@ object AnnOps {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** kNN classification — majority vote (ties to the smallest label) over
+    * the k nearest labeled points by L2, query rows held out of the vote.
+    * The classic consumer of the pairwise-distance + select_k primitives;
+    * this exact form is the bounded baseline and the LSH/IVF candidate
+    * joins are the scale path, as everywhere in this family. */
+  def knnClassify(points: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = points.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val c = points.where(col("id") >= nQueries)
+      .select(col("id").as("nid"), col("vec").as("nv"), col("label"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    val neighbors = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("label"),
+        DistanceOps.l2sq(col("qv"), col("nv")).as("d2"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    neighbors.groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label").asc)))
+      .where(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred"), col("votes"))
+  }
+
   /** Deterministic random hyperplane h (0-centered uniform lanes), seeded. */
   def hyperplane(h: Int, d: Int, seed: Long): Column =
     transform(sequence(lit(0), lit(d - 1)), j =>

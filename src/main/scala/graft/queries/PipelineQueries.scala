@@ -175,6 +175,15 @@ object PipelineQueries extends QueryGroup {
       val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       ClusterOps.pqRefine(blobs, 5, 10, shortlist = 20, d = 8, m = 2, ksub = 5, iters = 5)
     }),
+    // kNN classification on the separated blobs: every query's 5 nearest
+    // non-query points are in-blob, so the majority vote IS the
+    // generative label with a unanimous 5-0 count — closed form.
+    "pipe_knn_classify" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42)
+        .select(col("id"), col("vec"), col("cluster").as("label"))
+        .coalesce(4).localCheckpoint(true)
+      AnnOps.knnClassify(blobs, 50, 5)
+    }),
     "pipe_kmeans_pp" -> ((s, d) => {
       // k-means|| seeding + Lloyd's on the same separated fixture: any
       // one-seed-per-blob init converges to the same generative optimum
@@ -372,6 +381,9 @@ object PipelineQueries extends QueryGroup {
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "pipe_kmeans" -> kmeansBlobsOracle,
     "pipe_kmeans_pp" -> kmeansBlobsOracle,
+    "pipe_knn_classify" ->
+      """SELECT id AS qid, id % 5 AS pred, CAST(5 AS BIGINT) AS votes
+        |FROM range(50) t(id)""".stripMargin,
     "pipe_dup_ngram_fraction" ->
       s"""$shCte,
          |dfq AS (SELECT hs, count(*) AS df FROM sh GROUP BY 1)
