@@ -39,6 +39,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_join_semi" -> ((s, d) => Relational.customersWithOrders(s, d)),
     "rel_join_anti" -> ((s, d) => Relational.customersWithoutEvents(s, d)),
     "rel_asof_last_signup" -> ((s, d) => Relational.lastSignupBeforeEvent(s, d)),
+    "rel_asof_native" -> ((s, d) => Relational.lastSignupNative(s, d)),
     "rel_range_join_clicks" -> ((s, d) => Relational.clicksBeforePurchase(s, d)),
     "rel_interval_join_global" -> ((s, d) => Relational.globalAttributionClicks(s, d)),
     "rel_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
@@ -112,6 +113,12 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT o_orderstatus, o_orderpriority,
         |  round(sum(o_totalprice), 2) AS total, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    // custom-operator as-of join: last signup at-or-before each event
+    "rel_asof_native" ->
+      """SELECT e.event_id, epoch_us(max(s.ts)) AS last_signup_us
+        |FROM events e JOIN events s
+        |  ON s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts <= e.ts
+        |GROUP BY 1""".stripMargin,
     // keyless interval join: clicks from ANY user in the hour before each
     // tracked purchase (epoch-micros arithmetic — the shared ts convention)
     "rel_interval_join_global" ->

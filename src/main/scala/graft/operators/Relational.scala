@@ -115,6 +115,20 @@ object Relational {
       .agg(count(lit(1)).as("n_clicks"), round(sum(col("c_value")), 4).as("click_value"))
   }
 
+  /** The as-of join through the CUSTOM OPERATOR (graft.plans.AsOfJoin:
+    * logical node + planner strategy + merge-sweep SparkPlan): same
+    * semantics as [[lastSignupBeforeEvent]]'s inequality-join + max, but
+    * one O(|L|+|R|) sweep per co-partition — no inflation, no window.
+    * Emits epoch-micros (the shared ts convention). */
+  def lastSignupNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val s = e.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    graft.plans.AsOfJoin(e, s, "user_id", "s_user", "ts", "s_ts")
+      .where(col("s_ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("s_ts")).as("last_signup_us"))
+  }
+
   /** KEYLESS interval join via bucket replication — the scale path for
     * range predicates with no equi-key (clicksBeforePurchase has the user
     * key, so Spark already sort-merge-joins it; a global-window join has

@@ -104,6 +104,9 @@ object DotFusionRule extends Rule[LogicalPlan] {
 /** Session extension entry point: `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotFusionRule)
+    // whole-operator tier: plans the custom AsOfJoinPlan logical node
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
