@@ -304,4 +304,39 @@ object DedupOps {
         (round(sum(col("seen")).cast("double") / count(lit(1)), 4) + 0.0)
           .as("seen_frac"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup =
+    * cluster the embedding space, then remove near-duplicates WITHIN each
+    * cluster only. The within-cluster equi-join is the entire scale
+    * story: candidate pairs drop from n² to Σ_c |c|² and every cluster
+    * block is independent — at 100 TB the pair stage is an equi-join on
+    * the cluster key (one shuffle), not an all-pairs product. Takes an
+    * already-clustered table (id, vec, cluster) so the clustering is
+    * pluggable (k-means here, LSH buckets or IVF cells at larger scale —
+    * same seam as [[graft.operators.DistanceOps.dbscanFromPairs]]).
+    *
+    * Survivor policy — the id-dominance rule: a row is removed iff SOME
+    * smaller-id row in its cluster has cosine ≥ threshold with it.
+    * Order-independent (no sequential greedy scan), deterministic, and
+    * one aggregate over the pair join; differs from per-clique
+    * keep-exactly-one when the ≥τ graph is a chain (both ends of an
+    * a—b—c chain survive under cliques, only `a` under dominance) —
+    * dominance is the parallel-safe choice and is documented as such.
+    * Returns every input row flagged: (id, cluster, keep). */
+  def semanticDedup(clustered: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.{ArrayDot, ArrayMath}
+    // normalize once, checkpoint: the pair stage then dots plain unit
+    // rows inside codegen (same shape as embeddingNearDups)
+    val unit = clustered.select(col("id"), col("cluster"),
+        ArrayMath.normalize(col("vec"), ArrayMath.l2(col("vec"))).as("uv"))
+      .localCheckpoint(true)
+    val a = unit.select(col("cluster"), col("id").as("a"), col("uv").as("ua"))
+    val b = unit.select(col("cluster"), col("id").as("b"), col("uv").as("ub"))
+    val removed = a.join(b, Seq("cluster"))
+      .where(col("a") < col("b") &&
+        ArrayDot.dot(col("ua"), col("ub")) >= threshold)
+      .select(col("cluster"), col("b").as("id")).distinct()
+    unit.join(removed.withColumn("rm", lit(1)), Seq("cluster", "id"), "left")
+      .select(col("id"), col("cluster"), col("rm").isNull.as("keep"))
+  }
 }

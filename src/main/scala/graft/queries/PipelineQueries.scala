@@ -184,6 +184,18 @@ object PipelineQueries extends QueryGroup {
         .coalesce(4).localCheckpoint(true)
       AnnOps.knnClassify(blobs, 50, 5)
     }),
+    // SemDeDup on the separated blobs: k-means clusters = generative
+    // blobs (closed form, as in pipe_kmeans), so the within-cluster
+    // near-dup pair join and the id-dominance keep flags are all
+    // SQL-replicable — the full cluster -> within-cluster-cosine ->
+    // survivor pipeline is hash-checked per row (2000 keep flags).
+    // τ=0.999 sits inside the same-blob cosine distribution (kept counts
+    // 3–9 of 400 per cluster), so the predicate genuinely discriminates.
+    "pipe_semantic_dedup" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 2000, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
+      val (assigned, _) = ClusterOps.kmeans(blobs, 5, 5)
+      DedupOps.semanticDedup(assigned, 0.999)
+    }),
     "pipe_kmeans_pp" -> ((s, d) => {
       // k-means|| seeding + Lloyd's on the same separated fixture: any
       // one-seed-per-blob init converges to the same generative optimum
@@ -381,6 +393,23 @@ object PipelineQueries extends QueryGroup {
       "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique FROM documents",
     "pipe_kmeans" -> kmeansBlobsOracle,
     "pipe_kmeans_pp" -> kmeansBlobsOracle,
+    // SemDeDup keep flags: cluster = generative blob, unit vectors and
+    // strict-fold cosine exactly as the Spark side computes them,
+    // dominance rule = "removed iff some smaller id in the cluster is
+    // within τ"
+    "pipe_semantic_dedup" ->
+      s"""WITH $blobsVecCte,
+         |un AS (
+         |  SELECT id, cluster, CASE WHEN sqrt(${foldSq("vec")}) <> 0.0
+         |    THEN list_transform(vec, x -> x / sqrt(${foldSq("vec")}))
+         |    ELSE vec END AS uv
+         |  FROM bl),
+         |rm AS (
+         |  SELECT DISTINCT b.cluster, b.id
+         |  FROM un a JOIN un b ON a.cluster = b.cluster AND a.id < b.id
+         |  WHERE ${foldDot("a.uv", "b.uv")} >= 0.999)
+         |SELECT un.id, un.cluster, rm.id IS NULL AS keep
+         |FROM un LEFT JOIN rm ON rm.cluster = un.cluster AND rm.id = un.id""".stripMargin,
     "pipe_knn_classify" ->
       """SELECT id AS qid, id % 5 AS pred, CAST(5 AS BIGINT) AS votes
         |FROM range(50) t(id)""".stripMargin,

@@ -321,4 +321,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("alpha") == ((30L, 30L)) && m("beta") == ((10L, 10L)))
     assert(r.head.getString(0) == "alpha" && r.head.getInt(3) == 1)
   }
+
+  test("semanticDedup: id-dominance within clusters only") {
+    import spark.implicits._
+    // cluster 0: a(0)—b(1) near, c(2) near b but NOT a (a chain): under
+    // dominance b and c are both removed (b by a, c by b — removal does
+    // not rescue downstream ids). cluster 1: d(3) identical to a but in
+    // another cluster — kept (pairs never cross clusters).
+    val deg = math.Pi / 180.0
+    def v(angleDeg: Double) = Seq(math.cos(angleDeg * deg), math.sin(angleDeg * deg))
+    val pts = Seq(
+      (0L, v(0), 0), (1L, v(1.5), 0), (2L, v(3.0), 0), // cos(1.5°)≈0.99966 ≥ τ; cos(3°)≈0.99863 < τ
+      (3L, v(0), 1))
+      .toDF("id", "vec", "cluster")
+    val got = DedupOps.semanticDedup(pts, 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> false, 3L -> true))
+  }
 }
