@@ -113,6 +113,41 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT o_orderstatus, o_orderpriority,
         |  round(sum(o_totalprice), 2) AS total, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    // deterministic HLL (md5 registers, integer-scaled sum — see
+    // Relational.approxDistinctParts): the estimate is a pure function of
+    // the value set, so both engines derive the identical integer
+    "rel_approx_distinct" -> {
+      // the α·m²·2⁴⁹ numerator as ONE Scala-computed double whose
+      // round-trip decimal repr lands DuckDB on the same bits the Spark
+      // literal carries
+      val numer = 0.7213 / (1.0 + 1.079 / 4096) * 4096.0 * 4096.0 * math.pow(2.0, 49)
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM lineitem),
+         |regs AS (
+         |  SELECT l_returnflag, h & 4095 AS bucket,
+         |    max(CASE WHEN h >> 12 = 0 THEN 49
+         |             ELSE 49 - length(bin(h >> 12)) END) AS rank
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT l_returnflag,
+         |    sum(CAST(1 AS BIGINT) << (49 - rank)) AS s_hit,
+         |    4096 - count(*) AS zeros
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT l_returnflag, zeros,
+         |    $numer / CAST(s_hit + zeros * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS raw
+         |  FROM agg)
+         |SELECT e.l_returnflag,
+         |  CAST(CASE WHEN raw <= 10240.0 AND zeros > 0
+         |    THEN round(4096.0 * ln(4096.0 / zeros)) ELSE round(raw) END AS BIGINT)
+         |    AS approx_parts,
+         |  x.exact_parts
+         |FROM est e JOIN (
+         |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+         |  FROM lineitem GROUP BY 1) x USING (l_returnflag)""".stripMargin
+    },
     // custom-operator as-of join: last signup at-or-before each event
     "rel_asof_native" ->
       """SELECT e.event_id, epoch_us(max(s.ts)) AS last_signup_us

@@ -81,11 +81,14 @@ object DistanceQueries extends QueryGroup {
       val pts = blobs.unionByName(outliers).coalesce(4).localCheckpoint(true)
       DistanceOps.dbscan(pts, 8.0, 5)
     }),
-    // NN-descent on the separated blobs. Deliberately NO SQL oracle: the
-    // output is the fixpoint of an iterative local search (it plateaus at
-    // ~0.99 recall of the exact graph — the algorithm's documented
-    // behavior, not a bug), so the driver records rows-only and
-    // DistanceSpec pins the deterministic recall vs the exact kNN graph.
+    // NN-descent on the separated blobs. The output is the fixpoint of an
+    // iterative local search (plateaus at ~0.98 recall of the exact graph
+    // — documented algorithm behavior, not a bug), so the oracle REPLAYS
+    // the algorithm: md5 init draws + 4 unrolled neighbor-of-neighbor
+    // rounds in SQL. Early termination cannot desync the two engines —
+    // the graph is a pure function of the previous graph, so once Spark's
+    // checksum fixpoint fires, the oracle's remaining unrolled rounds are
+    // provable no-ops. DistanceSpec still pins recall vs the exact graph.
     "dist_nn_descent" -> ((s, d) => {
       val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       DistanceOps.nnDescent(blobs, 5, 4)
@@ -94,7 +97,44 @@ object DistanceQueries extends QueryGroup {
 
   // ---- oracles ----
 
+  /** Algorithm-replay oracle for NN-descent (k=5, 4 rounds, seed 7 on the
+    * 500-point blobs fixture): the md5 init draws and every
+    * neighbor-of-neighbor round are deterministic relational steps, so
+    * the fixpoint is SQL — init = k hash draws per node, then per round
+    * candidates = undirected graph joined to itself ∪ current edges,
+    * re-scored with the strict-fold L2 and kept to the per-source top-5
+    * (ties break by dst on both engines). */
+  private val nnDescentOracle: String = {
+    def roundCtes(r: Int): String = {
+      val p = if (r == 1) "g0" else s"g${r - 1}"
+      s"""und$r AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM $p UNION ALL SELECT dst, src FROM $p)),
+         |cand$r AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT u1.src, u2.dst FROM und$r u1 JOIN und$r u2 ON u1.dst = u2.src
+         |  WHERE u1.src <> u2.dst
+         |  UNION ALL SELECT src, dst FROM $p)),
+         |t$r AS (SELECT c.src, c.dst, ${foldL2sq("a.vec", "b.vec")} AS d2
+         |        FROM cand$r c JOIN bl a ON a.id = c.src JOIN bl b ON b.id = c.dst),
+         |g$r AS (SELECT src, dst, d2,
+         |          row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rnk
+         |        FROM t$r QUALIFY rnk <= 5)""".stripMargin
+    }
+    val draw = "CAST(('0x' || substr(md5(concat_ws(':', id, j, 7)), 1, 8)) AS BIGINT) % 500"
+    s"""WITH ${blobsCte(500)},
+       |init AS (SELECT DISTINCT id AS src, $draw AS dst
+       |         FROM range(500) t(id), range(1, 6) s(j)
+       |         WHERE id <> $draw),
+       |t0 AS (SELECT c.src, c.dst, ${foldL2sq("a.vec", "b.vec")} AS d2
+       |       FROM init c JOIN bl a ON a.id = c.src JOIN bl b ON b.id = c.dst),
+       |g0 AS (SELECT src, dst, d2,
+       |         row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rnk
+       |       FROM t0 QUALIFY rnk <= 5),
+       |${(1 to 4).map(roundCtes).mkString(",\n")}
+       |SELECT src, dst, round(sqrt(d2), 4) + 0.0 AS dist, rnk FROM g4""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "dist_nn_descent" -> nnDescentOracle,
     "dist_pairwise_metrics" ->
       s"""WITH $vCte
          |SELECT a.id AS a, b.id AS b,
