@@ -84,6 +84,32 @@ object SpectralOps {
         .as("modularity"))
   }
 
+  /** The reference's actual PARTITIONER, end-to-end — spectral/partition.cuh:38
+    * (analyzePartition/analyzeModularity above only SCORE a given
+    * clustering; this one produces it, the same Laplacian → Lanczos
+    * smallest-k eigenvectors → k-means pipeline the reference runs):
+    * the spectral embedding comes out of the sharded-basis Lanczos as a
+    * distributed (i, v ARRAY<DOUBLE>) table (driver state m×m — the
+    * 100 TB path), k-means|| seeds + Lloyd's assigns over it, and labels
+    * are canonicalized to the min member id (centroid indices are
+    * init-order-dependent; the partition itself is not). Takes the
+    * symmetric off-diagonal edge list (both directions). */
+  def spectralPartition(symEdges: DataFrame, n: Long, k: Int,
+      m: Int = 25, iters: Int = 6): DataFrame = {
+    val spark = symEdges.sparkSession
+    graft.GraftSession.withLoopKnobs(spark, n) {
+      val lap = SparseOps.laplacian(symEdges)
+      val (_, vecs) = SolverOps.eigshShardedRitz(lap, n, k, m)
+      val emb = vecs.select(col("i").as("id"), col("v").as("vec"))
+        .localCheckpoint(true)
+      val init = ClusterOps.kmeansParallelInit(emb, k)
+      val (assigned, _) = ClusterOps.kmeans(emb, k, iters, Some(init))
+      val canon = assigned.groupBy(col("cluster")).agg(min(col("id")).as("label"))
+      assigned.join(canon, Seq("cluster"))
+        .select(col("id").as("node"), col("label"))
+    }
+  }
+
   /** trustworthiness_score: rank-penalty of neighbors the projection
     * invents — reference: stats/trustworthiness_score.cuh:31.
     * Original space = full 64-d vec; embedded = first 8 lanes; n=100, k=5.

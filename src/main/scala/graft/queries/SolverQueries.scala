@@ -98,6 +98,29 @@ object SolverQueries extends QueryGroup {
         .select(col("node"), col("comp"))
     }),
     "solver_partition" -> ((s, d) => graft.operators.SpectralOps.analyzePartition(s, d)),
+    "solver_spectral_cut" -> ((s, d) => {
+      // end-to-end spectral PARTITIONING (not just scoring): 3 cliques of
+      // 4 (intra weight 1) coupled into a ring by 3 weak edges with
+      // DISTINCT weights (.01/.02/.03 — equal weights make the two
+      // coupling modes C₃-degenerate, and a single-start Krylov space
+      // holds exactly one direction per eigenvalue, so Lanczos would
+      // return a clique-internal mode as the third vector). The 3
+      // smallest Laplacian eigenvectors are then near-indicators of the
+      // cliques and the computed partition is the generative one —
+      // closed form, same min-member-id canonicalization as label_cc.
+      val ids = s.range(12)
+      val intra = ids.select(col("id").as("row"))
+        .join(ids.select(col("id").as("col")),
+          col("row") =!= col("col") &&
+            floor(col("row") / 4) === floor(col("col") / 4))
+        .select(col("row"), col("col"), lit(1.0).as("value"))
+      val weak = s.createDataFrame(
+        Seq((3L, 4L, 0.01), (7L, 8L, 0.02), (11L, 0L, 0.03))
+          .flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) })
+        .toDF("row", "col", "value")
+      graft.operators.SpectralOps.spectralPartition(
+        intra.unionByName(weak), 12, 3, m = 13)
+    }),
     "solver_modularity" -> ((s, d) => graft.operators.SpectralOps.modularity(s, d)),
     "solver_qr" -> ((s, d) => SolverOps.qrR(walshFixture(s))),
     "solver_lstsq" -> ((s, d) => {
@@ -287,6 +310,8 @@ object SolverQueries extends QueryGroup {
         |SELECT CAST(row_number() OVER (ORDER BY sig DESC) - 1 AS INT) AS i,
         |       round(sig, 2) + 0.0 AS sigma
         |FROM sg ORDER BY sig DESC LIMIT 5""".stripMargin,
+    "solver_spectral_cut" ->
+      "SELECT i AS node, (i // 4) * 4 AS label FROM range(12) t(i)",
     "solver_partition" ->
       s"""$graphCte,
          |sizes AS (

@@ -22,6 +22,29 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r(4L) - 0.15 / 5) < 1e-12, "isolated rank = (1-d)/N")
   }
 
+  test("spectralPartition recovers a planted weakly-coupled partition") {
+    import spark.implicits._
+    // 4 cliques of 5 chained by weak bridges of distinct weights (chain,
+    // not ring — no coupling-mode degeneracy for the single-start Krylov
+    // space to miss); the generative grouping is the unique weak cut
+    val n = 20L
+    val ids = spark.range(n)
+    val intra = ids.select(col("id").as("row"))
+      .join(ids.select(col("id").as("col")),
+        col("row") =!= col("col") &&
+          floor(col("row") / 5) === floor(col("col") / 5))
+      .select(col("row"), col("col"), lit(1.0).as("value"))
+    val weak = Seq((4L, 5L, 0.01), (9L, 10L, 0.02), (14L, 15L, 0.04))
+      .flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+      .toDF("row", "col", "value")
+    val part = graft.operators.SpectralOps
+      .spectralPartition(intra.unionByName(weak), n, 4, m = 21)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until n).foreach { i =>
+      assert(part(i) === (i / 5) * 5, s"node $i -> ${part(i)}")
+    }
+  }
+
   test("pageRank: hub with many in-links outranks leaves") {
     import spark.implicits._
     val edges = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
