@@ -55,6 +55,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     // quoting/escaping/null bug in the CSV/JSON path breaks the hash
     "rel_csv_roundtrip" -> ((s, d) => graft.sources.Connectors.csvRoundTrip(s, d)),
     "rel_json_roundtrip" -> ((s, d) => graft.sources.Connectors.jsonRoundTrip(s, d)),
+    "rel_orc_roundtrip" -> ((s, d) => graft.sources.Connectors.orcRoundTrip(s, d)),
   )
 
   val sql: Map[String, String] = Map(
@@ -210,6 +211,10 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT n_regionkey, count(*) AS n_nations,
         |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY 1""".stripMargin,
+    "rel_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_cents
+        |FROM supplier GROUP BY 1""".stripMargin,
     "rel_set_ops" ->
       """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |s AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders

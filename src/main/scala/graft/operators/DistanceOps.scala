@@ -41,21 +41,49 @@ object DistanceOps {
       identity)
 
   /** Pairwise metric suite over the bounded block id < maxId (a < b):
-    * L1, L2, Chebyshev (L-inf), Canberra, cosine — one row per pair with
-    * every metric as a column. Exact baseline; candidates-from-LSH is the
-    * scale path (see object doc). */
+    * L1, L2, Chebyshev (L-inf), Canberra, cosine, correlation distance,
+    * Bray-Curtis, Minkowski (p=3), and Hamming — one row per pair with
+    * every metric as a column (the classic distance-type enum of the
+    * reference family; the probability-simplex metrics — Hellinger, JS,
+    * KL — live in StatsOps where inputs are genuine distributions).
+    * Exact baseline; candidates-from-LSH is the scale path (see object
+    * doc). Every metric is a strict fold so the oracle matches
+    * lane-by-lane. */
   def pairwiseMetrics(vectors: DataFrame, maxId: Int): DataFrame = {
     val a = vectors.where(col("id") < maxId)
       .select(col("id").as("a"), col("vec").as("va"))
     val b = vectors.where(col("id") < maxId)
       .select(col("id").as("b"), col("vec").as("vb"))
+    val n = size(col("va")).cast("double")
+    val sa = ArrayMath.foldSum(col("va"), identity)
+    val sb = ArrayMath.foldSum(col("vb"), identity)
+    val sab = ArrayMath.dot(col("va"), col("vb"))
+    val saa = ArrayMath.dot(col("va"), col("va"))
+    val sbb = ArrayMath.dot(col("vb"), col("vb"))
+    val corrDenom = sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)
+    val corrDist = when(corrDenom =!= 0.0,
+      lit(1.0) - (n * sab - sa * sb) / corrDenom).otherwise(0.0)
+    val brayDenom = ArrayMath.foldSum(
+      zip_with(col("va"), col("vb"), (x, y) => abs(x + y)), identity)
+    val bray = when(brayDenom =!= 0.0,
+      ArrayMath.l1(ArrayMath.sub(col("va"), col("vb"))) / brayDenom).otherwise(0.0)
+    val mink3 = cbrt(ArrayMath.foldSum(
+      zip_with(col("va"), col("vb"),
+        (x, y) => abs(x - y) * abs(x - y) * abs(x - y)), identity))
+    val hamming = ArrayMath.foldSum(
+      zip_with(col("va"), col("vb"),
+        (x, y) => when(x === y, 0.0).otherwise(1.0)), identity) / n
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
         (round(ArrayMath.l1(ArrayMath.sub(col("va"), col("vb"))), 4) + 0.0).as("l1"),
         (round(sqrt(l2sq(col("va"), col("vb"))), 4) + 0.0).as("l2"),
         (round(ArrayMath.linf(ArrayMath.sub(col("va"), col("vb"))), 4) + 0.0).as("linf"),
         (round(canberra(col("va"), col("vb")), 4) + 0.0).as("canberra"),
-        (round(ArrayMath.cosine(col("va"), col("vb")), 4) + 0.0).as("cos"))
+        (round(ArrayMath.cosine(col("va"), col("vb")), 4) + 0.0).as("cos"),
+        (round(corrDist, 4) + 0.0).as("corr"),
+        (round(bray, 4) + 0.0).as("bray"),
+        (round(mink3, 4) + 0.0).as("mink3"),
+        (round(hamming, 4) + 0.0).as("hamming"))
   }
 
   /** Epsilon-neighborhood degree: for each point, how many points (self

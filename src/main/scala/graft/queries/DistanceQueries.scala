@@ -31,6 +31,27 @@ object DistanceQueries extends QueryGroup {
   private def cosExpr(a: String, b: String): String =
     s"CASE WHEN sqrt(${foldSq(a)}) * sqrt(${foldSq(b)}) <> 0.0 THEN " +
       s"${foldDot(a, b)} / (sqrt(${foldSq(a)}) * sqrt(${foldSq(b)})) ELSE 0.0 END"
+  private def foldPlain(a: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $a), (s, x) -> s + x)"
+  private def corrExpr(a: String, b: String): String = {
+    val n = s"CAST(len($a) AS DOUBLE)"
+    val (sa, sb) = (foldPlain(a), foldPlain(b))
+    val (sab, saa, sbb) = (foldDot(a, b), foldDot(a, a), foldDot(b, b))
+    s"CASE WHEN sqrt($n * $saa - $sa * $sa) * sqrt($n * $sbb - $sb * $sb) <> 0.0 " +
+      s"THEN 1.0 - ($n * $sab - $sa * $sb) / " +
+      s"(sqrt($n * $saa - $sa * $sa) * sqrt($n * $sbb - $sb * $sb)) ELSE 0.0 END"
+  }
+  private def brayExpr(a: String, b: String): String = {
+    val denom = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), p -> abs(p[1] + p[2]))), (s, x) -> s + x)"
+    s"CASE WHEN $denom <> 0.0 THEN ${foldL1(a, b)} / $denom ELSE 0.0 END"
+  }
+  private def mink3Expr(a: String, b: String): String =
+    s"cbrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      "p -> abs(p[1] - p[2]) * abs(p[1] - p[2]) * abs(p[1] - p[2]))), (s, x) -> s + x))"
+  private def hammingExpr(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      s"p -> CASE WHEN p[1] = p[2] THEN 0.0 ELSE 1.0 END)), (s, x) -> s + x) / CAST(len($a) AS DOUBLE)"
 
   private val vCte =
     """v AS (SELECT vec_id AS id,
@@ -142,7 +163,11 @@ object DistanceQueries extends QueryGroup {
          |  round(sqrt(${foldL2sq("a.vec", "b.vec")}), 4) + 0.0 AS l2,
          |  round(${linfExpr("a.vec", "b.vec")}, 4) + 0.0 AS linf,
          |  round(${foldCanberra("a.vec", "b.vec")}, 4) + 0.0 AS canberra,
-         |  round(${cosExpr("a.vec", "b.vec")}, 4) + 0.0 AS cos
+         |  round(${cosExpr("a.vec", "b.vec")}, 4) + 0.0 AS cos,
+         |  round(${corrExpr("a.vec", "b.vec")}, 4) + 0.0 AS corr,
+         |  round(${brayExpr("a.vec", "b.vec")}, 4) + 0.0 AS bray,
+         |  round(${mink3Expr("a.vec", "b.vec")}, 4) + 0.0 AS mink3,
+         |  round(${hammingExpr("a.vec", "b.vec")}, 4) + 0.0 AS hamming
          |FROM v a JOIN v b ON a.id < b.id
          |WHERE a.id < 200 AND b.id < 200""".stripMargin,
     "dist_eps_neighborhood" ->

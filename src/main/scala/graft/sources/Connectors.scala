@@ -49,4 +49,19 @@ object Connectors {
       .groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("n_nations"), sum(col("n_nationkey")).as("key_sum"))
   }
+
+  /** ORC round-trip: supplier → ORC → read back → per-nation rollup.
+    * ORC is the second columnar format a warehouse deployment meets
+    * (predicate pushdown and column pruning work the same as Parquet —
+    * the read back through a typed scan asserts the binary round-trip,
+    * the money sum goes through integer cents as in the CSV check). */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("supplier_orc")
+    Tables.supplier(spark, dir)
+      .write.mode(SaveMode.Overwrite).orc(out)
+    spark.read.orc(out)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("key_sum"),
+        sum(round(col("s_acctbal") * 100).cast("long")).as("acct_cents"))
+  }
 }

@@ -28,6 +28,14 @@ class DistanceSpec extends AnyFunSuite {
     assert(r.getAs[Double]("canberra") == 3.0)
     // dot = -1-4+0+9 = 4; |a| = sqrt(14), |b| = sqrt(30)
     assert(math.abs(r.getAs[Double]("cos") - 4.0 / math.sqrt(14.0 * 30.0)) < 1e-4)
+    // corr: n·sab − sa·sb = 4·4 − 2·8 = 0 → distance exactly 1
+    assert(r.getAs[Double]("corr") == 1.0)
+    // bray: Σ|a−b| / Σ|a+b| = 10 / (0+0+4+6) = 1
+    assert(r.getAs[Double]("bray") == 1.0)
+    // minkowski p=3: cbrt(8 + 64 + 64 + 0)
+    assert(math.abs(r.getAs[Double]("mink3") - math.cbrt(136.0)) < 1e-4)
+    // hamming: 3 of 4 lanes differ
+    assert(r.getAs[Double]("hamming") == 0.75)
   }
 
   test("eps-neighborhood degree counts self and is symmetric in total") {
