@@ -217,9 +217,14 @@ object DistanceOps {
     dbscanFromPairs(points, epsPairs(points, eps), minPts)
 
   /** Core/border/noise + components over an arbitrary half-open
-    * (a < b) within-eps pair table (exact or candidate-generated). */
+    * (a < b) within-eps pair table (exact or candidate-generated).
+    * The staged aggregates/joins run under the loop knobs: shuffle width
+    * tracks the point count (fixture-size runs must not schedule
+    * full-width waves per stage; at scale the width is the real one). */
   def dbscanFromPairs(points: DataFrame, pairs: DataFrame,
-      minPts: Int): DataFrame = {
+      minPts: Int): DataFrame =
+    graft.GraftSession.withLoopKnobs(points.sparkSession,
+      points.count()) {
     val half = pairs.localCheckpoint(true)
     val sym = half.unionByName(half.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
@@ -241,7 +246,7 @@ object DistanceOps {
     val rest = nonCore.join(borderCand, Seq("id"), "left")
       .select(col("id"), coalesce(col("cl"), lit(-1L)).as("cluster"),
         lit(0).as("is_core"))
-    coreLabeled.unionByName(rest)
+    coreLabeled.unionByName(rest).localCheckpoint(true)
   }
 
   /** Mutual-reachability single-linkage (the HDBSCAN construction,
@@ -253,6 +258,7 @@ object DistanceOps {
     * values/ties as [[coreDistances]], which pays a second all-pairs
     * pass when called standalone). Returns (node, comp). */
   def mutualReachabilityLinkage(vectors: DataFrame, kCore: Int, k: Int): DataFrame = {
+    graft.GraftSession.withLoopKnobs(vectors.sparkSession, vectors.count()) {
     val a = vectors.select(col("id").as("src"), col("vec").as("va"))
     val b = vectors.select(col("id").as("dst"), col("vec").as("vb"))
     val pairs = a.join(b, col("src") < col("dst"))
@@ -268,6 +274,9 @@ object DistanceOps {
       .join(core.select(col("id").as("dst"), col("core").as("cb")), Seq("dst"))
       .select(col("src"), col("dst"),
         greatest(col("d"), col("ca"), col("cb")).as("value"))
-    SolverOps.singleLinkage(mrd, k)
+    // materialize inside the knob scope — the MST/cut stages must run at
+    // the loop width, not the restored session width
+    SolverOps.singleLinkage(mrd, k).localCheckpoint(true)
+    }
   }
 }

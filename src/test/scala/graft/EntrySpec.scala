@@ -28,6 +28,37 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("sort-based exact quantiles agree with the percentile aggregate") {
+    import org.apache.spark.sql.functions._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val ours = graft.operators.StatsOps.quantiles(spark, sf, qs)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val ref = graft.Tables.lineitem(spark, sf)
+      .agg(percentile(col("l_extendedprice"), array(qs.map(lit(_)): _*)).as("p"))
+      .select(explode(col("p"))).collect().map(_.getDouble(0))
+    qs.indices.foreach { i =>
+      assert(math.abs(ours(i) - ref(i)) < 5e-5,
+        s"q=${qs(i)}: ${ours(i)} vs percentile ${ref(i)}")
+    }
+  }
+
+  test("withLoopKnobs restores session confs, including on failure") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    graft.GraftSession.withLoopKnobs(spark, 10L) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "1")
+      assert(spark.conf.get("spark.sql.codegen.wholeStage") == "false")
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") != "false")
+    intercept[RuntimeException] {
+      graft.GraftSession.withLoopKnobs(spark, 10L) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "confs must restore when the body throws")
+  }
+
   test("every query key has distinct non-null schema and runs on sf0.001") {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)
