@@ -62,7 +62,8 @@ object ClusterOps {
     * farthest-first). No per-iteration shuffle grows with n.
     */
   def kmeansParallelInit(vectors: DataFrame, k: Int, rounds: Int = 3,
-      oversample: Int = 4, seed: Long = 13): Array[Array[Double]] = {
+      oversample: Int = 4, seed: Long = 13): Array[Array[Double]] =
+    graft.GraftSession.withLoopKnobs(vectors.sparkSession, vectors.count()) {
     var centers = vectors.orderBy(col("id")).limit(1)
       .select(col("vec")).collect().map(_.getSeq[Double](0).toArray)
     for (r <- 0 until rounds) {
@@ -90,14 +91,18 @@ object ClusterOps {
         .maxBy(i => w(i) * d2To(i))
     }
     picked.map(centers(_)).toArray
-  }
+    }
 
   /** Lloyd's k-means; returns (assignments (id, vec, cluster), centroids).
     * Empty clusters keep their previous centroid. Default init = first k
     * rows by id (deterministic); pass `init` (e.g. from
     * [[kmeansParallelInit]]) for quality-seeded clustering. */
   def kmeans(vectors: DataFrame, k: Int, iters: Int,
-      init: Option[Array[Array[Double]]] = None): (DataFrame, Array[Array[Double]]) = {
+      init: Option[Array[Array[Double]]] = None): (DataFrame, Array[Array[Double]]) =
+    // loop knobs per training call: one count against iters× full scans;
+    // the returned assignment projection is narrow (no shuffle), so lazy
+    // execution outside the scope is fine
+    graft.GraftSession.withLoopKnobs(vectors.sparkSession, vectors.count()) {
     var centroids = init.getOrElse(vectors.where(col("id") < k).orderBy(col("id"))
       .select(col("vec")).collect().map(_.getSeq[Double](0).toArray))
     for (_ <- 0 until iters) {
@@ -116,7 +121,7 @@ object ClusterOps {
       centroids = next
     }
     (vectors.select(col("id"), col("vec"), nearestExpr(centroids).as("cluster")), centroids)
-  }
+    }
 
   /** Mini-batch k-means (Sculley, WWW'10) — the large-nlist scale path for
     * IVF training: each iteration samples a deterministic hash-fraction of
@@ -127,7 +132,8 @@ object ClusterOps {
     */
   def kmeansMiniBatch(vectors: DataFrame, k: Int, iters: Int,
       fraction: Double, seed: Long = 29,
-      init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+      init: Option[Array[Array[Double]]] = None): Array[Array[Double]] =
+    graft.GraftSession.withLoopKnobs(vectors.sparkSession, vectors.count()) {
     var centroids = init.getOrElse(vectors.where(col("id") < k).orderBy(col("id"))
       .select(col("vec")).collect().map(_.getSeq[Double](0).toArray))
     val counts = new Array[Double](k)
@@ -154,7 +160,7 @@ object ClusterOps {
       centroids = next
     }
     centroids
-  }
+    }
 
   /** Within-cluster sum of squares (inertia) for given assignments. */
   def inertia(assigned: DataFrame, centroids: Array[Array[Double]]): Double = {
@@ -179,7 +185,8 @@ object ClusterOps {
     * clusters keep their centroid). */
   private def fusedLloyd(vectors: DataFrame,
       specs: Array[(Int, Int, Array[Array[Double]])],
-      iters: Int): Array[Array[Array[Double]]] = {
+      iters: Int): Array[Array[Array[Double]]] =
+    graft.GraftSession.withLoopKnobs(vectors.sparkSession, vectors.count()) {
     val books = specs.map(_._3.map(_.clone()))
     for (_ <- 0 until iters) {
       val entries = explode(array(specs.indices.map { t =>
@@ -203,7 +210,7 @@ object ClusterOps {
       }
     }
     books
-  }
+    }
 
   /** First-k-rows init for a lane slice (the [[kmeans]] default init,
     * sliced driver-side from ONE collect shared by every spec). */
