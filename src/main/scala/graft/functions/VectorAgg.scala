@@ -46,6 +46,40 @@ object VectorAgg {
 
   /** vector_sum as a Column aggregate usable in groupBy().agg(...). */
   def vectorSum(c: Column): Column = udaf(VectorSum).apply(c)
+
+  /** Fused Σ w·v without materializing the scaled array per row — the
+    * axpy-accumulate the sharded-Lanczos CGS passes run over every
+    * coordinate each step (`vectorSum(scale(qs, w))` pays an interpreted
+    * HOF alloc per row; this multiplies into the primitive buffer
+    * directly, same products in the same per-partition order ⇒
+    * bit-identical partials). */
+  private object AxpySum
+      extends Aggregator[(Array[Double], Double), Array[Double], Array[Double]] {
+    def zero: Array[Double] = Array.emptyDoubleArray
+    def reduce(buf: Array[Double], in: (Array[Double], Double)): Array[Double] = {
+      val (v, w) = in
+      if (buf.isEmpty) {
+        val out = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { out(i) = v(i) * w; i += 1 }
+        out
+      } else {
+        var i = 0
+        while (i < buf.length) { buf(i) += v(i) * w; i += 1 }
+        buf
+      }
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      VectorSum.merge(a, b)
+    def finish(buf: Array[Double]): Array[Double] = buf
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoderHelper.doubleArray
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoderHelper.doubleArray
+  }
+
+  def axpySum(v: Column, w: Column): Column =
+    udaf(AxpySum, org.apache.spark.sql.Encoders.tuple(
+      ExpressionEncoderHelper.doubleArray,
+      org.apache.spark.sql.Encoders.scalaDouble)).apply(v, w)
 }
 
 private object ExpressionEncoderHelper {

@@ -428,12 +428,11 @@ object SolverOps {
         // and produces ghost eigenvalues. The second pass ALSO returns ‖w₁‖²
         // so the residual norm comes from Pythagoras (w₁ = wp + V·c₂ with
         // wp ⊥ V): one fewer job per step.
-        val c1 = df.agg(VectorAgg.vectorSum(
-          ArrayMath.scale(col("qs"), col("w"))).as("c")).head().getSeq[Double](0)
+        val c1 = df.agg(VectorAgg.axpySum(col("qs"), col("w")).as("c"))
+          .head().getSeq[Double](0)
         val w1 = df.select(col("i"), col("qs"),
           (col("w") - ArrayMath.dot(col("qs"), typedLit(c1))).as("w"))
-        val r2 = w1.agg(VectorAgg.vectorSum(
-            ArrayMath.scale(col("qs"), col("w"))).as("c"),
+        val r2 = w1.agg(VectorAgg.axpySum(col("qs"), col("w")).as("c"),
           sum(col("w") * col("w")).as("n2")).head()
         val c2 = r2.getSeq[Double](0)
         val coefs = c1.zip(c2).map { case (a, b) => a + b }

@@ -42,6 +42,24 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("axpySum equals vectorSum of the per-row scaled array") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 257).map(i =>
+        (Array.tabulate(7)(j => (i * 7 + j) * 0.37 - 3.1), i * 0.01 - 1.0))
+      .toDF("v", "w").repartition(3).localCheckpoint(true)
+    val fused = df.agg(graft.functions.VectorAgg.axpySum(col("v"), col("w")))
+      .head().getSeq[Double](0)
+    val ref = df.agg(graft.functions.VectorAgg.vectorSum(
+        graft.functions.ArrayMath.scale(col("v"), col("w"))))
+      .head().getSeq[Double](0)
+    assert(fused.length == 7)
+    fused.zip(ref).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"$a vs $b")
+    }
+  }
+
   test("withLoopKnobs restores session confs, including on failure") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     graft.GraftSession.withLoopKnobs(spark, 10L) {
