@@ -751,7 +751,7 @@ object SolverOps {
     def spmmPass(m: DataFrame, vecs: DataFrame, joinKey: String, outKey: String) =
       m.join(vecs.withColumnRenamed("id", joinKey), Seq(joinKey))
         .groupBy(col(outKey).as("id"))
-        .agg(VectorAgg.vectorSum(ArrayMath.scale(col("v"), col("value"))).as("v"))
+        .agg(VectorAgg.axpySum(col("v"), col("value")).as("v"))
     // Ω materialized per distinct column (l hash-gaussians per COLUMN, not
     // per nnz) → Y = AΩ is a plain spmm join. Draws use the xxhash64-based
     // fast gaussian: Ω is never oracle-compared, only its distribution
