@@ -28,6 +28,18 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("exact quantiles at q=0 and q=1 return the exact min/max") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.StatsOps.quantiles(spark, sf, Seq(0.0, 1.0))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    val mm = graft.Tables.lineitem(spark, sf)
+      .agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+    assert(r(0) == BigDecimal(mm.getDouble(0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(1) == BigDecimal(mm.getDouble(1)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("sort-based exact quantiles agree with the percentile aggregate") {
     import org.apache.spark.sql.functions._
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
