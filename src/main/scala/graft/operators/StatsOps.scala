@@ -223,6 +223,10 @@ object StatsOps {
     // (zipWithIndex's size job materializes the sort shuffle, the boundary
     // filter below reuses it as a skipped stage)
     val n = vals.count()
+    if (n == 0) {
+      // match the percentile aggregate's empty-input behavior: no rows
+      return spark.createDataFrame(Seq.empty[(Int, Double)]).toDF("i", "v")
+    }
     val sorted = vals.sortBy(identity).zipWithIndex()
       .map { case (v, i) => (i, v) }
     val targets = qs.flatMap { q =>
