@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr through verbatim. The default
+// LoggedOutput prepends "[info] " to every stdout line, which breaks the
+// driver's line-based JSON parse of the Bench output (BENCH_r0{3,4}.json
+// both recorded parsed:null because the compact JSON line arrived as
+// "[info] {...}").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
