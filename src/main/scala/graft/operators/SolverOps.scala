@@ -379,26 +379,40 @@ object SolverOps {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // every step's plan embeds fresh typedLit coefficient arrays, so no
-    // generated class is ever reused — at fixture scale the janino compile
-    // (~2 stages × ~40 jobs) IS the wall time; interpreted execution of a
-    // ≤50k-row single-task job is faster than compiling its codegen. Large
-    // n keeps codegen: there the per-row work amortizes the compile.
+    // every step's plan embeds the step counter as a primitive literal
+    // (element_at(qs, lanes)), so no generated class is ever reused — the
+    // janino compile (~2 stages × ~steps jobs) dominates until the per-row
+    // lane math is tens of millions of rows per step; interpreted execution
+    // of a ≤2M-row job is faster than compiling its codegen. Truly large n
+    // keeps codegen: there the per-row work amortizes the compile.
     val prevWscg = spark.conf.get("spark.sql.codegen.wholeStage")
     val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
-    if (n <= 50000L) {
+    if (n <= 2000000L) {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     }
     try {
+    // hash-distribute the edge table on the join key ONCE and record the
+    // sort order in the checkpoint: LogicalRDD carries outputPartitioning/
+    // outputOrdering, so every step's edges⋈qj sort-merge join plans ZERO
+    // exchange and ZERO sort on the (nnz-sized) edge side — the per-step
+    // shuffles left are qj (n rows) and the row-keyed partial aggregate.
     val edges = coo.select(col("row"), col("col"), col("value"))
-      .repartition(parts).localCheckpoint(true)
+      .repartition(parts, col("col")).sortWithinPartitions("col")
+      .localCheckpoint(true)
     // n+1 cap: when m ≥ n the basis can reach the full space, the residual
     // vanishes and ONE phase returns the exact spectrum (no restart cycles)
     val steps = math.min(m, n.toInt + 1)
     // deterministic hash-gaussian start vector, normalized
-    val raw = spark.range(n).repartition(parts).select(col("id").as("i"),
+    // basis invariant: hash-partitioned on i (width = parts) and sorted by
+    // i — projections are alias-aware, so qj (i→col) arrives at the edge
+    // join already distributed on the join key, and the basis⋈w0 join needs
+    // no exchange either (w0's aggregate inherits HashPartitioning(row→i)).
+    // Every basis update below is a projection, so the invariant survives
+    // each localCheckpoint (LogicalRDD preserves partitioning + ordering).
+    val raw = spark.range(n).select(col("id").as("i"),
       RandomOps.normal(col("id"), seed, "lz").as("x"))
+      .repartition(parts, col("i")).sortWithinPartitions("i")
     val n0 = math.sqrt(raw.agg(sum(col("x") * col("x"))).head().getDouble(0))
     var basis = raw.select(col("i"), array(col("x") / n0).as("qs")).localCheckpoint(true)
     var h = DenseMatrix.zeros[Double](steps + 1, steps + 1)
