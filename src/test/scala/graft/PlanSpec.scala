@@ -115,6 +115,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sharded-Lanczos step plans exactly 2 exchanges (edge/basis invariant holds)") {
+    // eigshShardedCore hash-distributes the checkpointed edge table on the
+    // contraction key and keeps the basis hash-partitioned+sorted on i, so
+    // a step's SpMV-aggregate job must shuffle ONLY at the row-keyed
+    // aggregate and the final single-partition reduce. A third exchange
+    // means alias-aware partitioning propagation broke (e.g. a projection
+    // rewrite hid the alias) and the nnz-sized edge side re-shuffles every
+    // step of the driver loop.
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorAgg
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val edges = spark.range(100).select(col("id").as("row"), col("id").as("col"),
+          lit(1.0).as("value"))
+        .repartition(parts, col("col")).sortWithinPartitions("col")
+        .localCheckpoint(true)
+      val basis = spark.range(100).select(col("id").as("i"), array(lit(1.0)).as("qs"))
+        .repartition(parts, col("i")).sortWithinPartitions("i")
+        .localCheckpoint(true)
+      val qj = basis.select(col("i").as("col"), element_at(col("qs"), 1).as("x"))
+      val w0 = edges.join(qj, Seq("col"))
+        .groupBy(col("row").as("i")).agg(sum(col("value") * col("x")).as("w"))
+      val step = basis.join(w0, Seq("i"), "left")
+        .select(col("i"), col("qs"), coalesce(col("w"), lit(0.0)).as("w"))
+        .agg(VectorAgg.axpySum(col("qs"), col("w")).as("c"))
+      val p = step.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges == 2, s"expected 2 exchanges in the step plan, got $exchanges:\n$p")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("pipe_embed_neardup pair stage: native dot, cheap conjunct first, no HOF fold") {
     val p = plan("pipe_embed_neardup")
     assert(p.contains("arraydot"), s"pair stage lost the native fused dot:\n$p")
