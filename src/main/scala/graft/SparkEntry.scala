@@ -45,6 +45,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
     "rel_json_extract" -> ((s, d) => Relational.eventPropsExtract(s, d)),
     "rel_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
+    "rel_zorder_layout" -> ((s, d) => Relational.zorderLayout(s, d)),
     "rel_window_frames" -> ((s, d) => Relational.supplierRunningRevenue(s, d)),
     "rel_cube" -> ((s, d) => Relational.cubeQuantity(s, d)),
     "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerFlag(s, d)),
@@ -229,6 +230,34 @@ private object RelationalQueries extends graft.queries.QueryGroup {
         |  round(sum(l_quantity * (l_orderkey % 3 + 1)), 2) AS weighted_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // Z-order layout: Morton-interleave (l_partkey, l_suppkey) on a 2^16
+    // grid, cut the curve into 64 equal z-ranges, report each bucket's
+    // bounding box. Pure integer arithmetic (floor division, magic-number
+    // bit spread) so both engines compute identical codes bit-for-bit.
+    "rel_zorder_layout" ->
+      """WITH ext AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin, CAST(max(l_partkey) AS BIGINT) AS pmax,
+        |         CAST(min(l_suppkey) AS BIGINT) AS smin, CAST(max(l_suppkey) AS BIGINT) AS smax
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CASE WHEN pmax = pmin THEN 0
+        |         ELSE ((CAST(l_partkey AS BIGINT) - pmin) * 65535) // (pmax - pmin) END AS xi,
+        |    CASE WHEN smax = smin THEN 0
+        |         ELSE ((CAST(l_suppkey AS BIGINT) - smin) * 65535) // (smax - smin) END AS yi
+        |  FROM lineitem, ext),
+        |s1 AS (SELECT l_partkey, l_suppkey,
+        |        ((xi | (xi << 8)) & 16711935) AS xa, ((yi | (yi << 8)) & 16711935) AS ya FROM g),
+        |s2 AS (SELECT l_partkey, l_suppkey,
+        |        ((xa | (xa << 4)) & 252645135) AS xb, ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+        |s3 AS (SELECT l_partkey, l_suppkey,
+        |        ((xb | (xb << 2)) & 858993459) AS xc, ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+        |s4 AS (SELECT l_partkey, l_suppkey,
+        |        ((xc | (xc << 1)) & 1431655765) AS xd, ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+        |SELECT (xd | (yd << 1)) >> 26 AS bucket, count(*) AS cnt,
+        |  CAST(min(l_partkey) AS BIGINT) AS min_pk, CAST(max(l_partkey) AS BIGINT) AS max_pk,
+        |  CAST(min(l_suppkey) AS BIGINT) AS min_sk, CAST(max(l_suppkey) AS BIGINT) AS max_sk
+        |FROM s4 GROUP BY 1""".stripMargin,
     "rel_json_extract" ->
       """SELECT event_id, upper(event_type) AS type_u, CAST(ts AS DATE) AS day,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -299,6 +299,72 @@ object Relational {
       .groupBy(col("hot_key"))
       .agg(round(sum(col("l_quantity") * col("factor")), 2).as("weighted_qty"),
         count(lit(1)).as("n"))
+  }
+
+  /** Morton (Z-order) interleave of a 16-bit grid coordinate into the even
+    * bit positions of a 32-bit code — the classic magic-number spread, all
+    * integer ops so Spark and the SQL oracle agree bit-for-bit.
+    */
+  def spreadBits16(v: Column): Column = {
+    def step(x: Column, shift: Int, mask: Long): Column =
+      x.bitwiseOR(shiftleft(x, shift)).bitwiseAND(lit(mask))
+    val a = step(v.bitwiseAND(lit(0xFFFFL)), 8, 0x00FF00FFL)
+    val b = step(a, 4, 0x0F0F0F0FL)
+    val c = step(b, 2, 0x33333333L)
+    step(c, 1, 0x55555555L)
+  }
+
+  /** Z-value for a 2-d point on a 2^bits grid spanning [xmin,xmax]×[ymin,ymax]
+    * (inclusive): min-max scale each dim to the grid with pure INTEGER
+    * arithmetic (floor division — float scaling would not replicate across
+    * engines), then interleave. */
+  def zvalue(x: Column, y: Column, xmin: Column, xmax: Column,
+      ymin: Column, ymax: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    // exact integer floor-division (SQL `div`): double `/` + floor can round
+    // up across an integer boundary and disagree with the oracle's `//`
+    def intDiv(a: Column, b: Column): Column = ColumnBridge.column(
+      IntegralDivide(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    def gridCoord(v: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        intDiv((v.cast("long") - lo.cast("long")) * 65535L,
+          hi.cast("long") - lo.cast("long")))
+    spreadBits16(gridCoord(x, xmin, xmax))
+      .bitwiseOR(shiftleft(spreadBits16(gridCoord(y, ymin, ymax)), 1))
+  }
+
+  /** Z-order data layout (the multi-dimensional clustering OPTIMIZE ZORDER
+    * performs on 100 TB tables): order rows by the Morton interleave of
+    * (l_partkey, l_suppkey) and cut the curve into `nBuckets` equal z-ranges
+    * — each bucket is a would-be file. The returned per-bucket bounding
+    * boxes are the layout's whole point: a scan filtered on EITHER dimension
+    * prunes every bucket whose [min,max] misses the predicate, which a
+    * single-column sort gives for one dimension only. At scale the identical
+    * plan writes files instead of stats:
+    * `df.repartitionByRange(n, $"z").sortWithinPartitions("z").write...` —
+    * the range exchange is the only shuffle, and parquet min/max footers
+    * materialize exactly these bounding boxes for free. Extremes are
+    * attached as a 1-row broadcast (scalar attach pattern), so the whole
+    * query is scan → broadcast attach → one keyed aggregate.
+    */
+  def zorderLayout(spark: SparkSession, dir: String, nBuckets: Int = 64): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+    val ext = li.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    val shift = 32 - (63 - java.lang.Long.numberOfLeadingZeros(nBuckets.toLong))
+    li.crossJoin(broadcast(ext))
+      .select(shiftright(zvalue(col("l_partkey"), col("l_suppkey"),
+        col("pmin"), col("pmax"), col("smin"), col("smax")), shift).as("bucket"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("l_partkey")).cast("long").as("min_pk"),
+        max(col("l_partkey")).cast("long").as("max_pk"),
+        min(col("l_suppkey")).cast("long").as("min_sk"),
+        max(col("l_suppkey")).cast("long").as("max_sk"))
   }
 
   /** Scalar string/date/JSON function surface over events (SURVEY.md §2.3 —
