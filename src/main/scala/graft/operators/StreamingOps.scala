@@ -112,6 +112,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_h")
   }
 
+  /** Stream-static decontamination gate — the join flavor the other
+    * streaming ops don't exercise: the incoming doc stream LEFT-ANTI joins
+    * a STATIC reference table (banned / eval-set content hashes) that
+    * Structured Streaming re-reads per micro-batch, so reference updates
+    * land without restarting the query. Stateless (anti join against a
+    * static side needs no watermark or state store), and the static side
+    * broadcasts: at 100 TB/day the corpus streams through map-side hash
+    * probes — the per-batch twin of DedupOps.contamination's broadcast
+    * shape. Exact-hash gating here; shingle-overlap decontamination stays
+    * a batch pass (its per-doc aggregate needs stateful streaming). */
+  def streamingRefGate(docs: DataFrame, ref: DataFrame): DataFrame = {
+    val banned = ref.select(md5(col("text")).as("content_h"))
+    docs.withColumn("content_h", md5(col("text")))
+      .join(broadcast(banned), Seq("content_h"), "left_anti")
+      .drop("content_h")
+  }
+
   case class BandHit(doc_id: Long, band: Int, sig: String, ts: java.sql.Timestamp)
 
   /** Streaming MinHash-LSH near-dup candidates — the incremental twin of

@@ -50,6 +50,46 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order write path: range partitions carry disjoint z-ranges and tight boxes") {
+    // the write-side form of rel_zorder_layout: repartitionByRange on the
+    // z-value makes each output partition (= would-be file) own a disjoint
+    // slice of the Morton curve, so parquet min/max footers prune on BOTH
+    // dimensions. Assert the two properties the layout exists for.
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_partkey").cast("long").as("l_partkey"),
+      col("l_suppkey").cast("long").as("l_suppkey"))
+    val ext = li.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    val z = li.crossJoin(broadcast(ext))
+      .select(graft.operators.Relational.zvalue(col("l_partkey"), col("l_suppkey"),
+        col("pmin"), col("pmax"), col("smin"), col("smax")).as("z"),
+        col("l_partkey"))
+    val parts = z.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"),
+        col("z"), col("l_partkey"))
+      .groupBy(col("p"))
+      .agg(min(col("z")).as("zlo"), max(col("z")).as("zhi"),
+        min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"))
+      .collect().sortBy(_.getAs[Long]("zlo"))
+    assert(parts.length > 1, "range partitioner collapsed to one partition")
+    // disjoint, ordered z-ranges across partitions
+    parts.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("zhi") <= b.getAs[Long]("zlo"),
+        s"overlapping z-ranges: $a vs $b")
+    }
+    // tight per-partition boxes: every partition's partkey span must be a
+    // strict subset of the global span (single-column sort on suppkey
+    // would leave partkey spans ~global in every file)
+    val gl = li.agg(min(col("l_partkey")), max(col("l_partkey"))).head()
+    val span = (gl.getLong(1) - gl.getLong(0)).max(1L)
+    val tight = parts.count { r =>
+      (r.getAs[Long]("phi") - r.getAs[Long]("plo")).toDouble / span < 0.6 }
+    assert(tight >= parts.length / 2,
+      s"z-order did not localize partkey: ${parts.mkString("; ")}")
+  }
+
   test("bucketed interval join equals the direct range predicate, incl. boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

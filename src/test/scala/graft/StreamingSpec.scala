@@ -242,6 +242,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-static anti join gates banned content in every micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SDoc]
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val banned = "forbidden eval sentence that must never train"
+    val ref = Seq(banned).toDF("text")
+    val query = StreamingOps.streamingRefGate(input.toDF(), ref)
+      .select(col("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("refgate_out").start()
+    try {
+      input.addData(Seq(SDoc(1, "clean document one", new Timestamp(t0)),
+        SDoc(2, banned, new Timestamp(t0 + 1000))))
+      query.processAllAvailable()
+      // the static side must be probed again in batch 2, not just batch 1
+      input.addData(Seq(SDoc(3, banned, new Timestamp(t0 + 2000)),
+        SDoc(4, "clean document two", new Timestamp(t0 + 3000))))
+      query.processAllAvailable()
+      val kept = spark.table("refgate_out").collect().map(_.getLong(0)).sorted
+      assert(kept.sameElements(Array(1L, 4L)),
+        s"expected banned docs 2,3 dropped in both batches, got ${kept.mkString(",")}")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops replays within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
