@@ -249,16 +249,33 @@ object TextOps {
     * tiny aggregate.
     */
   /** Per-doc keep flag under the composed rules (the decision
-    * [[qualityGate]] rolls up and [[curationReport]] pipelines). */
+    * [[qualityGate]] rolls up and [[curationReport]] pipelines).
+    *
+    * Single stateless pass: every rule metric is an expression over ONE
+    * materialized token array — no second tokenize, no doc-keyed joins,
+    * no 2-gram explode+aggregate (the dup-2-gram fraction only needs the
+    * DISTINCT gram count, which array_distinct gives per row). The earlier
+    * quality⋈repetition composition paid 2 full text-split passes and two
+    * shuffles for metrics that never leave the row. Values replicate
+    * [[quality]]/[[repetition]] exactly (same rounding, and the same
+    * implicit n_tokens ≥ 2 row filter the inner join against repetition's
+    * output imposed). */
   def qualityKeepFlags(docs: DataFrame): DataFrame = {
-    val q = quality(docs)
-    val r = repetition(docs)
-    val keep = (col("n_tokens") >= 8) && (col("n_tokens") <= 2000) &&
-      (col("mean_tok_len") >= 2.0) && (col("mean_tok_len") <= 12.0) &&
-      (col("distinct_ratio") >= 0.2) && (col("dup_2gram_frac") <= 0.9)
-    docs.select(col("doc_id"), col("source"))
-      .join(q, Seq("doc_id")).join(r, Seq("doc_id"))
-      .select(col("doc_id"), col("source"), keep.cast("int").as("keep"))
+    val base = docs.select(col("doc_id"), col("source"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("tk"))
+      .where(size(col("tk")) >= 2)
+    val nTok = size(col("tk"))
+    val meanLen = round(aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nTok, 4)
+    val distinctRatio = round(size(array_distinct(col("tk"))).cast("double") / nTok, 4)
+    val grams = transform(sequence(lit(0), nTok - 2),
+      i => concat_ws(" ", element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))
+    val dupFrac = round(lit(1.0) -
+      size(array_distinct(grams)).cast("double") / (nTok - 1).cast("double"), 4) + 0.0
+    val keep = (nTok >= 8) && (nTok <= 2000) &&
+      (meanLen >= 2.0) && (meanLen <= 12.0) &&
+      (distinctRatio >= 0.2) && (dupFrac <= 0.9)
+    base.select(col("doc_id"), col("source"), keep.cast("int").as("keep"))
   }
 
   /** Count-min-sketch heavy hitters — the vocabulary/stopword-list
