@@ -90,6 +90,31 @@ class BucketingSpec extends AnyFunSuite {
       s"z-order did not localize partkey: ${parts.mkString("; ")}")
   }
 
+  test("zvalue is the exact Morton interleave: even bits = x, odd bits = y") {
+    // on the identity grid ([0,65535] -> gridCoord(v)=v) the z-value must
+    // satisfy the DEFINITION of the Morton code bit-for-bit — not just be
+    // self-consistent with the oracle's copy of the same magic numbers
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L), (1L, 2L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Relational.zvalue(col("x"), col("y"),
+          lit(0L), lit(65535L), lit(0L), lit(65535L)).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      (0 until 16).foreach { i =>
+        assert(((z >> (2 * i)) & 1L) == ((x >> i) & 1L),
+          s"even bit $i of z=$z != bit $i of x=$x")
+        assert(((z >> (2 * i + 1)) & 1L) == ((y >> i) & 1L),
+          s"odd bit $i of z=$z != bit $i of y=$y")
+      }
+    }
+  }
+
   test("bucketed interval join equals the direct range predicate, incl. boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
