@@ -41,15 +41,17 @@ object GraftSession {
     * latency at an already-chosen width), and — below the fixture
     * threshold — interpreted execution: each step's plan embeds fresh
     * literals/lane counts, so generated classes never get cache hits and
-    * the janino compile IS the per-job cost at tiny sizes. At real scale
-    * (rows > 50k) codegen stays on and only the width/AQE knobs apply. */
+    * the janino compile IS the per-job cost until per-step row work
+    * reaches tens of millions of lane-ops (measured on the n=1e5 sharded
+    * Lanczos fixture: 34 s with codegen, 19 s interpreted). At real scale
+    * (rows > ~2M) codegen stays on and only the width/AQE knobs apply. */
   def withLoopKnobs[T](spark: SparkSession, rows: Long)(body: => T): T = {
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, rows / 25000L)).toInt
     val confs = Seq(
       "spark.sql.shuffle.partitions" -> parts.toString,
       "spark.sql.adaptive.enabled" -> "false") ++
-      (if (rows <= 50000L) Seq(
+      (if (rows <= 2000000L) Seq(
         "spark.sql.codegen.wholeStage" -> "false",
         "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") else Seq.empty)
     withConfs(spark, confs: _*)(body)
