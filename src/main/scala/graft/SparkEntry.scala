@@ -32,6 +32,31 @@ object SparkEntry {
 }
 
 private object RelationalQueries extends graft.queries.QueryGroup {
+  /** Shared Morton-code CTE for the z-order oracles: min-max extremes,
+    * integer grid scaling (floor division), magic-number bit spread. Ends
+    * with `s4(l_partkey, l_suppkey, xd, yd)` where z = xd | (yd << 1). */
+  val zorderCte: String =
+    """WITH ext AS (
+      |  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin, CAST(max(l_partkey) AS BIGINT) AS pmax,
+      |         CAST(min(l_suppkey) AS BIGINT) AS smin, CAST(max(l_suppkey) AS BIGINT) AS smax
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CASE WHEN pmax = pmin THEN 0
+      |         ELSE ((CAST(l_partkey AS BIGINT) - pmin) * 65535) // (pmax - pmin) END AS xi,
+      |    CASE WHEN smax = smin THEN 0
+      |         ELSE ((CAST(l_suppkey AS BIGINT) - smin) * 65535) // (smax - smin) END AS yi
+      |  FROM lineitem, ext),
+      |s1 AS (SELECT l_partkey, l_suppkey,
+      |        ((xi | (xi << 8)) & 16711935) AS xa, ((yi | (yi << 8)) & 16711935) AS ya FROM g),
+      |s2 AS (SELECT l_partkey, l_suppkey,
+      |        ((xa | (xa << 4)) & 252645135) AS xb, ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+      |s3 AS (SELECT l_partkey, l_suppkey,
+      |        ((xb | (xb << 2)) & 858993459) AS xc, ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+      |s4 AS (SELECT l_partkey, l_suppkey,
+      |        ((xc | (xc << 1)) & 1431655765) AS xd, ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+      |""".stripMargin
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_top3_mktsegment" -> ((s, d) => Relational.top3PerMktsegment(s, d)),
     "rel_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
@@ -46,6 +71,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_json_extract" -> ((s, d) => Relational.eventPropsExtract(s, d)),
     "rel_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
     "rel_zorder_layout" -> ((s, d) => Relational.zorderLayout(s, d)),
+    "rel_zorder_skip" -> ((s, d) => Relational.zorderSkipStats(s, d)),
     "rel_window_frames" -> ((s, d) => Relational.supplierRunningRevenue(s, d)),
     "rel_cube" -> ((s, d) => Relational.cubeQuantity(s, d)),
     "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerFlag(s, d)),
@@ -234,30 +260,31 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     // grid, cut the curve into 64 equal z-ranges, report each bucket's
     // bounding box. Pure integer arithmetic (floor division, magic-number
     // bit spread) so both engines compute identical codes bit-for-bit.
-    "rel_zorder_layout" ->
-      """WITH ext AS (
-        |  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin, CAST(max(l_partkey) AS BIGINT) AS pmax,
-        |         CAST(min(l_suppkey) AS BIGINT) AS smin, CAST(max(l_suppkey) AS BIGINT) AS smax
-        |  FROM lineitem),
-        |g AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    CASE WHEN pmax = pmin THEN 0
-        |         ELSE ((CAST(l_partkey AS BIGINT) - pmin) * 65535) // (pmax - pmin) END AS xi,
-        |    CASE WHEN smax = smin THEN 0
-        |         ELSE ((CAST(l_suppkey AS BIGINT) - smin) * 65535) // (smax - smin) END AS yi
-        |  FROM lineitem, ext),
-        |s1 AS (SELECT l_partkey, l_suppkey,
-        |        ((xi | (xi << 8)) & 16711935) AS xa, ((yi | (yi << 8)) & 16711935) AS ya FROM g),
-        |s2 AS (SELECT l_partkey, l_suppkey,
-        |        ((xa | (xa << 4)) & 252645135) AS xb, ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
-        |s3 AS (SELECT l_partkey, l_suppkey,
-        |        ((xb | (xb << 2)) & 858993459) AS xc, ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
-        |s4 AS (SELECT l_partkey, l_suppkey,
-        |        ((xc | (xc << 1)) & 1431655765) AS xd, ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
-        |SELECT (xd | (yd << 1)) >> 26 AS bucket, count(*) AS cnt,
+    "rel_zorder_layout" -> (RelationalQueries.zorderCte +
+      """SELECT (xd | (yd << 1)) >> 26 AS bucket, count(*) AS cnt,
         |  CAST(min(l_partkey) AS BIGINT) AS min_pk, CAST(max(l_partkey) AS BIGINT) AS max_pk,
         |  CAST(min(l_suppkey) AS BIGINT) AS min_sk, CAST(max(l_suppkey) AS BIGINT) AS max_sk
-        |FROM s4 GROUP BY 1""".stripMargin,
+        |FROM s4 GROUP BY 1""".stripMargin),
+    // skip-fraction of the layout for a mid-range suppkey-only predicate:
+    // a bucket is scanned iff its [min_sk, max_sk] box intersects the
+    // window [smin + 2/5 span, smin + 3/5 span]
+    "rel_zorder_skip" -> (RelationalQueries.zorderCte +
+      """, layout AS (
+        |  SELECT (xd | (yd << 1)) >> 26 AS bucket, count(*) AS cnt,
+        |    CAST(min(l_suppkey) AS BIGINT) AS min_sk, CAST(max(l_suppkey) AS BIGINT) AS max_sk
+        |  FROM s4 GROUP BY 1),
+        |win AS (
+        |  SELECT smin + ((smax - smin) * 2) // 5 AS lo,
+        |         smin + ((smax - smin) * 3) // 5 AS hi
+        |  FROM ext)
+        |SELECT count(*) AS n_buckets,
+        |  CAST(sum(CASE WHEN max_sk >= lo AND min_sk <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+        |  CAST(sum(CASE WHEN max_sk >= lo AND min_sk <= hi THEN 0 ELSE 1 END) AS BIGINT) AS n_pruned,
+        |  round(sum(CASE WHEN max_sk >= lo AND min_sk <= hi THEN 0 ELSE 1 END) * 1.0
+        |    / count(*), 4) + 0.0 AS skip_frac,
+        |  round(sum(CASE WHEN max_sk >= lo AND min_sk <= hi THEN cnt ELSE 0 END) * 1.0
+        |    / sum(cnt), 4) + 0.0 AS scanned_row_frac
+        |FROM layout, win""".stripMargin),
     "rel_json_extract" ->
       """SELECT event_id, upper(event_type) AS type_u, CAST(ts AS DATE) AS day,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

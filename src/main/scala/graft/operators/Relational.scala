@@ -367,6 +367,38 @@ object Relational {
         max(col("l_suppkey")).cast("long").as("max_sk"))
   }
 
+  /** Data-skipping payoff of the Z-order layout, quantified: for a mid-range
+    * predicate on l_suppkey ALONE (the second interleaved dimension — the one
+    * a single-column partkey sort would NOT localize), count how many of the
+    * 64 curve buckets can be pruned purely from their bounding boxes.
+    * The predicate window is [smin + 2/5·span, smin + 3/5·span], derived with
+    * the same integer arithmetic on both engines. A bucket is scanned iff its
+    * [min_sk, max_sk] intersects the window; everything else is skipped
+    * without reading a row — exactly the parquet-footer pruning the layout
+    * buys at 100 TB. Emits one row: bucket totals, scanned/pruned counts,
+    * the skip fraction, and the fraction of ROWS inside scanned buckets. */
+  def zorderSkipStats(spark: SparkSession, dir: String, nBuckets: Int = 64): DataFrame = {
+    val layout = zorderLayout(spark, dir, nBuckets)
+    val li = Tables.lineitem(spark, dir).select(col("l_suppkey"))
+    val ext = li.agg(min(col("l_suppkey")).cast("long").as("smin"),
+      max(col("l_suppkey")).cast("long").as("smax"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def intDiv(a: Column, b: Column): Column = ColumnBridge.column(
+      IntegralDivide(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    val lo = col("smin") + intDiv((col("smax") - col("smin")) * 2L, lit(5L))
+    val hi = col("smin") + intDiv((col("smax") - col("smin")) * 3L, lit(5L))
+    val scanned = (col("max_sk") >= col("lo")) && (col("min_sk") <= col("hi"))
+    layout.crossJoin(broadcast(ext.select(lo.as("lo"), hi.as("hi"))))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(scanned, 1L).otherwise(0L)).as("n_scanned"),
+        sum(when(!scanned, 1L).otherwise(0L)).as("n_pruned"),
+        (round(sum(when(!scanned, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4) + 0.0).as("skip_frac"),
+        (round(sum(when(scanned, col("cnt")).otherwise(0L)).cast("double") /
+          sum(col("cnt")), 4) + 0.0).as("scanned_row_frac"))
+  }
+
   /** Scalar string/date/JSON function surface over events (SURVEY.md §2.3 —
     * absent in the reference, declared free Catalyst-native engine surface).
     */
