@@ -90,6 +90,49 @@ class BucketingSpec extends AnyFunSuite {
       s"z-order did not localize partkey: ${parts.mkString("; ")}")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // SCALE.md claims skew is handled by salting OR AQE's runtime skew
+    // split; rel_salted_skew_join proves the first, this proves the
+    // second: one hot key holding half the fact rows must come out of
+    // AQE's re-plan as a skew-split sort-merge join, without any manual
+    // salting in the query.
+    import org.apache.spark.sql.functions._
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // tiny thresholds so the fixture's hot partition counts as skewed
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // ~95% of fact rows land on key 0 — one shuffle partition dwarfs
+      // the median no matter how the other 49 keys hash
+      val fact = spark.range(1050000).select(
+        when(col("id") < 1000000L, 0L).otherwise(pmod(col("id"), lit(50L))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(50).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      // global aggregate, not groupBy(k): a keyed aggregate downstream
+      // REQUIRES hashpartitioning(k), and AQE (rightly) refuses to break
+      // that distribution by splitting the skewed partition unless
+      // forceOptimizeSkewedJoin is set — the global agg's partial phase
+      // has no distribution requirement, so the split is free
+      val joined = fact.join(dim, Seq("k")).agg(sum(col("v") + col("w")).as("s"))
+      // collect() drives THIS dataset's QueryExecution (count() would
+      // execute a derived plan and leave this one un-finalized)
+      assert(joined.collect().head.getLong(0) > 0L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot partition:\n${p.take(3000)}")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("zvalue is the exact Morton interleave: even bits = x, odd bits = y") {
     // on the identity grid ([0,65535] -> gridCoord(v)=v) the z-value must
     // satisfy the DEFINITION of the Morton code bit-for-bit — not just be
