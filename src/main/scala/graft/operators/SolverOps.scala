@@ -524,6 +524,165 @@ object SolverOps {
     }
   }
 
+  /** BLOCK-Lanczos variant of [[eigshSmallestSharded]] — expands a block of
+    * `b` lanes per driver round-trip, so the job-latency-bound driver loop
+    * runs `b`× fewer steps for the same Krylov dimension (the classic block
+    * Lanczos of Golub/Underwood; reference lanczos.cuh is the b=1 form).
+    * Same sharded layout (basis rows hold coordinate i of every lane,
+    * driver holds only the m×m projected matrix) and the same 2-job step:
+    * one SpMV+first-CGS-pass aggregate (b matvecs ride ONE join — the edge
+    * table is touched once per BLOCK, not once per lane), one
+    * second-pass+block-Gram aggregate. CGS2 full reorthogonalization
+    * exactly as the b=1 path (the ghost-eigenvalue lesson); the new block
+    * is intra-orthonormalized by driver-side Cholesky QR of the b×b Gram,
+    * derived from the pass-2 aggregate without a third job
+    * (G(W′) = G(W₁) − C₂ᵀC₂, since W₁ = W′ + V·C₂ with W′ ⊥ V). The
+    * per-step Ritz certificate generalizes: for an eigenpair (θ, y) of the
+    * measured H, ‖A·Vy − θ·Vy‖ = ‖R·y_tail‖ with R the block coupling and
+    * y_tail the last b components. A rank-deficient block Gram means the
+    * Krylov space is exhausted (invariant subspace) — Rayleigh-Ritz is
+    * then exact. Single phase (no thick restart): the block form exists
+    * for the large-n certificate-terminated regime where restarts never
+    * fire; [[eigshSmallestSharded]] remains the restart-capable path.
+    */
+  def eigshSmallestShardedBlock(coo: DataFrame, n: Long, k: Int, m: Int = 25,
+      seed: Long = 3, b: Int = 2): Seq[Double] = {
+    import breeze.linalg.{eigSym, norm, DenseMatrix, DenseVector}
+    import graft.functions.{ArrayMath, VectorAgg}
+    val spark = coo.sparkSession
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 25000L)).toInt
+    // same knob rationale as eigshShardedCore: width tracks n, AQE off in
+    // the step loop, interpreted execution below the janino crossover
+    val codegenKnobs = if (n <= 2000000L) Seq(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") else Seq.empty
+    graft.GraftSession.withConfs(spark, (Seq(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") ++ codegenKnobs): _*) {
+      val edges = coo.select(col("row"), col("col"), col("value"))
+        .repartition(parts, col("col")).sortWithinPartitions("col")
+        .localCheckpoint(true)
+      val cap = m // lane budget; space exhaustion is caught by deflation
+      val rankTol = 1e-14
+      // b deterministic hash-gaussian streams, eigen-orthonormalized (the
+      // same G = UΛUᵀ → Q = X·U·Λ^{-1/2} map the deflation path uses)
+      val raw0 = spark.range(n).select(col("id").as("i") +:
+          (0 until b).map(t => RandomOps.normal(col("id"), seed, s"blz$t").as(s"x$t")): _*)
+        .repartition(parts, col("i")).sortWithinPartitions("i")
+        .localCheckpoint(true)
+      def gramOf(row: org.apache.spark.sql.Row, off: Int, w: Int): DenseMatrix[Double] = {
+        val pairs = for { a <- 0 until w; c <- a until w } yield (a, c)
+        val g = DenseMatrix.zeros[Double](w, w)
+        pairs.zipWithIndex.foreach { case ((a, c), idx) =>
+          val v = row.getDouble(off + idx); g(a, c) = v; g(c, a) = v }
+        g
+      }
+      /** rank-revealing orthonormalization map: G = UΛUᵀ → columns of
+        * M = U_r·Λ_r^{-1/2} (w×r) with Λ_r the eigenvalues above tol;
+        * also returns R_eff = Λ_r^{1/2}·U_rᵀ (r×w), the block coupling. */
+      def orthMap(g: DenseMatrix[Double]): (DenseMatrix[Double], DenseMatrix[Double], Int) = {
+        val es = eigSym((g + g.t) *:* 0.5)
+        val lam = es.eigenvalues
+        val lmax = math.max(1.0, lam.toArray.max)
+        val keep = (0 until g.rows).filter(i => lam(i) > rankTol * lmax)
+        val r = keep.size
+        val mMap = DenseMatrix.zeros[Double](g.rows, r)
+        val rEff = DenseMatrix.zeros[Double](r, g.rows)
+        keep.zipWithIndex.foreach { case (ei, u) =>
+          val s = math.sqrt(lam(ei))
+          (0 until g.rows).foreach { t =>
+            mMap(t, u) = es.eigenvectors(t, ei) / s
+            rEff(u, t) = es.eigenvectors(t, ei) * s
+          }
+        }
+        (mMap, rEff, r)
+      }
+      val g0Pairs = for { a <- 0 until b; c <- a until b } yield (a, c)
+      val g0Aggs = g0Pairs.map { case (a, c) => sum(col(s"x$a") * col(s"x$c")) }
+      val g0Row = raw0.agg(g0Aggs.head, g0Aggs.tail: _*).head()
+      val (m0, _, b0) = orthMap(gramOf(g0Row, 0, b))
+      var basis = raw0.select(col("i"), array((0 until b0).map(u =>
+          (0 until b).map(s => col(s"x$s") * m0(s, u)).reduce(_ + _)): _*).as("qs"))
+        .localCheckpoint(true)
+      var lanes = b0 // total lanes; the newest curB of them are unmeasured
+      var curB = b0
+      val h = DenseMatrix.zeros[Double](cap + b, cap + b)
+      var result: Seq[Double] = null
+      var done = false
+      while (!done) {
+        // ---- measure the newest block [lanes-curB, lanes) ----
+        val j0 = lanes - curB
+        val qj = basis.select(col("i").as("col") +:
+          (0 until curB).map(t => element_at(col("qs"), j0 + 1 + t).as(s"x$t")): _*)
+        val wAggs = (0 until curB).map(t => sum(col("value") * col(s"x$t")).as(s"w$t"))
+        val w0 = edges.join(qj, Seq("col")).groupBy(col("row").as("i"))
+          .agg(wAggs.head, wAggs.tail: _*)
+        val df = basis.join(w0, Seq("i"), "left")
+          .select(col("i") +: col("qs") +: (0 until curB).map(t =>
+            coalesce(col(s"w$t"), lit(0.0)).as(s"w$t")): _*)
+          .localCheckpoint(false)
+        val c1Aggs = (0 until curB).map(t =>
+          VectorAgg.axpySum(col("qs"), col(s"w$t")).as(s"c$t"))
+        val r1 = df.agg(c1Aggs.head, c1Aggs.tail: _*).head()
+        val c1 = (0 until curB).map(t => r1.getSeq[Double](t).toArray)
+        val w1 = df.select(col("i") +: col("qs") +: (0 until curB).map(t =>
+          (col(s"w$t") - ArrayMath.dot(col("qs"), typedLit(c1(t).toSeq))).as(s"w$t")): _*)
+        val gPairs = for { a <- 0 until curB; c <- a until curB } yield (a, c)
+        val aggs2 = (0 until curB).map(t =>
+          VectorAgg.axpySum(col("qs"), col(s"w$t")).as(s"c$t")) ++
+          gPairs.map { case (a, c) => sum(col(s"w$a") * col(s"w$c")).as(s"g${a}_$c") }
+        val r2 = w1.agg(aggs2.head, aggs2.tail: _*).head()
+        val c2 = (0 until curB).map(t => r2.getSeq[Double](t).toArray)
+        (0 until curB).foreach { t =>
+          (0 until lanes).foreach { s =>
+            val v = c1(t)(s) + c2(t)(s)
+            h(s, j0 + t) = v; h(j0 + t, s) = v
+          }
+        }
+        // Gram of the orthogonalized remainder, derived without a third
+        // job: W₁ = W′ + V·C₂ with W′ ⊥ V ⇒ G(W′) = G(W₁) − C₂ᵀC₂
+        val gW1 = gramOf(r2, curB, curB)
+        val gPrime = DenseMatrix.tabulate[Double](curB, curB) { (a, c) =>
+          gW1(a, c) - (0 until lanes).map(s => c2(a)(s) * c2(c)(s)).sum }
+        val (mMap, rEff, rNew) = orthMap(gPrime)
+        // certificate over the fully-measured H[0:lanes]: residual of a
+        // Ritz pair (θ, y) is ‖R_eff · y_tail‖ (0 when the space closed)
+        if (lanes >= k + 2 || rNew == 0) {
+          val es = eigSym(h(0 until lanes, 0 until lanes).copy)
+          val ord = es.eigenvalues.toArray.zipWithIndex.sortBy(_._1).take(k)
+          val maxBound = ord.map { case (_, cIdx) =>
+            val yTail = DenseVector((j0 until lanes)
+              .map(s => es.eigenvectors(s, cIdx)).toArray)
+            if (rNew == 0) 0.0 else norm(rEff * yTail)
+          }.max
+          if (maxBound < 1e-9) { result = ord.map(_._1).toSeq; done = true }
+        }
+        if (!done) {
+          if (rNew == 0 || lanes + rNew > cap) done = true // RR fallback below
+          else {
+            // deflation-aware expansion: r ≤ curB new orthonormal lanes
+            // from Q_new = (W₁ − V·C₂)·M
+            val w2 = (0 until curB).map(t =>
+              col(s"w$t") - ArrayMath.dot(col("qs"), typedLit(c2(t).toSeq)))
+            val newLanes = (0 until rNew).map(u =>
+              (0 until curB).map(t => w2(t) * mMap(t, u)).reduce(_ + _))
+            basis = w1.select(col("i"),
+              concat(col("qs"), array(newLanes: _*)).as("qs")).localCheckpoint(false)
+            lanes += rNew
+            curB = rNew
+          }
+        }
+      }
+      if (result == null) {
+        val es = eigSym(h(0 until lanes, 0 until lanes).copy)
+        result = es.eigenvalues.toArray.sorted.take(k).toSeq
+      }
+      result
+    }
+  }
+
   /** tsvd transform + inverse_transform + reconstruction error —
     * reference: linalg/tsvd.cuh:63,97 (svdReconstruction linalg/svd.cuh:195).
     * V_k comes from the distributed Gram eig (svdEig path); project/

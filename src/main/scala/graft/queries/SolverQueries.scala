@@ -179,7 +179,10 @@ object SolverQueries extends QueryGroup {
       val diag = s.range(100000).select(col("id").as("row"), col("id").as("col"),
         when(col("id") < 3, col("id").cast("double") + 1.0)
           .otherwise(lit(1000.0) + pmod(col("id"), lit(17)).cast("double")).as("value"))
-      val ev = SolverOps.eigshSmallestSharded(diag, 100000L, 3, m = 25)
+      // block path (b=2): the certificate fires at the same Krylov
+      // dimension in half the driver round-trips — the job-latency lever
+      // for the certificate-terminated large-n regime
+      val ev = SolverOps.eigshSmallestShardedBlock(diag, 100000L, 3, m = 25, b = 2)
       s.createDataFrame(ev.zipWithIndex.map { case (v, i) =>
         (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "eig")

@@ -49,4 +49,31 @@ object EigshProps extends Properties("LanczosEigsh") {
       }
       Prop(ok) :| s"n=$n k=$k got=${got.toList} exact=${exact.toList}"
     }
+
+  property("BLOCK sharded Lanczos matches Breeze for random symmetric matrices") =
+    forAll(caseGen) { case (n, k, density, seed) =>
+      // same contract as above through the b=2 block path: with the lane
+      // budget ≥ n the block Krylov space exhausts, the rank-deficient
+      // block Gram fires the invariant exit, and Rayleigh-Ritz is exact
+      val rng = new scala.util.Random(seed)
+      val dense = DenseMatrix.zeros[Double](n, n)
+      for (i <- 0 until n; j <- i until n) {
+        val keep = i == j || rng.nextInt(10) < density
+        if (keep) {
+          val v = rng.nextDouble() * 4 - 2
+          dense(i, j) = v; dense(j, i) = v
+        }
+      }
+      import spark.implicits._
+      val entries = for {
+        i <- 0 until n; j <- 0 until n if dense(i, j) != 0.0
+      } yield (i.toLong, j.toLong, dense(i, j))
+      val coo = entries.toDF("row", "col", "value")
+      val got = SolverOps.eigshSmallestShardedBlock(coo, n, k, m = n + 4, b = 2)
+      val exact = eigSym(dense).eigenvalues.toArray.sorted.take(k)
+      val ok = got.zip(exact).forall { case (g, e) =>
+        math.abs(g - e) < 1e-7 * math.max(1.0, math.abs(e))
+      }
+      Prop(ok) :| s"n=$n k=$k got=${got.toList} exact=${exact.toList}"
+    }
 }

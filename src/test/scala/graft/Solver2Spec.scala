@@ -193,6 +193,36 @@ class Solver2Spec extends AnyFunSuite {
     }
   }
 
+  test("BLOCK sharded Lanczos: planted spectrum via the certificate, chain via deflation") {
+    // certificate-terminated regime (the big-fixture shape): planted
+    // {1, 5, 9} under a 100+ bulk — the b=2 block path must certify the
+    // same spectrum in ~half the driver round-trips
+    val n = 20000L
+    val diag = spark.range(n).select(col("id").as("row"), col("id").as("col"),
+      when(col("id") === 0, 1.0).when(col("id") === 1, 5.0)
+        .when(col("id") === 2, 9.0)
+        .otherwise(pmod(col("id"), lit(7)).cast("double") + 100.0).as("value"))
+    val got = SolverOps.eigshSmallestShardedBlock(diag, n, 3, m = 20, b = 2)
+    got.zip(Seq(1.0, 5.0, 9.0)).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"block sharded eigsh $g vs $e")
+    }
+    // space-exhaustion regime: chain Laplacian with lane budget ≥ n — the
+    // final odd direction arrives through the rank-deficient deflation
+    // path (n=21 odd, b=2: the last block has rank 1)
+    val chain = spark.range(20).select(col("id").as("row"), (col("id") + 1).as("col"),
+      lit(-1.0).as("value"))
+    val sym = chain.unionByName(chain.select(col("col").as("row"),
+      col("row").as("col"), col("value")))
+    val deg = spark.range(21).select(col("id").as("row"), col("id").as("col"),
+      when(col("id") === 0 || col("id") === 20, 1.0).otherwise(2.0).as("value"))
+    val lap = sym.unionByName(deg)
+    val blockGot = SolverOps.eigshSmallestShardedBlock(lap, 21, 3, m = 25, b = 2)
+    val exact = (0 until 3).map(q => 2.0 - 2.0 * math.cos(math.Pi * q / 21))
+    blockGot.zip(exact).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"block chain $g vs closed form $e")
+    }
+  }
+
   test("sharded Ritz vectors: residual ||Av - lambda*v|| ~ 0 and orthonormal") {
     // random sparse symmetric matrix (deterministic draws): the Ritz
     // vectors from the sharded basis must satisfy the eigen equation and
