@@ -349,6 +349,8 @@ object Relational {
     * query is scan → broadcast attach → one keyed aggregate.
     */
   def zorderLayout(spark: SparkSession, dir: String, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two (bucket = z >> shift), got $nBuckets")
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"))
     val ext = li.agg(

@@ -223,6 +223,45 @@ class Solver2Spec extends AnyFunSuite {
     }
   }
 
+  test("block Lanczos runs close to half the Spark jobs of the single-lane path") {
+    // the block form's whole claim is fewer driver round-trips at equal
+    // math — wall-clock is host-noise-prone, so count JOBS instead
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = counter.incrementAndGet()
+    }
+    def jobsOf(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      counter.set(0)
+      // the listener bus is async; jobs start synchronously with actions,
+      // so a short quiesce after the last action suffices for the count
+      try { body; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    // chain Laplacian converges slowly, so BOTH paths spend the full lane
+    // budget (certificates stay silent) — the fair fixture for comparing
+    // round-trips at equal Krylov dimension. (On gap-heavy spectra the
+    // single path can certify at a smaller dimension than the block path
+    // — the classic per-lane-degree tradeoff — so totals there converge.)
+    def chain = {
+      val e = spark.range(29).select(col("id").as("row"), (col("id") + 1).as("col"),
+        lit(-1.0).as("value"))
+      val sym = e.unionByName(e.select(col("col").as("row"),
+        col("row").as("col"), col("value")))
+      sym.unionByName(spark.range(30).select(col("id").as("row"),
+        col("id").as("col"),
+        when(col("id") === 0 || col("id") === 29, 1.0).otherwise(2.0).as("value")))
+    }
+    val single = jobsOf {
+      SolverOps.eigshSmallestSharded(chain, 30, 3, m = 16, maxRestarts = 0) }
+    val block = jobsOf {
+      SolverOps.eigshSmallestShardedBlock(chain, 30, 3, m = 16, b = 2) }
+    assert(block < single * 0.65,
+      s"block path should run <65% of the single-lane jobs: block=$block single=$single")
+  }
+
   test("sharded Ritz vectors: residual ||Av - lambda*v|| ~ 0 and orthonormal") {
     // random sparse symmetric matrix (deterministic draws): the Ritz
     // vectors from the sharded basis must satisfy the eigen equation and
