@@ -565,7 +565,13 @@ object SolverOps {
         .repartition(parts, col("col")).sortWithinPartitions("col")
         .localCheckpoint(true)
       val cap = m // lane budget; space exhaustion is caught by deflation
+      // relative floor reveals rank loss inside a healthy block; the
+      // absolute floor (λ = 1e-20 ⇔ remainder norm 1e-10) matches the b=1
+      // path's beta < 1e-10 invariant cutoff, so small-norm matrices keep
+      // their genuinely nonzero remainders instead of deflating to a
+      // falsely-certified start space
       val rankTol = 1e-14
+      val absFloor = 1e-20
       // b deterministic hash-gaussian streams, eigen-orthonormalized (the
       // same G = UΛUᵀ → Q = X·U·Λ^{-1/2} map the deflation path uses)
       val raw0 = spark.range(n).select(col("id").as("i") +:
@@ -581,13 +587,18 @@ object SolverOps {
       }
       /** rank-revealing orthonormalization map: G = UΛUᵀ → columns of
         * M = U_r·Λ_r^{-1/2} (w×r) with Λ_r the eigenvalues above tol;
-        * also returns R_eff = Λ_r^{1/2}·U_rᵀ (r×w), the block coupling. */
-      def orthMap(g: DenseMatrix[Double]): (DenseMatrix[Double], DenseMatrix[Double], Int) = {
+        * also returns R_eff = Λ_r^{1/2}·U_rᵀ (r×w), the block coupling,
+        * and √(max dropped λ) — the residual norm a deflated direction can
+        * still carry, which the certificate must add to its bound. */
+    def orthMap(g: DenseMatrix[Double]):
+          (DenseMatrix[Double], DenseMatrix[Double], Int, Double) = {
         val es = eigSym((g + g.t) *:* 0.5)
         val lam = es.eigenvalues
-        val lmax = math.max(1.0, lam.toArray.max)
-        val keep = (0 until g.rows).filter(i => lam(i) > rankTol * lmax)
+        val cut = math.max(absFloor, rankTol * lam.toArray.max)
+        val keep = (0 until g.rows).filter(i => lam(i) > cut)
         val r = keep.size
+        val dropped = (0 until g.rows).filterNot(keep.contains)
+          .map(i => math.max(lam(i), 0.0)).foldLeft(0.0)(math.max)
         val mMap = DenseMatrix.zeros[Double](g.rows, r)
         val rEff = DenseMatrix.zeros[Double](r, g.rows)
         keep.zipWithIndex.foreach { case (ei, u) =>
@@ -597,12 +608,12 @@ object SolverOps {
             rEff(u, t) = es.eigenvectors(t, ei) * s
           }
         }
-        (mMap, rEff, r)
+        (mMap, rEff, r, math.sqrt(dropped))
       }
       val g0Pairs = for { a <- 0 until b; c <- a until b } yield (a, c)
       val g0Aggs = g0Pairs.map { case (a, c) => sum(col(s"x$a") * col(s"x$c")) }
       val g0Row = raw0.agg(g0Aggs.head, g0Aggs.tail: _*).head()
-      val (m0, _, b0) = orthMap(gramOf(g0Row, 0, b))
+      val (m0, _, b0, _) = orthMap(gramOf(g0Row, 0, b))
       var basis = raw0.select(col("i"), array((0 until b0).map(u =>
           (0 until b).map(s => col(s"x$s") * m0(s, u)).reduce(_ + _)): _*).as("qs"))
         .localCheckpoint(true)
@@ -646,16 +657,19 @@ object SolverOps {
         val gW1 = gramOf(r2, curB, curB)
         val gPrime = DenseMatrix.tabulate[Double](curB, curB) { (a, c) =>
           gW1(a, c) - (0 until lanes).map(s => c2(a)(s) * c2(c)(s)).sum }
-        val (mMap, rEff, rNew) = orthMap(gPrime)
+        val (mMap, rEff, rNew, dropBound) = orthMap(gPrime)
         // certificate over the fully-measured H[0:lanes]: residual of a
-        // Ritz pair (θ, y) is ‖R_eff · y_tail‖ (0 when the space closed)
+        // Ritz pair (θ, y) is ‖R_eff·y_tail‖ plus at most √(dropped λ)
+        // per deflated direction — the deflation cut must show up in the
+        // bound, not silently vanish from it
         if (lanes >= k + 2 || rNew == 0) {
           val es = eigSym(h(0 until lanes, 0 until lanes).copy)
           val ord = es.eigenvalues.toArray.zipWithIndex.sortBy(_._1).take(k)
           val maxBound = ord.map { case (_, cIdx) =>
             val yTail = DenseVector((j0 until lanes)
               .map(s => es.eigenvectors(s, cIdx)).toArray)
-            if (rNew == 0) 0.0 else norm(rEff * yTail)
+            val kept = if (rNew == 0) 0.0 else norm(rEff * yTail)
+            kept + dropBound * norm(yTail)
           }.max
           if (maxBound < 1e-9) { result = ord.map(_._1).toSeq; done = true }
         }
