@@ -28,18 +28,37 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/IO warm-up: one full pass of the flagship query
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // A failed query must be LOUD: recorded as a NEGATIVE time in the queries
+    // dict (parses as a number for the driver, unmistakable to a reader),
+    // collected into an "errors" object, and printed per-failure to stderr.
+    // The r5 snapshot silently recorded 11 analysis-broken queries as ~0.1s
+    // successes; never again.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+        errors(name) = msg
+        System.err.println(s"[bench] FAILED $name: $msg")
+        false
+      }
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = if (results.nonEmpty) results.map(_._2).map(math.abs).sum else 0.0
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
+      case '\t' => "\\t"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): ${errors.keys.mkString(", ")}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     // The harness records only the TAIL of the output, so the full ~4KB
     // per-query line gets truncated at the start and fails to parse. Emit
     // the full line first (archive: also written to BENCH_LOCAL.json),
@@ -56,10 +75,10 @@ object Bench {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"BENCH_LOCAL_$sfTag.json"), line)
       } catch { case _: Throwable => () }
-    val top = results.sortBy(-_._2).take(40)
+    val top = results.sortBy(r => -math.abs(r._2)).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","note":"top40; full per-query dict in BENCH_LOCAL_<sf>.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"queries":$top,"sf":"$sfDir","note":"top40 by |t|, negative = FAILED; full per-query dict in BENCH_LOCAL_<sf>.json"}"""
     println(line)
     println(compact)
     System.out.flush()

@@ -24,13 +24,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read nanos as long and convert to a microsecond timestamp.
+  /** events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark build the
+    * column surfaces either as LongType (when the legacy nanosAsLong conf is
+    * honored) or as TIMESTAMP_NTZ (current 4.1.x jars ignore the conf and read
+    * nanos directly, truncating to micros). Branch on the ACTUAL read schema so
+    * both environments yield the same `ts TIMESTAMP` column (session TZ is UTC,
+    * so the NTZ -> TZ cast is value-identical).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => // already a zoned timestamp (or future reader behavior): normalize via cast
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

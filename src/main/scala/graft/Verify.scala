@@ -23,13 +23,15 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[verify] WARNING: unknown query in SPARK_GRAFT_ONLY: $n")))
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
       finally spark.catalog.clearCache() // isolate per-query cached state
     }
@@ -49,5 +51,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Exit code must reflect failures (r5 lesson: 11 analysis-broken queries
+    // went unnoticed because every harness stayed quiet). The dump above is
+    // already written, so a nonzero exit loses nothing.
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} QUERY FAILURE(S): ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

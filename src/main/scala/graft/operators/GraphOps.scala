@@ -34,7 +34,7 @@ object GraphOps {
       .localCheckpoint(true)
     val nodes = spark.range(n).select(col("id").as("node"))
     var r = nodes.select(col("node"), lit(1.0 / n).as("r"))
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("node"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"), (col("r") / col("od")).as("cv"))
@@ -42,6 +42,12 @@ object GraphOps {
       r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"), (lit((1.0 - damping) / n) +
           lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+      // Lineage truncation: without it, round t's plan embeds rounds 1..t-1
+      // and the optimizer re-analyzes a geometrically growing DAG — fine at
+      // 10 rounds, a driver-side planning bomb at 50+. Every 5 rounds keeps
+      // the per-checkpoint job cost amortized (same knob as the other
+      // iterative drivers: connectedComponents, Lanczos, k-means).
+      if (i % 5 == 0 && i < iters) r = r.localCheckpoint(true)
     }
     r
   }

@@ -112,6 +112,15 @@ object PipelineQueries extends QueryGroup {
       TextOps.qualityGate(Tables.documents(s, d))),
     "pipe_contamination" -> ((s, d) =>
       DedupOps.contamination(Tables.documents(s, d), 50)),
+    // batch twin of the STREAM-STATIC decontamination gate (the exact same
+    // function runs under readStream in StreamingSpec): docs whose content
+    // hash appears in the banned reference slice (doc_id % 17 == 0) are
+    // anti-joined away; the static side broadcasts
+    "pipe_stream_refgate" -> ((s, d) =>
+      StreamingOps.streamingRefGate(
+        Tables.documents(s, d),
+        Tables.documents(s, d).where(col("doc_id") % 17 === 0))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     "pipe_bloom_dedup" -> ((s, d) =>
       DedupOps.bloomProbe(Tables.documents(s, d), 400)),
     "pipe_mixture_sample" -> ((s, d) =>
@@ -664,6 +673,12 @@ object PipelineQueries extends QueryGroup {
          |       count(DISTINCT ev.eval_id) AS n_eval_docs
          |FROM tr JOIN ev ON ev.hs = tr.hs
          |GROUP BY tr.doc_id""".stripMargin,
+    // stream-static gate batch twin: md5 content-hash anti-join against the
+    // banned slice (kills the slice itself plus any text duplicate of it)
+    "pipe_stream_refgate" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents WHERE doc_id % 17 = 0)""".stripMargin,
     // Bloom filter (m = 2^16 bits, 32 per BIGINT word, 3 affine probes)
     // built over ref shingles (doc_id < 400), probed by the rest
     "pipe_bloom_dedup" ->

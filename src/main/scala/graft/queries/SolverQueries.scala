@@ -203,6 +203,25 @@ object SolverQueries extends QueryGroup {
         (i, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "sigma")
     }),
+    "solver_chol_r1" -> ((s, d) => {
+      // cholesky_rank1_update on the Walsh Gram: L = chol(AᵀA) =
+      // diag(16·(j+1)) EXACTLY (integer Gram, perfect squares), then
+      // append observation x = (1..8). chol(D² + xxᵀ) has the
+      // Gill-Golub-Murray-Saunders closed form (t_j = 1 + Σ_{m≤j} x_m²/d_m²:
+      // L_jj = d_j·√(t_j/t_{j-1}); L_ij = x_i·x_j/(d_j·√(t_{j-1}·t_j))) —
+      // a cumulative-sum window in SQL, so the driver compare is a real
+      // oracle. The Gram itself comes through the distributed treeAggregate
+      // path; the O(d²) update is the driver-local incremental-factor
+      // building block (reference: linalg/cholesky_r1_update.cuh:116).
+      import breeze.linalg.{cholesky, DenseVector}
+      val l = cholesky(SolverOps.gramMatrix(walshFixture(s)))
+      val x = DenseVector.tabulate(8)(j => (j + 2).toDouble)
+      val l2 = SolverOps.choleskyRank1Update(l, x)
+      val rows = for (i <- 0 until 8; j <- 0 to i) yield
+        (i, j, BigDecimal(l2(i, j)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      s.createDataFrame(rows).toDF("i", "j", "l")
+    }),
     "solver_tsvd_recon" -> ((s, d) => {
       val (err, total) = SolverOps.tsvdReconstructionError(walshFixture(s), 5)
       s.createDataFrame(Seq((
@@ -305,6 +324,26 @@ object SolverQueries extends QueryGroup {
     "solver_tsvd_recon" ->
       """SELECT CAST(3584.0 AS DOUBLE) AS frob_err_sq,
         |  round(3584.0 / 52224.0, 6) + 0.0 AS err_ratio""".stripMargin,
+    // Gill-Golub-Murray-Saunders closed form for chol(D² + xxᵀ):
+    // t_j = 1 + Σ_{m≤j} x_m²/d_m² (a cumulative window); diagonal
+    // d_j√(t_j/t_{j-1}), below-diagonal x_i·x_j/(d_j·√(t_{j-1}·t_j)).
+    // Validated to 1.4e-14 against the sequential update (3.4e-9 from the
+    // nearest 6-dp rounding boundary, so both engines land the same digits).
+    "solver_chol_r1" ->
+      """WITH p AS (
+        |  SELECT j, CAST(16 * (j + 1) AS DOUBLE) AS dj,
+        |         CAST(j + 2 AS DOUBLE) AS xj
+        |  FROM range(8) t(j)),
+        |tt AS (
+        |  SELECT j, dj, xj,
+        |    1.0 + sum(xj * xj / (dj * dj)) OVER (ORDER BY j) AS tj,
+        |    1.0 + coalesce(sum(xj * xj / (dj * dj)) OVER (ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS tp
+        |  FROM p)
+        |SELECT CAST(a.j AS INT) AS i, CAST(b.j AS INT) AS j,
+        |  round(CASE WHEN a.j = b.j THEN b.dj * sqrt(b.tj / b.tp)
+        |        ELSE a.xj * b.xj / (b.dj * sqrt(b.tp * b.tj)) END, 6) + 0.0 AS l
+        |FROM p a JOIN tt b ON a.j >= b.j""".stripMargin,
     "solver_rsvd_sparse" ->
       """WITH v AS (
         |  SELECT i % 8 AS c, (((i*37) % 101) + 1) / 10.0 AS v

@@ -45,6 +45,25 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: lineage stays flat across rounds (checkpoint every 5)") {
+    // n=1e5 permutation graph (each node one out-edge). Plans are compared
+    // at the same offset past a checkpoint (7 = 5+2 vs 32 = 30+2): without
+    // the in-loop localCheckpoint the 32-round plan embeds all 32 rounds
+    // and the node count grows ~5x; with it both carry exactly 2 rounds of
+    // lineage, so the counts are EQUAL — the flat-plan property that keeps
+    // a 50+-round solve plannable on a real graph.
+    val n = 100000L
+    val edges = spark.range(n).select(col("id").as("src"),
+      ((col("id") * 31 + 7) % n).as("dst"))
+    def planNodes(iters: Int): Int = {
+      val r = GraphOps.pageRank(edges, n, iters)
+      r.queryExecution.logical.collect { case p => p }.size
+    }
+    val p7 = planNodes(7)
+    val p32 = planNodes(32)
+    assert(p32 === p7, s"lineage grew with round count: $p7 -> $p32")
+  }
+
   test("pageRank: hub with many in-links outranks leaves") {
     import spark.implicits._
     val edges = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
