@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off n-scaling probes for the two custom scale paths (distributed
+  * auction LAP, sharded block Lanczos) — the runs behind SCALE.md's
+  * measured rows. Not part of the per-round bench (a 2.5e9-row certificate
+  * pass per round would drown the 193-query suite); run manually:
+  *
+  *   sbt "runMain graft.ScaleProbe lap 50000"
+  *   sbt "runMain graft.ScaleProbe eigsh 1000000 2"
+  *
+  * Both fixtures carry the same provable oracles as their bench-row
+  * twins: the LAP instance plants a dual certificate (optimum = Σu + Σv
+  * exactly), and the diagonal spectrum's smallest eigenvalues are
+  * {1, 2, 3} by construction — the probe FAILS loudly on a wrong result,
+  * so a timing only ever comes from a correct run.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("lap")
+    val n = if (args.length > 1) args(1).toLong else 50000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val result: String = mode match {
+      case "lap" =>
+        // planted dual certificate (same construction as solver_lap_planted)
+        val u = pmod(col("i") * 13, lit(500L))
+        val v = pmod(col("j") * 7, lit(300L))
+        val noise = pmod(graft.operators.TextOps.h32(
+          concat_ws(":", col("i"), col("j"), lit("lapP"))), lit(1000000L)) + 1
+        val c = when(col("j") === pmod(col("i") * 2001L, lit(n)), u + v)
+          .otherwise(u + v + noise)
+        require(BigInt(2001).gcd(BigInt(n)) == 1, s"2001 must be coprime to $n")
+        val row = graft.operators.SolverOps.lapAuctionDistributed(
+          spark, n.toInt, priceJoinThreshold = 0, costExpr = Some(c)).head()
+        val expect = (0L until n).map(i => (i * 13) % 500).sum +
+          (0L until n).map(j => (j * 7) % 300).sum
+        require(row.getLong(0) == n && row.getLong(1) == expect,
+          s"LAP wrong: got (${row.getLong(0)}, ${row.getLong(1)}), want ($n, $expect)")
+        s""""mode":"lap","n":$n,"total_cost":${row.getLong(1)}"""
+      case "eigsh" =>
+        val b = if (args.length > 2) args(2).toInt else 2
+        val diag = spark.range(n).select(col("id").as("row"), col("id").as("col"),
+          when(col("id") < 3, col("id").cast("double") + 1.0)
+            .otherwise(lit(1000.0) + pmod(col("id"), lit(17)).cast("double")).as("value"))
+        val ev = graft.operators.SolverOps.eigshSmallestShardedBlock(
+          diag, n, 3, m = 25, b = b)
+        ev.zipWithIndex.foreach { case (l, i) =>
+          require(math.abs(l - (i + 1.0)) < 1e-6, s"eig $i wrong: $l") }
+        s""""mode":"eigsh","n":$n,"b":$b"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh)")
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(s"""{"probe":{$result,"sec":$dt}}""")
+    spark.stop()
+  }
+}

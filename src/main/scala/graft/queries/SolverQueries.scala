@@ -71,6 +71,19 @@ object SolverQueries extends QueryGroup {
     sym.unionByName(deg)
   }
 
+  /** n=1e5 diagonal with spectrum {1,2,3} ∪ {≥1000} — the certificate-
+    * terminated large-n regime shared by the b∈{1,2,4} block-Lanczos
+    * scale-evidence rows (closed-form smallest eigenvalues). */
+  private def bigDiagFixture(s: SparkSession): DataFrame =
+    s.range(100000).select(col("id").as("row"), col("id").as("col"),
+      when(col("id") < 3, col("id").cast("double") + 1.0)
+        .otherwise(lit(1000.0) + pmod(col("id"), lit(17)).cast("double")).as("value"))
+
+  private def eigsDf(s: SparkSession, ev: Seq[Double]): DataFrame =
+    s.createDataFrame(ev.zipWithIndex.map { case (v, i) =>
+      (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+      .toDF("i", "eig")
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     "solver_svd" -> ((s, d) => SolverOps.singularValues(walshFixture(s), 5)),
     "solver_pca_var" -> ((s, d) => SolverOps.pcaExplainedVariance(walshFixture(s), 5)),
@@ -176,17 +189,22 @@ object SolverQueries extends QueryGroup {
       // certificate fire in ≪ m steps (no restart cycles), and the smallest
       // eigenvalues are closed form → real oracle at a scale the fixture
       // queries above cannot reach. Driver state stays m×m throughout.
-      val diag = s.range(100000).select(col("id").as("row"), col("id").as("col"),
-        when(col("id") < 3, col("id").cast("double") + 1.0)
-          .otherwise(lit(1000.0) + pmod(col("id"), lit(17)).cast("double")).as("value"))
-      // block path (b=2): the certificate fires at the same Krylov
+      // Block path (b=2): the certificate fires at the same Krylov
       // dimension in half the driver round-trips — the job-latency lever
-      // for the certificate-terminated large-n regime
-      val ev = SolverOps.eigshSmallestShardedBlock(diag, 100000L, 3, m = 25, b = 2)
-      s.createDataFrame(ev.zipWithIndex.map { case (v, i) =>
-        (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
-        .toDF("i", "eig")
+      // for the certificate-terminated large-n regime.
+      eigsDf(s, SolverOps.eigshSmallestShardedBlock(
+        bigDiagFixture(s), 100000L, 3, m = 25, b = 2))
     }),
+    // b-scaling evidence rows (VERDICT r5 #8): the SAME n=1e5 fixture at
+    // b=1 and b=4 so BENCH carries wall-clock numbers for the block-width
+    // tradeoff next to the b=2 row above (round-trips ∝ m/b; per-step
+    // shuffle volume ∝ b). Job-count proof lives in Solver2Spec.
+    "solver_eigsh_b1" -> ((s, d) =>
+      eigsDf(s, SolverOps.eigshSmallestShardedBlock(
+        bigDiagFixture(s), 100000L, 3, m = 25, b = 1))),
+    "solver_eigsh_b4" -> ((s, d) =>
+      eigsDf(s, SolverOps.eigshSmallestShardedBlock(
+        bigDiagFixture(s), 100000L, 3, m = 25, b = 4))),
     // summary form: the optimal TOTAL is unique (the permutation may not
     // be), so the oracle is the independently-computed optimum — 115
     // integer units for the n=50 modular fixture (verified with an
@@ -194,6 +212,28 @@ object SolverQueries extends QueryGroup {
     // (perfect matching, matches auction certificate) live in Solver2Spec
     "solver_lap" -> ((s, d) => SolverOps.lapAssignmentSummary(s, 50)),
     "solver_lap_dist" -> ((s, d) => SolverOps.lapAuctionDistributed(s, 500)),
+    "solver_lap_planted" -> ((s, d) => {
+      // 4×-the-n scale-evidence row with a REAL oracle at any n: plant a
+      // dual certificate. c(i,j) = u_i + v_j + s(i,j) with s ≥ 0 and
+      // s(i, π(i)) = 0 for the permutation π(i) = 2001·i mod n (2001 ⊥
+      // 2000) ⇒ by LP duality the optimal total is EXACTLY Σu + Σv —
+      // closed form in SQL, no external solver needed (the n=500 row's
+      // constant needed one). The planted edge costs ≤ 800 vs ~1e6 hash
+      // noise, so it lands in every row's top-T kernel; the certificate
+      // pass scans all n² entries through the broadcast-join price form
+      // (priceJoinThreshold=0 — the form that scales; the typedLit path
+      // stays covered by solver_lap_dist). n=2000 keeps the n²=4e6-row
+      // md5 cost-generation affordable per round; the n=5e4 certificate
+      // pass is the one-off run recorded in SCALE.md.
+      val u = pmod(col("i") * 13, lit(500L))
+      val v = pmod(col("j") * 7, lit(300L))
+      val noise = pmod(graft.operators.TextOps.h32(
+        concat_ws(":", col("i"), col("j"), lit("lapP"))), lit(1000000L)) + 1
+      val c = when(col("j") === pmod(col("i") * 2001, lit(2000L)), u + v)
+        .otherwise(u + v + noise)
+      SolverOps.lapAuctionDistributed(s, 2000, priceJoinThreshold = 0,
+        costExpr = Some(c))
+    }),
     "solver_rsvd_sparse" -> ((s, d) => {
       // closed-form rank-8 fixture (exact σ, SQL oracle); the real-data
       // variant (cooOrdersParts, 20k-column Ω) lives in Solver2Spec
@@ -278,6 +318,16 @@ object SolverQueries extends QueryGroup {
         |FROM range(3) t(i)""".stripMargin,
     "solver_eigsh_sharded_big" ->
       "SELECT i, CAST(i + 1.0 AS DOUBLE) AS eig FROM range(3) t(i)",
+    "solver_eigsh_b1" ->
+      "SELECT i, CAST(i + 1.0 AS DOUBLE) AS eig FROM range(3) t(i)",
+    "solver_eigsh_b4" ->
+      "SELECT i, CAST(i + 1.0 AS DOUBLE) AS eig FROM range(3) t(i)",
+    // planted dual certificate: optimum = Σu + Σv exactly (s ≥ 0, zero on π)
+    "solver_lap_planted" ->
+      """SELECT CAST(2000 AS BIGINT) AS n_assigned,
+        |  CAST((SELECT sum((i * 13) % 500) FROM range(2000) t(i))
+        |     + (SELECT sum((j * 7) % 300) FROM range(2000) t(j)) AS BIGINT)
+        |    AS total_cost""".stripMargin,
     // DCT-II closed form for the path-graph eigenvectors, squared
     "solver_eigsh_vectors" ->
       """SELECT i, q,
