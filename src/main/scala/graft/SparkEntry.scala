@@ -19,7 +19,7 @@ object SparkEntry {
     RelationalQueries, graft.queries.MatrixQueries, graft.queries.SparseTextQueries,
     graft.queries.StatsQueries, graft.queries.RandomLabelQueries,
     graft.queries.PipelineQueries, graft.queries.SolverQueries,
-    graft.queries.DistanceQueries)
+    graft.queries.DistanceQueries, graft.queries.MaskQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

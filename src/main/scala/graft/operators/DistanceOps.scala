@@ -279,4 +279,79 @@ object DistanceOps {
     SolverOps.singleLinkage(mrd, k).localCheckpoint(true)
     }
   }
+
+  /** Landmark-pruned EXACT kNN graph — the random-ball-cover scale path
+    * (Cayton 2012) for the all-pairs forms above, built from the same
+    * primitives the reference composes for this job (pairwise distance +
+    * select_k; masks/landmarks are the pruning structure). Returns the
+    * IDENTICAL result to brute-force kNN — pruning is by the triangle
+    * inequality, never approximation:
+    *
+    *  1. L deterministic landmarks (lowest ids); every point joins the
+    *     broadcast landmark set once → d(x, l) for all l (n×L rows, the
+    *     RBC cost — L ≈ √n makes it n^1.5, not n²).
+    *  2. cell(x) = argmin_l d(x,l); per-cell radius r_l = max d(x,l).
+    *  3. Phase 1: top-k inside the own cell only (co-partitioned
+    *     equi-join on cell, bounded-heap TopKAgg) → upper bound τ_x =
+    *     kth own-cell distance (+∞ if the cell holds < k neighbors —
+    *     such queries fall back to scanning every cell, still exact).
+    *  4. Phase 2: cell l can contain a better neighbor only if
+    *     d(x,l) − r_l ≤ τ_x (triangle inequality); scan exactly the
+    *     surviving cells (equi-join on cell) and take the global top-k.
+    *
+    * Shuffles: one n×L broadcast join, two cell-keyed equi-joins, two
+    * bounded-state aggregates — no n² anywhere. A 1e-9 slack on the
+    * pruning bound keeps float rounding from dropping an exact tie.
+    * Returns (src, dst, dist, rnk). */
+  def ballCoverKnn(vectors: DataFrame, k: Int, numLandmarks: Int): DataFrame = {
+    import graft.functions.TopKAgg
+    val candPairs = ballCoverCandidates(vectors, k, numLandmarks)
+    candPairs.groupBy(col("src"))
+      .agg(TopKAgg.topKMin(col("d"), col("dst"), k).as("flat"))
+      .select(col("src"), explode(TopKAgg.decodeTopK(col("flat"))).as("e"))
+      // rank on the UNROUNDED distance (the aggregator's own (c, j) order)
+      // so ties land exactly where the oracle's row_number puts them
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("e.c").asc, col("e.j").asc)))
+      .select(col("src"), col("e.j").as("dst"),
+        (round(col("e.c"), 4) + 0.0).as("dist"), col("rnk"))
+  }
+
+  /** The surviving (src, dst, d) candidate pairs of [[ballCoverKnn]]'s
+    * triangle-inequality prune — exposed so specs/scale probes can count
+    * them against the n² a brute-force scan would generate. */
+  def ballCoverCandidates(vectors: DataFrame, k: Int, numLandmarks: Int): DataFrame = {
+    import graft.functions.TopKAgg
+    val pts = vectors.select(col("id"), col("vec"))
+    val lms = pts.where(col("id") < numLandmarks)
+      .select(col("id").as("lid"), col("vec").as("lvec"))
+    // d(x, l) for every point × landmark — reused for assignment and pruning
+    val pl = pts.crossJoin(broadcast(lms))
+      .select(col("id"), col("lid"), sqrt(l2sq(col("vec"), col("lvec"))).as("dl"))
+      .localCheckpoint(true)
+    val assign = pl.groupBy(col("id"))
+      .agg(min(struct(col("dl"), col("lid"))).as("m"))
+      .select(col("id"), col("m.lid").as("cell"), col("m.dl").as("dcell"))
+    val cells = pts.join(assign, Seq("id")).localCheckpoint(true)
+    val radii = cells.groupBy(col("cell")).agg(max(col("dcell")).as("radius"))
+    // phase 1: own-cell bound τ (bounded-heap agg: state = k entries/query)
+    val ownK = cells.select(col("cell"), col("id").as("a"), col("vec").as("va"))
+      .join(cells.select(col("cell"), col("id").as("b"), col("vec").as("vb")), Seq("cell"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), sqrt(l2sq(col("va"), col("vb"))).as("d"), col("b"))
+      .groupBy(col("a")).agg(TopKAgg.topKMin(col("d"), col("b"), k).as("flat"))
+      .select(col("a").as("id"),
+        when(size(col("flat")) === 2 * k, element_at(col("flat"), 2 * k - 1))
+          .otherwise(lit(Double.PositiveInfinity)).as("tau"))
+    // phase 2: surviving cells by the triangle bound, then exact top-k
+    val candCells = pl.join(ownK, Seq("id"))
+      .join(radii.withColumnRenamed("cell", "lid"), Seq("lid"))
+      .where(col("dl") - col("radius") <= col("tau") + 1e-9)
+      .select(col("id").as("src"), col("lid").as("cell"))
+    candCells
+      .join(cells.select(col("cell"), col("id").as("dst"), col("vec").as("vb")), Seq("cell"))
+      .where(col("src") =!= col("dst"))
+      .join(pts.select(col("id").as("src"), col("vec").as("va")), Seq("src"))
+      .select(col("src"), sqrt(l2sq(col("va"), col("vb"))).as("d"), col("dst"))
+  }
 }

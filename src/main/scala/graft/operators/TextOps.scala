@@ -375,4 +375,65 @@ object TextOps {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_bins"), lit(0L)).as("n_bins"))
   }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by the
+    * log importance ratio of a hashed-n-gram bag model fit on a TARGET
+    * subset vs the full RAW corpus, then keep the top-N.
+    *
+    *   feature(doc) = multiset of h32(unigram | bigram) % buckets
+    *   p_t(b), p_r(b) = Laplace-smoothed bucket frequencies (target/raw)
+    *   log w(doc)    = Σ_features ln p_t(b) − ln p_r(b)
+    *
+    * Here the target is the lang = targetLang slice (the "formal text"
+    * proxy the paper's experiments use); the bucket tables are two tiny
+    * keyed aggregates broadcast back onto the per-doc feature counts, so
+    * the whole selection is: one explode, one (doc, bucket) aggregate,
+    * two broadcast joins, one doc-keyed rollup — linear in corpus size,
+    * bucket state O(buckets) regardless of vocabulary. Returns
+    * (doc_id, n_feats, logw, keep) with keep = top-keepN by (logw desc,
+    * doc_id asc). */
+  def dsirSelect(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 128, keepN: Int = 100): DataFrame = {
+    val toks = tokenize(docs)
+    // unigrams ++ bigrams (guard: sequence(0,-1) would DESCEND, not empty)
+    val bigrams = when(size(col("tokens")) >= 2,
+      transform(sequence(lit(0), size(col("tokens")) - 2),
+        i => concat_ws(" ", element_at(col("tokens"), i + 1),
+          element_at(col("tokens"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val grams = toks.select(col("doc_id"),
+      explode(concat(col("tokens"), bigrams)).as("g"))
+    val feats = grams
+      .select(col("doc_id"), (h32(col("g")) % buckets).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
+    val isTarget = docs.where(col("lang") === targetLang).select(col("doc_id"))
+    val rawC = feats.groupBy(col("b")).agg(sum(col("tf")).as("cr"))
+    val tgtC = feats.join(isTarget, Seq("doc_id"))
+      .groupBy(col("b")).agg(sum(col("tf")).as("ct"))
+    val rawTot = feats.agg(sum(col("tf")).as("rtot"))
+    val tgtTot = feats.join(isTarget, Seq("doc_id")).agg(sum(col("tf")).as("ttot"))
+    val scored = feats
+      .join(broadcast(rawC), Seq("b"))
+      .join(broadcast(tgtC), Seq("b"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("doc_id"), col("tf"),
+        (log((coalesce(col("ct"), lit(0.0)) + 1.0) / (col("ttot") + buckets)) -
+          log((col("cr") + 1.0) / (col("rtot") + buckets))).as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_feats"),
+        (round(sum(col("tf") * col("lr")), 4) + 0.0).as("logw"))
+    // global top-N via the bounded-heap aggregate (map-side k-entry
+    // partials; a global rank window would funnel every row through one
+    // reducer) — ranked on the ROUNDED logw so both engines break the
+    // same ties, by doc_id
+    val topIds = scored
+      .agg(graft.functions.TopKAgg.topKMin(-col("logw"), col("doc_id"), keepN).as("flat"))
+      .select(explode(graft.functions.TopKAgg.decodeTopK(col("flat"))).as("e"))
+      .select(col("e.j").as("doc_id"), lit(1).as("k1"))
+    scored.join(broadcast(topIds), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feats"), col("logw"),
+        coalesce(col("k1"), lit(0)).as("keep"))
+  }
 }

@@ -114,6 +114,14 @@ object DistanceQueries extends QueryGroup {
       val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       DistanceOps.nnDescent(blobs, 5, 4)
     }),
+    // landmark-pruned EXACT kNN (random-ball-cover): triangle-inequality
+    // pruning, so the oracle is plain brute force — identical output, no
+    // n² pair generation on the Spark side (DistanceSpec pins the
+    // candidate-pair reduction)
+    "dist_ball_cover" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
+      DistanceOps.ballCoverKnn(blobs, 5, 25)
+    }),
   )
 
   // ---- oracles ----
@@ -197,5 +205,16 @@ object DistanceQueries extends QueryGroup {
       """SELECT id, CASE WHEN id < 500 THEN id % 5 ELSE -1 END AS cluster,
         |  CAST(CASE WHEN id < 500 THEN 1 ELSE 0 END AS INTEGER) AS is_core
         |FROM range(510) t(id)""".stripMargin,
+    // ball-cover is EXACT — the oracle is straight brute force
+    "dist_ball_cover" ->
+      s"""WITH ${blobsCte(500)},
+         |d AS (
+         |  SELECT a.id AS src, b.id AS dst, ${foldL2sq("a.vec", "b.vec")} AS d2
+         |  FROM bl a JOIN bl b ON a.id <> b.id),
+         |e AS (
+         |  SELECT src, dst, d2,
+         |         row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rnk
+         |  FROM d QUALIFY rnk <= 5)
+         |SELECT src, dst, round(sqrt(d2), 4) + 0.0 AS dist, rnk FROM e""".stripMargin,
   )
 }

@@ -129,6 +129,8 @@ object PipelineQueries extends QueryGroup {
       TextOps.seqPacking(Tables.documents(s, d))),
     "pipe_unigram_logprob" -> ((s, d) =>
       TextOps.unigramLogprob(Tables.documents(s, d))),
+    "pipe_dsir_select" -> ((s, d) =>
+      TextOps.dsirSelect(Tables.documents(s, d))),
     "pipe_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairStats(Tables.documents(s, d))),
     "pipe_curation_e2e" -> ((s, d) =>
@@ -535,6 +537,41 @@ object PipelineQueries extends QueryGroup {
         |  CAST(sum(tf) AS BIGINT) AS n_tokens
         |FROM tdc JOIN cf USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
+    // bag model target-vs-raw, Laplace-smoothed log ratio summed per doc,
+    // top-100 kept (ties by doc_id on the ROUNDED score)
+    "pipe_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(tokens) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, tokens[i+1] || ' ' || tokens[i+2] AS g
+        |  FROM toks, unnest(range(len(tokens) - 1)) AS t(i)
+        |  WHERE len(tokens) >= 2),
+        |f AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 128 AS b,
+        |        CAST(count(*) AS DOUBLE) AS tf
+        |      FROM g GROUP BY 1, 2),
+        |rawc AS (SELECT b, sum(tf) AS cr FROM f GROUP BY 1),
+        |tgtc AS (SELECT b, sum(tf) AS ct
+        |         FROM f JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        |rtot AS (SELECT sum(tf) AS rtot FROM f),
+        |ttot AS (SELECT sum(tf) AS ttot
+        |         FROM f JOIN documents USING (doc_id) WHERE lang = 'en'),
+        |s AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+        |    round(sum(tf * (ln((coalesce(ct, 0) + 1.0) / (ttot + 128)) -
+        |                    ln((cr + 1.0) / (rtot + 128)))), 4) + 0.0 AS logw
+        |  FROM f JOIN rawc USING (b) LEFT JOIN tgtc USING (b)
+        |       CROSS JOIN rtot CROSS JOIN ttot
+        |  GROUP BY doc_id),
+        |k AS (SELECT doc_id, row_number() OVER (ORDER BY logw DESC, doc_id) AS r FROM s)
+        |SELECT s.doc_id, s.n_feats, s.logw,
+        |  CAST(CASE WHEN k.r <= 100 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM s JOIN k USING (doc_id)""".stripMargin,
     // end-to-end curation: gate -> exact-dedup survivors -> token budget
     // + packing, per source — the composed pipeline as one query
     "pipe_curation_e2e" ->

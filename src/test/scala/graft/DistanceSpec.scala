@@ -124,6 +124,25 @@ class DistanceSpec extends AnyFunSuite {
     assert(r(5L) == (-1L, 0)) // noise
   }
 
+  test("ball-cover kNN is exact AND prunes the candidate space") {
+    val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42)
+      .select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
+    val bc = DistanceOps.ballCoverKnn(blobs, 5, 25)
+      .select("src", "dst", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force reference
+    val brute = DistanceOps.knnGraph(blobs, 5)
+      .select("src", "dst", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bc === brute, "triangle-inequality pruning must stay exact")
+    // the pruned candidate set is a small fraction of the n² scan: with
+    // 25 landmarks over 5 separated blobs, surviving cells are (almost
+    // always) only the query's own blob -> ~n²/5 pairs, not 500*499
+    val cand = DistanceOps.ballCoverCandidates(blobs, 5, 25).count()
+    assert(cand < 500L * 499L / 3,
+      s"expected pruning to cut the pair count, got $cand")
+  }
+
   test("PQ encode compresses same-blob points to identical codes") {
     val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42).select(col("id"), col("vec"))
     val cb = ClusterOps.pqTrain(blobs, d = 8, m = 2, ksub = 5, iters = 5)
