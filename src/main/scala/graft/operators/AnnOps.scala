@@ -144,4 +144,63 @@ object AnnOps {
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
       .agg(round(avg(col("hits").cast("double") / k), 4).as("recall"))
   }
+
+  /** Graph-search ANN (the CAGRA/HNSW family's search phase, batched):
+    * beam search over a prebuilt kNN graph, run as ROUNDS of relational
+    * frontier expansion instead of a per-query walk —
+    *
+    *   visited ← scored seed draws (md5-deterministic entry points)
+    *   repeat `rounds`: frontier = per-query beam best of visited;
+    *     expand 1 hop along the graph; score the new nodes; visited =
+    *     min-merge — then answer = per-query top-k of visited.
+    *
+    * Every round is one graph equi-join (keyed by node) + one
+    * bounded-heap beam aggregate, so a batch of millions of queries
+    * advances one hop per round TOGETHER — the Spark shape of
+    * multi-query beam search (per-query sequential walks would be a
+    * driver loop per query; this is a driver loop per HOP, with all
+    * queries inside the round). Deterministic replay: the output is a
+    * pure function of (points, graph, seeds), so the oracle unrolls the
+    * same rounds in SQL — the NN-descent replay-oracle pattern. Pair it
+    * with [[graft.operators.DistanceOps.nnDescent]] (graph build) for
+    * the end-to-end CAGRA analog; recall vs brute force is spec-pinned.
+    * Returns (qid, node, dist, rnk). */
+  def graphSearchTopK(points: DataFrame, graph: DataFrame, nQueries: Int,
+      k: Int, beam: Int, rounds: Int, seed: Long = 11L): DataFrame = {
+    import graft.functions.TopKAgg
+    val pts = points.select(col("id"), col("vec")).localCheckpoint(true)
+    val n = pts.count()
+    val q = pts.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vec").as("qv")).localCheckpoint(true)
+    val edges = graph.select(col("src").as("node"), col("dst"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(pts.select(col("id").as("node"), col("vec").as("nv")), Seq("node"))
+        .join(q, Seq("qid"))
+        .select(col("qid"), col("node"),
+          sqrt(DistanceOps.l2sq(col("qv"), col("nv"))).as("d"))
+    val seeds = q.select(col("qid"),
+      explode(transform(sequence(lit(0), lit(beam - 1)),
+        j => h32(concat_ws(":", col("qid"), j, lit(seed), lit("gs"))) % n)).as("node"))
+      .where(col("node") =!= col("qid")).distinct()
+    var visited = score(seeds).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val top = visited.groupBy(col("qid"))
+        .agg(TopKAgg.topKMin(col("d"), col("node"), beam).as("flat"))
+        .select(col("qid"), explode(TopKAgg.decodeTopK(col("flat"))).as("e"))
+        .select(col("qid"), col("e.j").as("node"))
+      val expand = top.join(edges, Seq("node"))
+        .select(col("qid"), col("dst").as("node"))
+        .where(col("node") =!= col("qid")).distinct()
+      visited = visited.unionByName(score(expand))
+        .groupBy(col("qid"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    visited.groupBy(col("qid"))
+      .agg(TopKAgg.topKMin(col("d"), col("node"), k).as("flat"))
+      .select(col("qid"), explode(TopKAgg.decodeTopK(col("flat"))).as("e"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("e.c").asc, col("e.j").asc)))
+      .select(col("qid"), col("e.j").as("node"),
+        (round(col("e.c"), 4) + 0.0).as("dist"), col("rnk"))
+  }
 }

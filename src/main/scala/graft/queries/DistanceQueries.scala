@@ -122,6 +122,15 @@ object DistanceQueries extends QueryGroup {
       val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       DistanceOps.ballCoverKnn(blobs, 5, 25)
     }),
+    // graph-search ANN (CAGRA/HNSW search phase): beam search over the
+    // exact kNN-5 graph, 16 md5-seeded entry points, 6 frontier rounds.
+    // Deterministic replay → the oracle unrolls the same rounds in SQL
+    // (the NN-descent pattern); recall vs brute force is spec-pinned.
+    "pipe_ann_graph" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
+      val g = DistanceOps.knnGraph(blobs, 5).select(col("src"), col("dst"))
+      graft.operators.AnnOps.graphSearchTopK(blobs, g, 20, 5, 16, 6)
+    }),
   )
 
   // ---- oracles ----
@@ -160,6 +169,44 @@ object DistanceQueries extends QueryGroup {
        |       FROM t0 QUALIFY rnk <= 5),
        |${(1 to 4).map(roundCtes).mkString(",\n")}
        |SELECT src, dst, round(sqrt(d2), 4) + 0.0 AS dist, rnk FROM g4""".stripMargin
+  }
+
+  /** Replay oracle for the graph-search ANN (20 queries, beam 16, 6
+    * rounds (6, beam 16) over the exact kNN-5 graph of the 500-point blobs
+    * fixture): seeds are md5 draws, each round is rank-beam → 1-hop
+    * expansion → min-merge, exactly the relational rounds the Spark
+    * operator executes. */
+  private val graphSearchOracle: String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"v${r - 1}"
+      s"""t$r AS (SELECT qid, node FROM (
+         |  SELECT qid, node, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, node) AS rnk
+         |  FROM $prev) WHERE rnk <= 16),
+         |e$r AS (SELECT DISTINCT t$r.qid, g.dst AS node
+         |        FROM t$r JOIN g ON g.src = t$r.node WHERE g.dst <> t$r.qid),
+         |n$r AS (SELECT e$r.qid, e$r.node, sqrt(${foldL2sq("q.qv", "b.vec")}) AS d
+         |        FROM e$r JOIN q ON q.qid = e$r.qid JOIN bl b ON b.id = e$r.node),
+         |v$r AS (SELECT qid, node, min(d) AS d FROM (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM n$r) GROUP BY 1, 2)""".stripMargin
+    }
+    val draw = "CAST(('0x' || substr(md5(concat_ws(':', qid, j, 11, 'gs')), 1, 8)) AS BIGINT) % 500"
+    s"""WITH ${blobsCte(500)},
+       |g AS (SELECT src, dst FROM (
+       |  SELECT a.id AS src, b.id AS dst,
+       |    row_number() OVER (PARTITION BY a.id
+       |      ORDER BY ${foldL2sq("a.vec", "b.vec")}, b.id) AS rnk
+       |  FROM bl a JOIN bl b ON a.id <> b.id QUALIFY rnk <= 5)),
+       |q AS (SELECT id AS qid, vec AS qv FROM bl WHERE id < 20),
+       |s0 AS (SELECT DISTINCT qid, node FROM (
+       |  SELECT qid, $draw AS node FROM q, range(16) t(j)) WHERE node <> qid),
+       |v0 AS (SELECT s0.qid, s0.node, sqrt(${foldL2sq("q.qv", "b.vec")}) AS d
+       |       FROM s0 JOIN q ON q.qid = s0.qid JOIN bl b ON b.id = s0.node),
+       |${(1 to 6).map(roundCtes).mkString(",\n")}
+       |SELECT qid, node, round(d, 4) + 0.0 AS dist, rnk FROM (
+       |  SELECT qid, node, d,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d, node) AS rnk
+       |  FROM v6) WHERE rnk <= 5""".stripMargin
   }
 
   val sql: Map[String, String] = Map(
@@ -205,6 +252,7 @@ object DistanceQueries extends QueryGroup {
       """SELECT id, CASE WHEN id < 500 THEN id % 5 ELSE -1 END AS cluster,
         |  CAST(CASE WHEN id < 500 THEN 1 ELSE 0 END AS INTEGER) AS is_core
         |FROM range(510) t(id)""".stripMargin,
+    "pipe_ann_graph" -> graphSearchOracle,
     // ball-cover is EXACT — the oracle is straight brute force
     "dist_ball_cover" ->
       s"""WITH ${blobsCte(500)},

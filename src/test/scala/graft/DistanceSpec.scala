@@ -143,6 +143,23 @@ class DistanceSpec extends AnyFunSuite {
       s"expected pruning to cut the pair count, got $cand")
   }
 
+  test("graph-search ANN recalls most true neighbors through the kNN graph") {
+    val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42)
+      .select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
+    val g = DistanceOps.knnGraph(blobs, 5).select(col("src"), col("dst"))
+    val gs = graft.operators.AnnOps.graphSearchTopK(blobs, g, 20, 5, 16, 6)
+      .select(col("qid").as("src"), col("node").as("dst"))
+    val brute = DistanceOps.knnGraph(blobs, 5)
+      .where(col("src") < 20).select(col("src"), col("dst"))
+    val hits = gs.join(brute, Seq("src", "dst")).count()
+    // the kNN-5 graph of separated blobs has NO inter-blob edges, so a
+    // query only reaches its true neighbors if one of its 16 uniform
+    // seeds lands in its own 100-point blob (p ≈ 1 − 0.8^16 ≈ 0.97 per
+    // query) — the connectivity caveat CAGRA's graph-optimize step
+    // exists to fix. Expect high-but-not-perfect recall.
+    assert(hits >= 80, s"recall ${hits / 100.0} below floor")
+  }
+
   test("PQ encode compresses same-blob points to identical codes") {
     val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42).select(col("id"), col("vec"))
     val cb = ClusterOps.pqTrain(blobs, d = 8, m = 2, ksub = 5, iters = 5)
