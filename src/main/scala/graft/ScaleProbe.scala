@@ -3,19 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off n-scaling probes for the two custom scale paths (distributed
-  * auction LAP, sharded block Lanczos) — the runs behind SCALE.md's
+/** One-off n-scaling probes for the custom scale paths (distributed
+  * auction LAP, sharded block Lanczos, ball-cover exact kNN) — the runs
+  * behind SCALE.md's
   * measured rows. Not part of the per-round bench (a 2.5e9-row certificate
   * pass per round would drown the 193-query suite); run manually:
   *
   *   sbt "runMain graft.ScaleProbe lap 50000"
   *   sbt "runMain graft.ScaleProbe eigsh 1000000 2"
+  *   SPARK_DRIVER_MEM=48g sbt "runMain graft.ScaleProbe ballcover 100000"
   *
-  * Both fixtures carry the same provable oracles as their bench-row
-  * twins: the LAP instance plants a dual certificate (optimum = Σu + Σv
-  * exactly), and the diagonal spectrum's smallest eigenvalues are
-  * {1, 2, 3} by construction — the probe FAILS loudly on a wrong result,
-  * so a timing only ever comes from a correct run.
+  * Every fixture carries a provable oracle: the LAP instance plants a
+  * dual certificate (optimum = Σu + Σv exactly), the diagonal spectrum's
+  * smallest eigenvalues are {1, 2, 3} by construction, and the
+  * ball-cover clusters are separated so cross-cluster output edges are
+  * impossible — each probe FAILS loudly on a wrong result, so a timing
+  * only ever comes from a correct run.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -59,7 +62,33 @@ object ScaleProbe {
         ev.zipWithIndex.foreach { case (l, i) =>
           require(math.abs(l - (i + 1.0)) < 1e-6, s"eig $i wrong: $l") }
         s""""mode":"eigsh","n":$n,"b":$b"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh)")
+      case "ballcover" =>
+        // 1000 well-separated clusters (centers distinct: gcd(7,1000)=1,
+        // lane offsets 13j; separation ≥10 vs noise σ=1), one landmark
+        // per cluster (ids 0..999). True 5-NN are in-cluster whp, so
+        // cross-cluster output edges = broken pruning — a closed-form
+        // exactness check that needs no n² brute force.
+        val cC = 1000L
+        val h = (tag: String, j: org.apache.spark.sql.Column) =>
+          (graft.operators.TextOps.h32(concat_ws(":", col("id"), j, lit(42), lit(tag)))
+            + lit(0.5)) / lit(4294967296.0)
+        val pts = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(7)), j => {
+            val center = pmod(pmod(col("id"), lit(cC)) * 7 + j * 13, lit(cC))
+              .cast("double") * 10.0
+            center + sqrt(lit(-2.0) * log(h("p1", j))) *
+              cos(lit(2.0 * math.Pi) * h("p2", j))
+          }).as("vec")).localCheckpoint(true)
+        val res = graft.operators.DistanceOps.ballCoverKnn(pts, 5, cC.toInt)
+          .localCheckpoint(true)
+        val cnt = res.count()
+        require(cnt == n * 5, s"expected ${n * 5} edges, got $cnt")
+        val bad = res.where(pmod(col("src"), lit(cC)) =!= pmod(col("dst"), lit(cC))).count()
+        require(bad == 0, s"$bad cross-cluster neighbors — pruning broke exactness")
+        val cand = graft.operators.DistanceOps.ballCoverCandidates(pts, 5, cC.toInt).count()
+        val ratio = cand.toDouble / (n.toDouble * (n - 1))
+        s""""mode":"ballcover","n":$n,"landmarks":$cC,"cand_pairs":$cand,"pair_ratio":$ratio"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":{$result,"sec":$dt}}""")

@@ -86,6 +86,20 @@ object MaskOps {
       .select(col("id"),
         expr(s"CAST((bits & shiftleft(CAST(1 AS BIGINT), CAST(id % $WordBits AS INT))) <> 0 AS INT)").as("is_set"))
 
+  /** repeat (bitset.hpp:160): tile one packed bitset into `times` rows of
+    * a bitmap — the shape prefiltered search uses when ONE column mask
+    * applies to every query row. Requires the bitset length to be a
+    * multiple of 32 (the reference's repeat has the same whole-word
+    * contract); the output bitmap's row stride is the bitset's word
+    * count. */
+  def repeat(bs: DataFrame, times: Long): DataFrame = {
+    val spark = bs.sparkSession
+    val nWords = bs.count()
+    spark.range(times).select(col("id").as("r"))
+      .crossJoin(bs)
+      .select((col("r") * nWords + col("word_idx")).as("word_idx"), col("bits"))
+  }
+
   /** Bitmap (r,c grid packed over idx = r*cols + c) exploded back to COO
     * coordinates — the to_csr analog (bitmap.hpp:145): each word emits
     * its set lanes. */

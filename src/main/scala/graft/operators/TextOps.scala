@@ -376,6 +376,44 @@ object TextOps {
         coalesce(col("n_bins"), lit(0L)).as("n_bins"))
   }
 
+  /** Interpolated bigram LM scoring (the CCNet-style perplexity quality
+    * signal, one order up from [[unigramLogprob]]): train bigram +
+    * unigram counts on the corpus itself, score each doc by
+    *
+    *   p(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/T,   λ = 0.7
+    *   nll(doc) = −Σ ln p(wᵢ|wᵢ₋₁) / (#bigrams)
+    *
+    * Count tables are keyed aggregates broadcast onto the per-doc bigram
+    * occurrences — same shuffle shape as the unigram model plus one more
+    * broadcast join, linear in corpus size. Returns (doc_id, nll,
+    * n_bigrams) for docs with ≥ 2 tokens. */
+  def bigramNll(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val toks = tokenize(docs).where(size(col("tokens")) >= 2)
+    val bi = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("tokens")) - 2),
+        i => struct(element_at(col("tokens"), i + 1).as("w1"),
+          element_at(col("tokens"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val uni = tokenize(docs).select(col("doc_id"), explode(col("tokens")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("double").as("cw"))
+      .localCheckpoint(true)
+    val tot = uni.agg(sum(col("cw")).as("t"))
+    bi.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"),
+        log(lit(lambda) * col("c12") / col("c1") +
+          lit(1.0 - lambda) * col("c2") / col("t")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg((round(-sum(col("tf") * col("lp")) / sum(col("tf")), 4) + 0.0).as("nll"),
+        sum(col("tf")).cast("long").as("n_bigrams"))
+  }
+
   /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): score every raw document by the
     * log importance ratio of a hashed-n-gram bag model fit on a TARGET

@@ -131,6 +131,8 @@ object PipelineQueries extends QueryGroup {
       TextOps.unigramLogprob(Tables.documents(s, d))),
     "pipe_dsir_select" -> ((s, d) =>
       TextOps.dsirSelect(Tables.documents(s, d))),
+    "pipe_bigram_nll" -> ((s, d) =>
+      TextOps.bigramNll(Tables.documents(s, d))),
     "pipe_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairStats(Tables.documents(s, d))),
     "pipe_curation_e2e" -> ((s, d) =>
@@ -536,6 +538,30 @@ object PipelineQueries extends QueryGroup {
         |  round(-sum(tf * ln(cf.cf / tot.tot)) / sum(tf), 4) + 0.0 AS nll,
         |  CAST(sum(tf) AS BIGINT) AS n_tokens
         |FROM tdc JOIN cf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    // interpolated bigram LM NLL (CCNet-style perplexity signal):
+    // p(w2|w1) = 0.7 c12/c1 + 0.3 c2/T, trained on the corpus itself
+    "pipe_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tokens[i+1] AS w1, tokens[i+2] AS w2,
+        |         CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks, unnest(range(len(tokens) - 1)) AS t(i)
+        |  WHERE len(tokens) >= 2 GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS cw FROM
+        |  (SELECT unnest(tokens) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT sum(cw) AS t FROM uni)
+        |SELECT doc_id,
+        |  round(-sum(bi.tf * ln(0.7 * c12.c12 / u1.cw + 0.3 * u2.cw / tot.t))
+        |        / sum(bi.tf), 4) + 0.0 AS nll,
+        |  CAST(sum(bi.tf) AS BIGINT) AS n_bigrams
+        |FROM bi JOIN c12 USING (w1, w2)
+        |  JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+        |  CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
     // DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
     // bag model target-vs-raw, Laplace-smoothed log ratio summed per doc,

@@ -50,6 +50,18 @@ class MaskSpec extends AnyFunSuite {
     assert(lhs.except(rhs).count() === 0 && rhs.except(lhs).count() === 0)
   }
 
+  test("repeat tiles a whole-word bitset into a bitmap row-by-row") {
+    val cols = 64 // 2 whole words per row
+    val members = ids(Seq(0L, 33L, 63L))
+    val bs = MaskOps.pack(ids(0L until cols.toLong), members)
+    val bm = MaskOps.repeat(bs, 3)
+    assert(bm.count() === 6)
+    val coo = MaskOps.bitmapToCoo(bm, cols).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 3L).flatMap(r => Seq((r, 0L), (r, 33L), (r, 63L))).toSet
+    assert(coo === want)
+  }
+
   test("bitmapToCoo explodes exactly the packed (r,c) cells") {
     val cols = 32
     val cells = Seq((0L, 0L), (0L, 31L), (3L, 7L), (5L, 5L))
