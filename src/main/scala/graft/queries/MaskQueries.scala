@@ -26,8 +26,10 @@ object MaskQueries extends QueryGroup {
     // packed words of two predicate bitsets + every word-level op
     "mask_bitset_words" -> ((s, d) => {
       val domain = dom(s, d).localCheckpoint(true)
-      val a = MaskOps.pack(domain, langEn(s, d))
-      val b = MaskOps.pack(domain, longDocs(s, d))
+      // checkpoint the packed forms: each feeds 4 word-level ops below,
+      // and a pack is a real keyed aggregate at domain scale
+      val a = MaskOps.pack(domain, langEn(s, d)).localCheckpoint(true)
+      val b = MaskOps.pack(domain, longDocs(s, d)).localCheckpoint(true)
       val valid = MaskOps.validMask(domain)
       a.select(col("word_idx"), col("bits").as("a_bits"))
         .join(b.select(col("word_idx"), col("bits").as("b_bits")), Seq("word_idx"))
