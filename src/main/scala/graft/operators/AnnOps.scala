@@ -166,7 +166,39 @@ object AnnOps {
     * the end-to-end CAGRA analog; recall vs brute force is spec-pinned.
     * Returns (qid, node, dist, rnk). */
   def graphSearchTopK(points: DataFrame, graph: DataFrame, nQueries: Int,
-      k: Int, beam: Int, rounds: Int, seed: Long = 11L): DataFrame = {
+      k: Int, beam: Int, rounds: Int, seed: Long = 11L): DataFrame =
+    graphSearch(points, graph, nQueries, k, beam, rounds) { (q, n) =>
+      q.select(col("qid"),
+        explode(transform(sequence(lit(0), lit(beam - 1)),
+          j => h32(concat_ws(":", col("qid"), j, lit(seed), lit("gs"))) % n)).as("node"))
+        .where(col("node") =!= col("qid")).distinct()
+    }
+
+  /** [[graphSearchTopK]] with LANDMARK entry points (the HNSW upper-layer
+    * idea, one level deep): seed each query with its `beam` exactly-
+    * nearest landmarks (lowest-id points — the ball-cover landmark set)
+    * instead of hash draws. The q×L broadcast join is tiny (L ≪ n), and
+    * it removes the random-seed connectivity cap: a query's nearest
+    * landmark is in its own cluster by construction of any reasonable
+    * landmark set, so the walk starts on the right component. Still a
+    * deterministic pure function of (points, graph) → replay oracle. */
+  def graphSearchTopKLandmarks(points: DataFrame, graph: DataFrame, nQueries: Int,
+      k: Int, beam: Int, rounds: Int, numLandmarks: Int): DataFrame =
+    graphSearch(points, graph, nQueries, k, beam, rounds) { (q, _) =>
+      import graft.functions.TopKAgg
+      val lms = points.select(col("id").as("node"), col("vec").as("lvec"))
+        .where(col("node") < numLandmarks)
+      q.crossJoin(broadcast(lms))
+        .where(col("node") =!= col("qid"))
+        .select(col("qid"), sqrt(DistanceOps.l2sq(col("qv"), col("lvec"))).as("ld"), col("node"))
+        .groupBy(col("qid")).agg(TopKAgg.topKMin(col("ld"), col("node"), beam).as("flat"))
+        .select(col("qid"), explode(TopKAgg.decodeTopK(col("flat"))).as("e"))
+        .select(col("qid"), col("e.j").as("node"))
+    }
+
+  private def graphSearch(points: DataFrame, graph: DataFrame, nQueries: Int,
+      k: Int, beam: Int, rounds: Int)(
+      seedFn: (DataFrame, Long) => DataFrame): DataFrame = {
     import graft.functions.TopKAgg
     val pts = points.select(col("id"), col("vec")).localCheckpoint(true)
     val n = pts.count()
@@ -178,10 +210,7 @@ object AnnOps {
         .join(q, Seq("qid"))
         .select(col("qid"), col("node"),
           sqrt(DistanceOps.l2sq(col("qv"), col("nv"))).as("d"))
-    val seeds = q.select(col("qid"),
-      explode(transform(sequence(lit(0), lit(beam - 1)),
-        j => h32(concat_ws(":", col("qid"), j, lit(seed), lit("gs"))) % n)).as("node"))
-      .where(col("node") =!= col("qid")).distinct()
+    val seeds = seedFn(q, n)
     var visited = score(seeds).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val top = visited.groupBy(col("qid"))

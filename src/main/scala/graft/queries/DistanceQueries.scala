@@ -131,6 +131,17 @@ object DistanceQueries extends QueryGroup {
       val g = DistanceOps.knnGraph(blobs, 5).select(col("src"), col("dst"))
       graft.operators.AnnOps.graphSearchTopK(blobs, g, 20, 5, 16, 6)
     }),
+    // landmark-seeded variant over the SYMMETRIZED graph (the two
+    // CAGRA/HNSW build tricks: reverse edges double the walkable degree,
+    // landmark entry points remove the random-seed connectivity cap) —
+    // recall goes 0.69 → ≥0.98 on the same base graph (spec)
+    "pipe_ann_graph_lm" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
+      val g0 = DistanceOps.knnGraph(blobs, 5).select(col("src"), col("dst"))
+      val g = g0.unionByName(
+        g0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.operators.AnnOps.graphSearchTopKLandmarks(blobs, g, 20, 5, 8, 6, 25)
+    }),
   )
 
   // ---- oracles ----
@@ -176,13 +187,14 @@ object DistanceQueries extends QueryGroup {
     * fixture): seeds are md5 draws, each round is rank-beam → 1-hop
     * expansion → min-merge, exactly the relational rounds the Spark
     * operator executes. */
-  private val graphSearchOracle: String = {
+  private def graphSearchOracleWith(seedCte: String, beam: Int,
+      symmetrize: Boolean = false): String = {
     def roundCtes(r: Int): String = {
       val prev = s"v${r - 1}"
       s"""t$r AS (SELECT qid, node FROM (
          |  SELECT qid, node, d,
          |    row_number() OVER (PARTITION BY qid ORDER BY d, node) AS rnk
-         |  FROM $prev) WHERE rnk <= 16),
+         |  FROM $prev) WHERE rnk <= $beam),
          |e$r AS (SELECT DISTINCT t$r.qid, g.dst AS node
          |        FROM t$r JOIN g ON g.src = t$r.node WHERE g.dst <> t$r.qid),
          |n$r AS (SELECT e$r.qid, e$r.node, sqrt(${foldL2sq("q.qv", "b.vec")}) AS d
@@ -190,16 +202,19 @@ object DistanceQueries extends QueryGroup {
          |v$r AS (SELECT qid, node, min(d) AS d FROM (
          |  SELECT * FROM $prev UNION ALL SELECT * FROM n$r) GROUP BY 1, 2)""".stripMargin
     }
-    val draw = "CAST(('0x' || substr(md5(concat_ws(':', qid, j, 11, 'gs')), 1, 8)) AS BIGINT) % 500"
+    val gCte = if (symmetrize)
+      """g AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM g0 UNION ALL SELECT dst, src FROM g0))""".stripMargin
+    else "g AS (SELECT src, dst FROM g0)"
     s"""WITH ${blobsCte(500)},
-       |g AS (SELECT src, dst FROM (
+       |g0 AS (SELECT src, dst FROM (
        |  SELECT a.id AS src, b.id AS dst,
        |    row_number() OVER (PARTITION BY a.id
        |      ORDER BY ${foldL2sq("a.vec", "b.vec")}, b.id) AS rnk
        |  FROM bl a JOIN bl b ON a.id <> b.id QUALIFY rnk <= 5)),
+       |$gCte,
        |q AS (SELECT id AS qid, vec AS qv FROM bl WHERE id < 20),
-       |s0 AS (SELECT DISTINCT qid, node FROM (
-       |  SELECT qid, $draw AS node FROM q, range(16) t(j)) WHERE node <> qid),
+       |$seedCte,
        |v0 AS (SELECT s0.qid, s0.node, sqrt(${foldL2sq("q.qv", "b.vec")}) AS d
        |       FROM s0 JOIN q ON q.qid = s0.qid JOIN bl b ON b.id = s0.node),
        |${(1 to 6).map(roundCtes).mkString(",\n")}
@@ -208,6 +223,22 @@ object DistanceQueries extends QueryGroup {
        |    row_number() OVER (PARTITION BY qid ORDER BY d, node) AS rnk
        |  FROM v6) WHERE rnk <= 5""".stripMargin
   }
+
+  private val graphSearchOracle: String = graphSearchOracleWith(
+    s"""s0 AS (SELECT DISTINCT qid, node FROM (
+       |  SELECT qid, CAST(('0x' || substr(md5(concat_ws(':', qid, j, 11, 'gs')), 1, 8)) AS BIGINT) % 500 AS node
+       |  FROM q, range(16) t(j)) WHERE node <> qid)""".stripMargin, 16)
+
+  /** Landmark-seeded variant: entry points are the 8 exactly-nearest of
+    * the 25 lowest-id landmark points (ties by node id — the same (d,
+    * node) order the Spark side's bounded heap uses). */
+  private val graphSearchLmOracle: String = graphSearchOracleWith(
+    s"""s0 AS (SELECT qid, node FROM (
+       |  SELECT q.qid, b.id AS node,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY sqrt(${foldL2sq("q.qv", "b.vec")}), b.id) AS rnk
+       |  FROM q JOIN bl b ON b.id < 25 AND b.id <> q.qid) WHERE rnk <= 8)""".stripMargin,
+    8, symmetrize = true)
 
   val sql: Map[String, String] = Map(
     "dist_nn_descent" -> nnDescentOracle,
@@ -253,6 +284,7 @@ object DistanceQueries extends QueryGroup {
         |  CAST(CASE WHEN id < 500 THEN 1 ELSE 0 END AS INTEGER) AS is_core
         |FROM range(510) t(id)""".stripMargin,
     "pipe_ann_graph" -> graphSearchOracle,
+    "pipe_ann_graph_lm" -> graphSearchLmOracle,
     // ball-cover is EXACT — the oracle is straight brute force
     "dist_ball_cover" ->
       s"""WITH ${blobsCte(500)},

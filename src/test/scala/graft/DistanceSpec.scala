@@ -160,6 +160,24 @@ class DistanceSpec extends AnyFunSuite {
     assert(hits >= 80, s"recall ${hits / 100.0} below floor")
   }
 
+  test("landmark seeding lifts graph-search recall to ~1.0") {
+    val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42)
+      .select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
+    val g0 = DistanceOps.knnGraph(blobs, 5).select(col("src"), col("dst"))
+    // symmetrized graph (the CAGRA-optimize reverse-edge step): directed
+    // kNN-5 stalls greedy walks; reverse edges double the usable degree
+    val g = g0.unionByName(g0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val gs = graft.operators.AnnOps
+      .graphSearchTopKLandmarks(blobs, g, 20, 5, 8, 6, 25)
+      .select(col("qid").as("src"), col("node").as("dst"))
+    val brute = DistanceOps.knnGraph(blobs, 5)
+      .where(col("src") < 20).select(col("src"), col("dst"))
+    val hits = gs.join(brute, Seq("src", "dst")).count()
+    // nearest landmarks are in the query's own blob by construction, so
+    // the seed-connectivity cap of the random-seed variant is gone
+    assert(hits >= 98, s"landmark-seeded recall ${hits / 100.0} below 0.98")
+  }
+
   test("PQ encode compresses same-blob points to identical codes") {
     val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42).select(col("id"), col("vec"))
     val cb = ClusterOps.pqTrain(blobs, d = 8, m = 2, ksub = 5, iters = 5)
