@@ -376,6 +376,52 @@ object TextOps {
         coalesce(col("n_bins"), lit(0L)).as("n_bins"))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016), the iterative loop
+    * [[bpePairStats]] is one round of: per round, count symbol pairs
+    * over the word vocabulary (weighted by word frequency), take the
+    * most frequent pair (ties by pair lexicographically), and merge its
+    * non-overlapping occurrences greedily left-to-right in every word.
+    * Returns the learned merge table (round, p1, p2, freq).
+    *
+    * Distribution shape per round: one pair-count aggregate over the
+    * VOCABULARY (≪ corpus — words, not occurrences), a 1-row collect of
+    * the argmax, and a per-row array fold for the rewrite — no shuffle
+    * touches the corpus after the initial word count. The greedy rewrite
+    * is a left fold whose accumulator is the merged prefix: a merge
+    * emits the concatenated symbol, which can never equal p1 again, so
+    * chained overlaps resolve exactly as sequential BPE does. */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = tokenize(docs).select(explode(col("tokens")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val best = vocab.where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS p1, syms[i + 1] AS p2))")).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("p1").asc, col("p2").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (p1, p2, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += ((r, p1, p2, c))
+        val (l1, l2) = (lit(p1), lit(p2))
+        vocab = vocab.select(col("w"), col("cnt"),
+          aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
+            when(size(acc) > 0 && element_at(acc, -1) === l1 && s === l2,
+              concat(slice(acc, lit(1), size(acc) - 1), array(concat(l1, l2))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("round", "p1", "p2", "freq")
+  }
+
   /** Interpolated bigram LM scoring (the CCNet-style perplexity quality
     * signal, one order up from [[unigramLogprob]]): train bigram +
     * unigram counts on the corpus itself, score each doc by

@@ -135,6 +135,8 @@ object PipelineQueries extends QueryGroup {
       TextOps.bigramNll(Tables.documents(s, d))),
     "pipe_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairStats(Tables.documents(s, d))),
+    "pipe_bpe_merges" -> ((s, d) =>
+      TextOps.bpeTrainMerges(Tables.documents(s, d), 3)),
     "pipe_curation_e2e" -> ((s, d) =>
       TextOps.curationReport(Tables.documents(s, d))),
     "pipe_quantization" -> ((s, d) =>
@@ -259,6 +261,37 @@ object PipelineQueries extends QueryGroup {
        |    [CAST(((id % 5) * 7 + j) % 5 AS DOUBLE) * 10.0 +
        |     sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * $u2) FOR j IN range(8)] AS vec
        |  FROM range(2000) t(id))""".stripMargin
+  }
+
+  /** 3-round BPE-training replay: vocab as (word, cnt, symbol list),
+    * each round = pair counts → 1-row argmax → greedy merge rewrite
+    * (string-accumulator list_reduce — see the sql-map comment). */
+  private val bpeMergesOracle: String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"v${r - 1}"
+      s"""p$r AS (SELECT syms[i+1] AS p1, syms[i+2] AS p2,
+         |         CAST(sum(cnt) AS BIGINT) AS c
+         |       FROM $prev, unnest(range(len(syms) - 1)) t(i)
+         |       WHERE len(syms) >= 2 GROUP BY 1, 2),
+         |b$r AS (SELECT p1, p2, c FROM p$r ORDER BY c DESC, p1, p2 LIMIT 1),
+         |v$r AS (SELECT w, cnt,
+         |         string_split(list_reduce(syms, (acc, s) ->
+         |           CASE WHEN (acc = b.p1 OR ends_with(acc, chr(31) || b.p1)) AND s = b.p2
+         |                THEN substr(acc, 1, length(acc) - length(b.p1)) || b.p1 || b.p2
+         |                ELSE acc || chr(31) || s END), chr(31)) AS syms
+         |       FROM $prev CROSS JOIN b$r b)""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                             t -> t <> '') AS tokens
+       |  FROM documents),
+       |v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+       |         [substr(w, i + 1, 1) FOR i IN range(length(w))] AS syms
+       |       FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w),
+       |${(1 to 3).map(roundCtes).mkString(",\n")}
+       |SELECT 1 AS round, p1, p2, c AS freq FROM b1
+       |UNION ALL SELECT 2, p1, p2, c FROM b2
+       |UNION ALL SELECT 3, p1, p2, c FROM b3""".stripMargin
   }
 
   val sql: Map[String, String] = Map(
@@ -674,6 +707,14 @@ object PipelineQueries extends QueryGroup {
         |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
         |SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
         |FROM c QUALIFY rnk <= 20""".stripMargin,
+    // BPE TRAINING replay (3 unrolled merge rounds): per round, weighted
+    // symbol-pair counts over the word vocab -> argmax (ties by pair) ->
+    // greedy left-to-right merge. The rewrite is a list_reduce whose
+    // accumulator is the merged prefix as a chr(31)-joined string (the
+    // separator cannot occur in [a-z0-9] tokens), which is exactly the
+    // Spark side's last-token fold: a merge emits p1||p2, which can
+    // never equal p1 again, so chained overlaps resolve identically.
+    "pipe_bpe_merges" -> bpeMergesOracle,
     // Gopher-style repetition metrics over token 2-grams
     "pipe_repetition" ->
       """WITH toks AS (

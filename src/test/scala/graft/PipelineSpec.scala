@@ -338,4 +338,18 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got == Map(0L -> true, 1L -> false, 2L -> false, 3L -> true))
   }
+
+  test("BPE training: greedy left-to-right merges with deterministic ties") {
+    import spark.implicits._
+    // vocab = {aaab: 2}. Round 1: pairs (a,a)x2 + (a,b)x1 per word, x2
+    // words -> best (a,a,4); greedy [a,a,a,b] -> [aa,a,b] (the merged
+    // symbol "aa" cannot re-merge with the next "a" this round).
+    // Round 2: (aa,a)=2 ties (a,b)=2 -> lexicographic p1 picks (a,b).
+    // Round 3: only (aa,ab)=2 remains.
+    val docs = Seq((0L, "aaab aaab")).toDF("doc_id", "text")
+    val m = graft.operators.TextOps.bpeTrainMerges(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(m.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
+  }
 }
