@@ -246,6 +246,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextOps.seqPacking(empty).count() == 0)
     assert(TextOps.unigramLogprob(empty).count() == 0)
     assert(TextOps.bpePairStats(empty).count() == 0)
+    assert(TextOps.bigramNll(empty).count() == 0)
+    assert(TextOps.dsirSelect(empty).count() == 0)
+    assert(TextOps.bpeTrainMerges(empty, 2).count() == 0)
     assert(DedupOps.minhashDupPairs(empty, 0.5).count() == 0)
     assert(DedupOps.contamination(empty, 50).count() == 0)
     assert(DedupOps.bloomProbe(empty, 400).count() == 0)
