@@ -112,6 +112,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_h")
   }
 
+  /** Streaming running top-k — the select_k of a STREAM: a complete-mode
+    * global aggregate whose state is the k-entry bounded heap
+    * (functions.TopKAgg), so every trigger emits the current
+    * leaderboard of the highest-scoring documents seen so far. State is
+    * k entries total regardless of stream length — the streaming twin
+    * of the batch select_k family, and the shape an incremental curation
+    * pipeline uses for "best N so far" reporting. Score = token count
+    * (cheap deterministic quality proxy; swap in any per-row score). */
+  def streamingTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.TopKAgg
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    docs.select(col("doc_id"), size(toks).cast("double").as("score"))
+      .agg(TopKAgg.topKMin(-col("score"), col("doc_id"), k).as("flat"))
+      .select(explode(TopKAgg.decodeTopK(col("flat"))).as("e"))
+      .select(col("e.j").as("doc_id"), (-col("e.c")).as("score"))
+  }
+
   /** Stream-static decontamination gate — the join flavor the other
     * streaming ops don't exercise: the incoming doc stream LEFT-ANTI joins
     * a STATIC reference table (banned / eval-set content hashes) that

@@ -242,6 +242,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming top-k keeps the running leaderboard across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SDoc]
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val query = StreamingOps.streamingTopK(input.toDF(), 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_out").start()
+    try {
+      input.addData(Seq(SDoc(1, words(5, "a"), new Timestamp(t0)),
+        SDoc(2, words(9, "b"), new Timestamp(t0 + 1000))))
+      query.processAllAvailable()
+      val r1 = spark.table("topk_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(r1 === Map(1L -> 5.0, 2L -> 9.0))
+      // batch 2: doc 3 outscores doc 1 — the heap state evicts it
+      input.addData(Seq(SDoc(3, words(7, "c"), new Timestamp(t0 + 2000))))
+      query.processAllAvailable()
+      val r2 = spark.table("topk_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(r2 === Map(2L -> 9.0, 3L -> 7.0),
+        s"expected the running top-2 {2->9, 3->7}, got $r2")
+    } finally query.stop()
+  }
+
   test("stream-static anti join gates banned content in every micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
