@@ -88,7 +88,40 @@ object ScaleProbe {
         val cand = graft.operators.DistanceOps.ballCoverCandidates(pts, 5, cC.toInt).count()
         val ratio = cand.toDouble / (n.toDouble * (n - 1))
         s""""mode":"ballcover","n":$n,"landmarks":$cC,"cand_pairs":$cand,"pair_ratio":$ratio"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover)")
+      case "graphann" =>
+        // end-to-end graph-ANN composition at scale: ball-cover builds the
+        // EXACT kNN-5 graph (the 0.099%-of-n² path), reverse edges double
+        // the walkable degree, landmark-seeded beam search answers
+        // queries. Self-check: per-query searched top-5 vs the exact
+        // graph's edges (recall), plus the zero-cross-cluster invariant.
+        // 2 landmarks per cluster so every query (ids < 100 ARE the
+        // one-per-cluster landmarks) still has an own-cluster entry point.
+        val cC = 1000L
+        val h = (tag: String, j: org.apache.spark.sql.Column) =>
+          (graft.operators.TextOps.h32(concat_ws(":", col("id"), j, lit(42), lit(tag)))
+            + lit(0.5)) / lit(4294967296.0)
+        val pts = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(7)), j => {
+            val center = pmod(pmod(col("id"), lit(cC)) * 7 + j * 13, lit(cC))
+              .cast("double") * 10.0
+            center + sqrt(lit(-2.0) * log(h("p1", j))) *
+              cos(lit(2.0 * math.Pi) * h("p2", j))
+          }).as("vec")).localCheckpoint(true)
+        val exact = graft.operators.DistanceOps.ballCoverKnn(pts, 5, cC.toInt)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val g = exact.unionByName(
+          exact.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        val res = graft.operators.AnnOps
+          .graphSearchTopKLandmarks(pts, g, 100, 5, 8, 6, 2 * cC.toInt)
+          .localCheckpoint(true)
+        val bad = res.where(pmod(col("qid"), lit(cC)) =!= pmod(col("node"), lit(cC))).count()
+        require(bad == 0, s"$bad cross-cluster answers")
+        val hits = res.select(col("qid").as("src"), col("node").as("dst"))
+          .join(exact, Seq("src", "dst")).count()
+        val recall = hits.toDouble / (100 * 5)
+        require(recall >= 0.95, s"graph-search recall $recall below 0.95")
+        s""""mode":"graphann","n":$n,"recall":$recall"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":{$result,"sec":$dt}}""")
