@@ -317,6 +317,39 @@ object DistanceOps {
         (round(col("e.c"), 4) + 0.0).as("dist"), col("rnk"))
   }
 
+  /** Epsilon-neighborhood degree via the same landmark-cell pruning as
+    * [[ballCoverKnn]] — the exact scale path for [[epsNeighborhood]]'s
+    * all-pairs baseline. Range search needs no τ phase: cell l can hold
+    * a point within eps of q only if d(q,l) − r_l ≤ eps (triangle
+    * inequality), so candidates are exactly the surviving (q, cell)
+    * joins. Identical output to the baseline (self included via the
+    * query's own cell). */
+  def epsNeighborhoodBallCover(vectors: DataFrame, eps2: Double,
+      numLandmarks: Int): DataFrame = {
+    val eps = math.sqrt(eps2)
+    val pts = vectors.select(col("id"), col("vec"))
+    val lms = pts.where(col("id") < numLandmarks)
+      .select(col("id").as("lid"), col("vec").as("lvec"))
+    val pl = pts.crossJoin(broadcast(lms))
+      .select(col("id"), col("lid"), sqrt(l2sq(col("vec"), col("lvec"))).as("dl"))
+      .localCheckpoint(true)
+    val assign = pl.groupBy(col("id"))
+      .agg(min(struct(col("dl"), col("lid"))).as("m"))
+      .select(col("id"), col("m.lid").as("cell"), col("m.dl").as("dcell"))
+    val cells = pts.join(assign, Seq("id")).localCheckpoint(true)
+    val radii = cells.groupBy(col("cell")).agg(max(col("dcell")).as("radius"))
+    val candCells = pl
+      .join(radii.withColumnRenamed("cell", "lid"), Seq("lid"))
+      .where(col("dl") - col("radius") <= eps + 1e-9)
+      .select(col("id").as("a"), col("lid").as("cell"))
+    candCells
+      .join(cells.select(col("cell"), col("id").as("b"), col("vec").as("vb")), Seq("cell"))
+      .join(pts.select(col("id").as("a"), col("vec").as("va")), Seq("a"))
+      .where(l2sq(col("va"), col("vb")) <= eps2)
+      .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .select(col("id"), col("deg"))
+  }
+
   /** The surviving (src, dst, d) candidate pairs of [[ballCoverKnn]]'s
     * triangle-inequality prune — exposed so specs/scale probes can count
     * them against the n² a brute-force scan would generate. */

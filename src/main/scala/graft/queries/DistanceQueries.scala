@@ -114,6 +114,11 @@ object DistanceQueries extends QueryGroup {
       val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
       DistanceOps.nnDescent(blobs, 5, 4)
     }),
+    // eps-neighborhood through the ball-cover cell prune — the exact
+    // scale path for the all-pairs baseline above; SAME oracle output
+    "dist_eps_ballcover" -> ((s, d) =>
+      DistanceOps.epsNeighborhoodBallCover(
+        RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true), 64.0, 25)),
     // landmark-pruned EXACT kNN (random-ball-cover): triangle-inequality
     // pruning, so the oracle is plain brute force — identical output, no
     // n² pair generation on the Spark side (DistanceSpec pins the
@@ -257,6 +262,12 @@ object DistanceQueries extends QueryGroup {
          |FROM v a JOIN v b ON a.id < b.id
          |WHERE a.id < 200 AND b.id < 200""".stripMargin,
     "dist_eps_neighborhood" ->
+      s"""WITH ${blobsCte(500)}
+         |SELECT a.id AS id, count(*) AS deg
+         |FROM bl a JOIN bl b ON ${foldL2sq("a.vec", "b.vec")} <= 64.0
+         |GROUP BY 1""".stripMargin,
+    // ball-cover range search is EXACT — identical oracle to the baseline
+    "dist_eps_ballcover" ->
       s"""WITH ${blobsCte(500)}
          |SELECT a.id AS id, count(*) AS deg
          |FROM bl a JOIN bl b ON ${foldL2sq("a.vec", "b.vec")} <= 64.0
