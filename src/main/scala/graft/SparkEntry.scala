@@ -57,6 +57,35 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       |        ((xc | (xc << 1)) & 1431655765) AS xd, ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
       |""".stripMargin
 
+  /** Hilbert xy→d oracle: the SAME 8 unrolled rotate-and-descend rounds
+    * the Spark side runs (quadrant CASE = (3rx)⊕ry, reflect against the
+    * full 255 grid, swap when ry=0), one CTE stage per round. Ends with
+    * `h8(l_partkey, l_suppkey, d, x, y)`. */
+  val hilbertCte: String = {
+    val base =
+      """WITH ext AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin, CAST(max(l_partkey) AS BIGINT) AS pmax,
+        |         CAST(min(l_suppkey) AS BIGINT) AS smin, CAST(max(l_suppkey) AS BIGINT) AS smax
+        |  FROM lineitem),
+        |h0 AS (
+        |  SELECT l_partkey, l_suppkey, CAST(0 AS BIGINT) AS d,
+        |    CASE WHEN pmax = pmin THEN 0
+        |         ELSE ((CAST(l_partkey AS BIGINT) - pmin) * 255) // (pmax - pmin) END AS x,
+        |    CASE WHEN smax = smin THEN 0
+        |         ELSE ((CAST(l_suppkey AS BIGINT) - smin) * 255) // (smax - smin) END AS y
+        |  FROM lineitem, ext)""".stripMargin
+    val stages = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex.map {
+      case (s, i) =>
+        s"""h${i + 1} AS (SELECT l_partkey, l_suppkey,
+           |  d + ${s * s} * (CASE WHEN (x & $s) > 0 AND (y & $s) > 0 THEN 2
+           |      WHEN (x & $s) > 0 THEN 3 WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d,
+           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN 255 - y ELSE y END) ELSE x END AS x,
+           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN 255 - x ELSE x END) ELSE y END AS y
+           |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + stages + "\n"
+  }
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_top3_mktsegment" -> ((s, d) => Relational.top3PerMktsegment(s, d)),
     "rel_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
@@ -72,6 +101,8 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
     "rel_zorder_layout" -> ((s, d) => Relational.zorderLayout(s, d)),
     "rel_zorder_skip" -> ((s, d) => Relational.zorderSkipStats(s, d)),
+    "rel_hilbert_layout" -> ((s, d) => Relational.hilbertLayout(s, d)),
+    "rel_profile" -> ((s, d) => Relational.profileTable(s, d)),
     "rel_window_frames" -> ((s, d) => Relational.supplierRunningRevenue(s, d)),
     "rel_cube" -> ((s, d) => Relational.cubeQuantity(s, d)),
     "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerFlag(s, d)),
@@ -290,5 +321,21 @@ private object RelationalQueries extends graft.queries.QueryGroup {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0""".stripMargin,
+    // Hilbert-curve layout: 8 unrolled xy→d rounds on the 256 grid, curve
+    // cut into 64 equal d-ranges, per-bucket bounding boxes — all integer
+    // arithmetic, bit-for-bit across engines
+    "rel_hilbert_layout" -> (RelationalQueries.hilbertCte +
+      """SELECT d >> 10 AS bucket, count(*) AS cnt,
+        |  CAST(min(l_partkey) AS BIGINT) AS min_pk, CAST(max(l_partkey) AS BIGINT) AS max_pk,
+        |  CAST(min(l_suppkey) AS BIGINT) AS min_sk, CAST(max(l_suppkey) AS BIGINT) AS max_sk
+        |FROM h8 GROUP BY 1""".stripMargin),
+    // one-pass profiling: the UNION ALL oracle re-derives each column's
+    // row the engine's single Expand-aggregate emits
+    "rel_profile" -> Seq("l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+         |  count(DISTINCT $c) AS n_distinct, CAST(min($c) AS DOUBLE) AS min_v,
+         |  CAST(max($c) AS DOUBLE) AS max_v, round(avg($c), 4) AS mean_v
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
   )
 }

@@ -401,6 +401,112 @@ object Relational {
           sum(col("cnt")), 4) + 0.0).as("scanned_row_frac"))
   }
 
+  /** One round of the Hilbert rotate-and-descend recurrence
+    * (d += s²·quadrant; reflect+swap into the subsquare frame when ry=0).
+    * Quadrant is the CASE form of (3·rx)⊕ry — identical CASE on both
+    * engines, no XOR portability concerns. Applied as CHAINED projections
+    * (one select per round): CollapseProject leaves non-cheap CASEs
+    * un-inlined, so the plan stays linear in rounds instead of the
+    * exponential tree one nested expression would build. Coordinates are
+    * reflected against the FULL grid (n−1 = 255): higher bits flipped this
+    * way are never re-read (each later round masks a strictly lower bit),
+    * so the quadrant sequence matches the per-subsquare (s−1) form
+    * bit-for-bit — and the oracle replays the same choice. */
+  private def hilbertRound(df: DataFrame, s: Long): DataFrame = {
+    val bx = col("hx").bitwiseAND(lit(s)) =!= 0L
+    val by = col("hy").bitwiseAND(lit(s)) =!= 0L
+    val quad = when(bx && by, 2L).when(bx && !by, 3L)
+      .when(!bx && by, 1L).otherwise(0L)
+    val nx = when(!by, when(bx, lit(255L) - col("hy")).otherwise(col("hy")))
+      .otherwise(col("hx"))
+    val ny = when(!by, when(bx, lit(255L) - col("hx")).otherwise(col("hx")))
+      .otherwise(col("hy"))
+    val payload = df.columns.filterNot(Set("hx", "hy", "hd")).map(col)
+    df.select(payload :+ (col("hd") + lit(s * s) * quad).as("hd") :+
+      nx.as("hx") :+ ny.as("hy"): _*)
+  }
+
+  /** Test seam: the raw 256-grid xy→d map — adds `hd` to a frame carrying
+    * grid coords (hx, hy) ∈ [0,255]². HilbertSpec certifies bijection +
+    * unit-step adjacency over all 65536 cells through exactly this path. */
+  private[graft] def hilbertCode(df: DataFrame): DataFrame =
+    Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      .foldLeft(df.withColumn("hd", lit(0L)))(hilbertRound)
+
+  /** Hilbert-curve data layout (the Z-order follow-on: same
+    * repartitionByRange-on-the-curve-code write shape, better locality —
+    * every consecutive pair of curve cells is grid-ADJACENT, which Morton
+    * violates at every power-of-two seam). (l_partkey, l_suppkey) scaled
+    * to a 256×256 grid with pure integer arithmetic, 8 unrolled rounds of
+    * the xy→d recurrence, curve cut into `nBuckets` equal d-ranges, and
+    * each bucket reports its row count + bounding box — the parquet-footer
+    * stats the layout buys at 100 TB. One broadcast extremes attach + one
+    * keyed aggregate, exactly the z-order plan. HilbertSpec proves the
+    * curve itself: the 65536-cell map is a bijection with unit-step
+    * adjacency. */
+  def hilbertLayout(spark: SparkSession, dir: String, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def intDiv(a: Column, b: Column): Column = ColumnBridge.column(
+      IntegralDivide(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    def gridCoord(v: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        intDiv((v.cast("long") - lo.cast("long")) * 255L,
+          hi.cast("long") - lo.cast("long")))
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+    val ext = li.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    val g = li.crossJoin(broadcast(ext)).select(
+      col("l_partkey"), col("l_suppkey"),
+      gridCoord(col("l_partkey"), col("pmin"), col("pmax")).as("hx"),
+      gridCoord(col("l_suppkey"), col("smin"), col("smax")).as("hy"))
+    val coded = hilbertCode(g)
+    val shift = 16 - (63 - java.lang.Long.numberOfLeadingZeros(nBuckets.toLong))
+    coded
+      .select(shiftright(col("hd"), shift).as("bucket"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("l_partkey")).cast("long").as("min_pk"),
+        max(col("l_partkey")).cast("long").as("max_pk"),
+        min(col("l_suppkey")).cast("long").as("min_sk"),
+        max(col("l_suppkey")).cast("long").as("max_sk"))
+  }
+
+  /** One-pass table profiling (the ANALYZE-TABLE statistics every
+    * cost-based layer feeds on): per-column non-null count, exact distinct
+    * count, min/max, mean — computed in a SINGLE aggregate over the scan.
+    * The multi-column count(DISTINCT) plans as one Expand + one shuffle
+    * (partial aggregation still map-side-combines each replicate), so the
+    * whole profile is one job regardless of column count; at 100 TB the
+    * exact distincts would swap to the HLL sketch (`rel_approx_distinct`'s
+    * deterministic register form) with the same single-pass shape. Output
+    * is unpivoted to one row per column via `stack` — a driver-free
+    * projection of the 1-row aggregate. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables.lineitem(spark, dir).select(cols.map(col): _*)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"),
+        // integer keys divide exactly; the double columns round like every
+        // other float aggregate in the suite
+        round(avg(col(c)), 4).as(s"avg_$c"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, min_$c, max_$c, avg_$c").mkString(", ")
+    one.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_v, max_v, mean_v)"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_v"), col("max_v"), col("mean_v"))
+  }
+
   /** Scalar string/date/JSON function surface over events (SURVEY.md §2.3 —
     * absent in the reference, declared free Catalyst-native engine surface).
     */

@@ -520,4 +520,72 @@ object TextOps {
       .select(col("doc_id"), col("n_feats"), col("logw"),
         coalesce(col("k1"), lit(0)).as("keep"))
   }
+
+  /** Sliding-window token chunking with overlap — the RAG/context-window
+    * splitter every training/retrieval pipeline runs before embedding:
+    * windows of `window` tokens at stride `stride` (stride < window =>
+    * consecutive chunks share window-stride tokens). Start offsets are
+    * generated per row with `sequence` + `explode` (map-side lateral view,
+    * no shuffle at all — the op is embarrassingly parallel, chunk count
+    * scales with corpus tokens not rows). Emits a per-chunk content hash
+    * (h32 of the space-joined window) so downstream chunk-level dedup can
+    * run on the output directly. */
+  def chunkOverlap(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride, s"need 0 < stride <= window")
+    val toks = tokenize(docs).where(size(col("tokens")) > 0)
+    // pure-integer max start: (n-1) - ((n-1) mod stride) — Spark's `/` on
+    // longs is DOUBLE division, so the pmod form keeps this exact
+    val nm1 = size(col("tokens")).cast("long") - 1L
+    toks
+      .select(col("doc_id"),
+        col("tokens"),
+        // starts 0, stride, ... <= floor((n-1)/stride)*stride: the last
+        // window always covers the tail, and no start lands past the text
+        explode(sequence(lit(0L), nm1 - pmod(nm1, lit(stride.toLong)),
+          lit(stride.toLong))).as("start"))
+      .select(col("doc_id"),
+        // start is a stride multiple, so the double division is exact
+        (col("start") / stride).cast("long").as("chunk_id"),
+        slice(col("tokens"), (col("start") + 1).cast("int"), lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        h32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  /** Curriculum binning: per-source quality quartiles (ntile over the
+    * mean-token-length score). The window is PARTITIONED BY source — each
+    * domain sorts independently, so the op parallelizes across sources
+    * instead of funneling the corpus through one global sort (the global
+    * form of ntile is the classic 100 TB anti-pattern). Ties broken by
+    * doc_id so both engines assign identical bins. */
+  def curriculumBins(docs: DataFrame, nBins: Int = 4): DataFrame = {
+    val q = quality(docs).join(
+      docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("mean_tok_len"), col("doc_id"))
+    q.select(col("source"), col("n_tokens"), col("mean_tok_len"),
+        ntile(nBins).over(w).as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        (round(avg(col("n_tokens")), 4) + 0.0).as("avg_tokens"),
+        round(min(col("mean_tok_len")), 4).as("min_score"),
+        round(max(col("mean_tok_len")), 4).as("max_score"))
+  }
+
+  /** Deterministic stratified train/test split: assignment is a pure
+    * function of (doc_id, source) via the md5-counter hash — stable under
+    * repartitioning, re-runs, and engine choice (the property rand()-based
+    * splits lack). Stateless per-row map + ONE keyed aggregate; at 100 TB
+    * the split itself never shuffles, only the audit rollup does. */
+  def stratifiedSplit(docs: DataFrame, testMod: Long = 10L,
+      testBelow: Long = 2L): DataFrame = {
+    val h = pmod(h32(concat_ws(":", col("doc_id"), col("source"))), lit(testMod))
+    docs
+      .select(col("source"),
+        when(h < testBelow, "test").otherwise("train").as("split"),
+        col("n_chars"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
 }

@@ -222,6 +222,12 @@ object PipelineQueries extends QueryGroup {
       assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
         .withColumn("inertia", round(lit(inert), 2))
     }),
+    "pipe_chunk_overlap" -> ((s, d) =>
+      TextOps.chunkOverlap(Tables.documents(s, d).where(col("doc_id") < 1000))),
+    "pipe_curriculum_bins" -> ((s, d) =>
+      TextOps.curriculumBins(Tables.documents(s, d))),
+    "pipe_split_stratified" -> ((s, d) =>
+      TextOps.stratifiedSplit(Tables.documents(s, d))),
   )
 
   // ---- oracles ----
@@ -990,5 +996,50 @@ object PipelineQueries extends QueryGroup {
         |       epoch_us(min(ts)) AS sess_start, epoch_us(max(ts)) AS sess_end,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM sessed GROUP BY 1, 2""".stripMargin,
+    // sliding-window chunking: same tokenizer, same start grid
+    // (0, 48, …, ≤ n−1), same window slice, same h32 content hash
+    "pipe_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents WHERE doc_id < 1000),
+        |w AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),
+        |st AS (SELECT doc_id, tokens,
+        |         unnest(range(0, n - (n - 1) % 48, 48)) AS start FROM w)
+        |SELECT doc_id, start // 48 AS chunk_id,
+        |  CAST(len(list_slice(tokens, start + 1, start + 64)) AS BIGINT) AS n_tokens,
+        |  CAST(('0x' || substr(md5(array_to_string(
+        |    list_slice(tokens, start + 1, start + 64), ' ')), 1, 8)) AS BIGINT) AS chunk_hash
+        |FROM st""".stripMargin,
+    // per-source quality quartiles: the ROUNDED mean-token-length score
+    // orders the ntile on both engines, ties by doc_id
+    "pipe_curriculum_bins" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |q AS (
+        |  SELECT t.doc_id, d.source, len(tokens) AS n_tokens,
+        |    round(CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
+        |          / len(tokens), 4) AS mean_tok_len
+        |  FROM toks t JOIN documents d USING (doc_id)),
+        |b AS (
+        |  SELECT source, n_tokens, mean_tok_len,
+        |    ntile(4) OVER (PARTITION BY source ORDER BY mean_tok_len, doc_id) AS bin
+        |  FROM q)
+        |SELECT source, bin, count(*) AS n_docs,
+        |  round(avg(n_tokens), 4) + 0.0 AS avg_tokens,
+        |  round(min(mean_tok_len), 4) AS min_score,
+        |  round(max(mean_tok_len), 4) AS max_score
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    // split assignment is a pure function of (doc_id, source) via the
+    // shared md5-prefix hash — both engines derive identical membership
+    "pipe_split_stratified" ->
+      """SELECT source,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8))
+        |            AS BIGINT) % 10 < 2 THEN 'test' ELSE 'train' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -249,6 +249,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextOps.bigramNll(empty).count() == 0)
     assert(TextOps.dsirSelect(empty).count() == 0)
     assert(TextOps.bpeTrainMerges(empty, 2).count() == 0)
+    assert(TextOps.chunkOverlap(empty).count() == 0)
+    assert(TextOps.curriculumBins(empty).count() == 0)
+    assert(TextOps.stratifiedSplit(empty).count() == 0)
     assert(DedupOps.minhashDupPairs(empty, 0.5).count() == 0)
     assert(DedupOps.contamination(empty, 50).count() == 0)
     assert(DedupOps.bloomProbe(empty, 400).count() == 0)
@@ -354,5 +357,55 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1)
     assert(m.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
+  }
+
+  test("chunkOverlap: full coverage, stride grid, overlap of window-stride") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // doc of 150 distinct numbered tokens: w=64, s=48 → starts 0,48,96,144
+    val text = (0 until 150).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text, "en", "src0", text.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = TextOps.chunkOverlap(docs)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // starts 0,48 give full 64-token windows; 96 and 144 clip at the
+    // 150-token end (54 and 6 tokens)
+    assert(chunks.toSeq == Seq((0L, 64L), (1L, 64L), (2L, 54L), (3L, 6L)))
+    // coverage: stride < window ⇒ start_{i+1} = start_i + 48 < start_i + 64,
+    // so every token index is inside some window; the last window reaches
+    // index 149 (144+6). Short doc (< stride): exactly one chunk, whole doc.
+    val one = TextOps.chunkOverlap(
+      Seq((2L, "a b c", "en", "s", 5)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == Seq((0L, 3L)))
+  }
+
+  test("stratifiedSplit is partition-invariant and within-source deterministic") {
+    val docs = Tables.documents(spark, sf)
+    import graft.operators.TextOps
+    val a = TextOps.stratifiedSplit(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val b = TextOps.stratifiedSplit(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(a == b)
+    // global test share near 20% (per-source shares are noisy at sf0.001's
+    // ~25-doc strata — the hash guarantees determinism, not small-n balance)
+    val test = a.collect { case ((_, "test"), (n, _)) => n }.sum.toDouble
+    val total = a.values.map(_._1).sum.toDouble
+    assert(total > 0 && test / total > 0.1 && test / total < 0.35,
+      s"global test share ${test / total}")
+  }
+
+  test("curriculumBins: per-source quartiles balanced within 1 doc") {
+    val docs = Tables.documents(spark, sf)
+    import graft.operators.TextOps
+    val bins = TextOps.curriculumBins(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    bins.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4))
+      val ns = rows.map(_._3)
+      assert(ns.max - ns.min <= 1, s"ntile imbalance: ${ns.toSeq}")
+    }
   }
 }
