@@ -196,6 +196,50 @@ object AnnOps {
         .select(col("qid"), col("e.j").as("node"))
     }
 
+  /** kNN-graph OPTIMIZE (the CAGRA build trick made relational — Ootomo
+    * et al. 2024, arXiv:2308.15136 §4; the published 2-hop "detourable
+    * path" rule over the rank-ordered graph that nn_descent /
+    * [[graft.operators.DistanceOps.knnGraph]] builds):
+    *
+    *   1. detour pruning — edge (s→d, rank r) is dropped when some
+    *      intermediate m has edges (s→m) and (m→d) BOTH rank < r (the
+    *      search can take the detour, so the direct edge buys nothing);
+    *   2. forward cap — keep each node's `deg` lowest-rank survivors;
+    *   3. reverse edges — survivors reversed, capped at `deg` per node,
+    *      unioned in (they restore reachability pruning removed and give
+    *      hub nodes inbound coverage).
+    *
+    * Every step is a keyed self-join or window over the EDGE LIST: the
+    * 2-hop candidate set is Σ_m in(m)·out(m) ≈ n·k² rows keyed by the
+    * middle node — linear in n, never n². Returns (src, dst, is_fwd)
+    * with is_fwd = 1 when the edge survived forward (0 = reverse-only);
+    * a pure function of the input graph, so the oracle replays the same
+    * three relational steps in SQL. Recall effect is spec-pinned
+    * (AnnSpec): pruning a k=10 graph to deg=5 beats the plain k=5 graph
+    * at equal search cost. Input must carry (src, dst, rnk). */
+  def optimizeKnnGraph(graph: DataFrame, deg: Int): DataFrame = {
+    val e = graph.select(col("src"), col("dst"), col("rnk"))
+    // best 2-hop detour rank per (src, dst): join keyed by the middle node
+    val two = e.as("e1").join(e.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") =!= col("e2.dst"))
+      .groupBy(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      .agg(min(greatest(col("e1.rnk"), col("e2.rnk"))).as("best2"))
+    val kept = e.join(two, Seq("src", "dst"), "left_outer")
+      .where(col("best2").isNull || col("best2") >= col("rnk"))
+    val fwd = kept.withColumn("fr", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("rnk"), col("dst"))))
+      .where(col("fr") <= deg)
+      .select(col("src"), col("dst"), col("rnk"))
+    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"), col("rnk"))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("rnk"), col("dst"))))
+      .where(col("rr") <= deg)
+    fwd.select(col("src"), col("dst"), lit(1).as("is_fwd"))
+      .unionByName(rev.select(col("src"), col("dst"), lit(0).as("is_fwd")))
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("is_fwd")).as("is_fwd"))
+  }
+
   private def graphSearch(points: DataFrame, graph: DataFrame, nQueries: Int,
       k: Int, beam: Int, rounds: Int)(
       seedFn: (DataFrame, Long) => DataFrame): DataFrame = {

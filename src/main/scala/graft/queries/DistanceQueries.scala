@@ -147,6 +147,16 @@ object DistanceQueries extends QueryGroup {
         g0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       graft.operators.AnnOps.graphSearchTopKLandmarks(blobs, g, 20, 5, 8, 6, 25)
     }),
+    // CAGRA-style graph OPTIMIZE: kNN-10 graph → 2-hop detour pruning →
+    // forward cap at 5 → reverse edges capped at 5. A pure function of the
+    // rank-ordered graph, so the oracle replays the three relational steps;
+    // the recall effect (optimized-10→5 beats plain kNN-5 at equal search
+    // cost) is AnnSpec-pinned.
+    "pipe_ann_graph_opt" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
+      val g = DistanceOps.knnGraph(blobs, 10).select(col("src"), col("dst"), col("rnk"))
+      graft.operators.AnnOps.optimizeKnnGraph(g, 5)
+    }),
   )
 
   // ---- oracles ----
@@ -245,8 +255,37 @@ object DistanceQueries extends QueryGroup {
        |  FROM q JOIN bl b ON b.id < 25 AND b.id <> q.qid) WHERE rnk <= 8)""".stripMargin,
     8, symmetrize = true)
 
+  /** Replay oracle for the graph optimize: kNN-10 over the blobs fixture,
+    * then the same detour-prune / forward-cap / reverse-cap steps. */
+  private val graphOptimizeOracle: String =
+    s"""WITH ${blobsCte(500)},
+       |e AS (SELECT src, dst, rnk FROM (
+       |  SELECT a.id AS src, b.id AS dst,
+       |    row_number() OVER (PARTITION BY a.id
+       |      ORDER BY ${foldL2sq("a.vec", "b.vec")}, b.id) AS rnk
+       |  FROM bl a JOIN bl b ON a.id <> b.id QUALIFY rnk <= 10)),
+       |two AS (SELECT e1.src AS src, e2.dst AS dst,
+       |          min(greatest(e1.rnk, e2.rnk)) AS best2
+       |        FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+       |        GROUP BY 1, 2),
+       |kept AS (SELECT e.src, e.dst, e.rnk
+       |         FROM e LEFT JOIN two ON two.src = e.src AND two.dst = e.dst
+       |         WHERE two.best2 IS NULL OR two.best2 >= e.rnk),
+       |fwd AS (SELECT src, dst, rnk,
+       |          row_number() OVER (PARTITION BY src ORDER BY rnk, dst) AS fr
+       |        FROM kept QUALIFY fr <= 5),
+       |rev AS (SELECT dst AS src, src AS dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY dst ORDER BY rnk, src) AS rr
+       |  FROM fwd) WHERE rr <= 5)
+       |SELECT src, dst, max(is_fwd) AS is_fwd FROM (
+       |  SELECT src, dst, 1 AS is_fwd FROM fwd
+       |  UNION ALL SELECT src, dst, 0 FROM rev)
+       |GROUP BY 1, 2""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dist_nn_descent" -> nnDescentOracle,
+    "pipe_ann_graph_opt" -> graphOptimizeOracle,
     "dist_pairwise_metrics" ->
       s"""WITH $vCte
          |SELECT a.id AS a, b.id AS b,

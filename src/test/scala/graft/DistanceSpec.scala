@@ -178,6 +178,39 @@ class DistanceSpec extends AnyFunSuite {
     assert(hits >= 98, s"landmark-seeded recall ${hits / 100.0} below 0.98")
   }
 
+  test("graph optimize respects degree bounds and beats plain kNN-5 at equal search cost") {
+    val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42)
+      .select(col("id"), col("vec")).coalesce(4).localCheckpoint(true)
+    val g10 = DistanceOps.knnGraph(blobs, 10)
+      .select(col("src"), col("dst"), col("rnk")).localCheckpoint(true)
+    val opt = graft.operators.AnnOps.optimizeKnnGraph(g10, 5).localCheckpoint(true)
+    // out-degree ≤ 2·deg (deg forward + deg reverse, minus overlaps)
+    val maxDeg = opt.groupBy(col("src")).count().agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxDeg <= 10, s"out-degree $maxDeg exceeds 2*deg")
+    // detour pruning actually dropped edges: strictly fewer forward
+    // survivors than the 5000 input edges, yet every node keeps ≥ 1
+    val nFwd = opt.where(col("is_fwd") === 1).count()
+    assert(nFwd < 5000 && nFwd >= 500, s"forward survivors $nFwd")
+    assert(opt.select(col("src")).distinct().count() == 500)
+    // recall at equal search cost: beam search over the optimized graph
+    // (degree ≤ 10 but only 5 forward picks per node were allowed) must
+    // beat the same search over the plain kNN-5 graph — reverse edges
+    // un-stall greedy walks (the CAGRA claim)
+    val brute = DistanceOps.knnGraph(blobs, 5)
+      .where(col("src") < 20).select(col("src"), col("dst")).localCheckpoint(true)
+    def recallOf(g: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.AnnOps.graphSearchTopK(blobs, g, 20, 5, 16, 6)
+        .select(col("qid").as("src"), col("node").as("dst"))
+        .join(brute, Seq("src", "dst")).count()
+    val base = recallOf(DistanceOps.knnGraph(blobs, 5).select(col("src"), col("dst")))
+    val tuned = recallOf(opt.select(col("src"), col("dst")))
+    assert(tuned >= base, s"optimized recall $tuned below base $base")
+    // the residual misses are queries whose 16 random seeds all land
+    // outside their blob (p ≈ 3% per query on this fixture) — optimize
+    // cannot fix seed placement; landmark seeding does (test above)
+    assert(tuned >= 90, s"optimized recall $tuned below 0.90")
+  }
+
   test("PQ encode compresses same-blob points to identical codes") {
     val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42).select(col("id"), col("vec"))
     val cb = ClusterOps.pqTrain(blobs, d = 8, m = 2, ksub = 5, iters = 5)
