@@ -393,6 +393,14 @@ object TextOps {
   def bpeTrainMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrain(docs, rounds)._2.toDF("round", "p1", "p2", "freq")
+  }
+
+  /** The shared merge loop: returns (final vocab as (w, cnt, syms), the
+    * learned merge table). The vocab state after the last round IS the
+    * trained tokenizer applied to every word type — encoding the corpus
+    * is a lookup into it, no per-document merge loop. */
+  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
     var vocab = tokenize(docs).select(explode(col("tokens")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"),
@@ -419,7 +427,28 @@ object TextOps {
           .localCheckpoint(true)
       }
     }
-    merges.toSeq.toDF("round", "p1", "p2", "freq")
+    (vocab, merges.toSeq)
+  }
+
+  /** BPE tokenizer APPLICATION: encode the corpus with the merges
+    * [[bpeTrainMerges]] learns and report the resulting subword piece
+    * histogram — (piece, n_occ = corpus occurrences weighted by word
+    * frequency, n_words = word types containing the piece), top `topN`
+    * by occurrence with deterministic ties.
+    *
+    * Because BPE merges operate within words, encoding the corpus never
+    * touches documents: the trained vocab state maps every word TYPE to
+    * its final symbol sequence, and corpus-level counts are one explode +
+    * aggregate over that vocab (≪ corpus). At 100 TB the heavy object is
+    * still the word-count aggregate the training loop starts from. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3, topN: Int = 50): DataFrame = {
+    val (vocab, _) = bpeTrain(docs, rounds)
+    vocab.select(col("w"), col("cnt"), explode(col("syms")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("n_occ"), countDistinct(col("w")).as("n_words"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n_occ").desc, col("piece").asc)))
+      .where(col("rnk") <= topN)
   }
 
   /** Interpolated bigram LM scoring (the CCNet-style perplexity quality

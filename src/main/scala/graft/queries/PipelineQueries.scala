@@ -137,6 +137,8 @@ object PipelineQueries extends QueryGroup {
       TextOps.bpePairStats(Tables.documents(s, d))),
     "pipe_bpe_merges" -> ((s, d) =>
       TextOps.bpeTrainMerges(Tables.documents(s, d), 3)),
+    "pipe_bpe_encode" -> ((s, d) =>
+      TextOps.bpeEncode(Tables.documents(s, d), 3)),
     "pipe_curation_e2e" -> ((s, d) =>
       TextOps.curationReport(Tables.documents(s, d))),
     "pipe_quantization" -> ((s, d) =>
@@ -272,7 +274,9 @@ object PipelineQueries extends QueryGroup {
   /** 3-round BPE-training replay: vocab as (word, cnt, symbol list),
     * each round = pair counts → 1-row argmax → greedy merge rewrite
     * (string-accumulator list_reduce — see the sql-map comment). */
-  private val bpeMergesOracle: String = {
+  /** Shared CTE chain for the BPE oracles: word vocab v0, then 3 merge
+    * rounds ending in the final vocab v3 (and per-round argmaxes b1..b3). */
+  private val bpeRoundsCte: String = {
     def roundCtes(r: Int): String = {
       val prev = s"v${r - 1}"
       s"""p$r AS (SELECT syms[i+1] AS p1, syms[i+2] AS p2,
@@ -294,11 +298,25 @@ object PipelineQueries extends QueryGroup {
        |v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt,
        |         [substr(w, i + 1, 1) FOR i IN range(length(w))] AS syms
        |       FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w),
-       |${(1 to 3).map(roundCtes).mkString(",\n")}
+       |${(1 to 3).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeMergesOracle: String =
+    s"""$bpeRoundsCte
        |SELECT 1 AS round, p1, p2, c AS freq FROM b1
        |UNION ALL SELECT 2, p1, p2, c FROM b2
        |UNION ALL SELECT 3, p1, p2, c FROM b3""".stripMargin
-  }
+
+  /** Encode oracle: the final vocab v3 IS the trained tokenizer applied to
+    * every word type; the corpus piece histogram is one unnest+aggregate. */
+  private val bpeEncodeOracle: String =
+    s"""$bpeRoundsCte
+       |SELECT piece, n_occ, n_words, rnk FROM (
+       |  SELECT s AS piece, CAST(sum(cnt) AS BIGINT) AS n_occ,
+       |    count(DISTINCT w) AS n_words,
+       |    row_number() OVER (ORDER BY sum(cnt) DESC, s) AS rnk
+       |  FROM v3, unnest(syms) AS t(s) GROUP BY s)
+       |WHERE rnk <= 50""".stripMargin
 
   val sql: Map[String, String] = Map(
     // PQ on blobs: codebook = per-(blob, subspace) mean; encode = nearest
@@ -721,6 +739,9 @@ object PipelineQueries extends QueryGroup {
     // Spark side's last-token fold: a merge emits p1||p2, which can
     // never equal p1 again, so chained overlaps resolve identically.
     "pipe_bpe_merges" -> bpeMergesOracle,
+    // tokenizer APPLICATION: corpus piece histogram from the final vocab
+    // state of the same 3-round replay
+    "pipe_bpe_encode" -> bpeEncodeOracle,
     // Gopher-style repetition metrics over token 2-grams
     "pipe_repetition" ->
       """WITH toks AS (

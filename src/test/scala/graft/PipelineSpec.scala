@@ -359,6 +359,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
   }
 
+  test("BPE encode: piece histogram matches the hand-traced final vocab") {
+    import spark.implicits._
+    // same fixture as the training test: merges (a,a),(a,b),(aa,ab) fold
+    // the whole word — vocab after round 2 is [aa, ab], round 3 merges it
+    // to the single piece "aaab"; with 2 merge rounds the halves survive
+    val docs = Seq((0L, "aaab aaab")).toDF("doc_id", "text")
+    val got3 = graft.operators.TextOps.bpeEncode(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got3.toSeq === Seq(("aaab", 2L, 1L, 1)))
+    val got2 = graft.operators.TextOps.bpeEncode(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._4)
+    assert(got2.toSeq === Seq(("aa", 2L, 1L, 1), ("ab", 2L, 1L, 2)))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.TextOps.bpeEncode(empty, 2).count() == 0)
+  }
+
   test("chunkOverlap: full coverage, stride grid, overlap of window-stride") {
     import spark.implicits._
     import graft.operators.TextOps
