@@ -80,6 +80,59 @@ object MultimodalOps {
     }
   }
 
+  /** Perceptual hash (the pHash rule) over the stubbed decode lanes:
+    * 64 "DCT coefficient" stand-ins per payload ([[featureStub]] with
+    * d = 64 — a real pipeline feeds the low-frequency DCT of the decoded
+    * grayscale image here), bit b = 1 iff lane_b > median(lanes). The
+    * hash is kept as FOUR 16-bit band values (b0..b3) rather than one
+    * packed 64-bit word — bands are what the near-dup join buckets on,
+    * and band-wise popcounts avoid signed-overflow ambiguity at bit 63.
+    * Pure column expressions after the per-partition feature batch.
+    */
+  def phash64(features: DataFrame): DataFrame = {
+    val sorted = array_sort(col("feat"))
+    val med = (element_at(sorted, 32) + element_at(sorted, 33)) / 2.0
+    val bandCols = (0 until 4).map { k =>
+      (0 until 16).map { j =>
+        when(element_at(col("feat"), k * 16 + j + 1) > col("med"), lit((1L << j)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$k")
+    }
+    features.withColumn("med", med)
+      .select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** Hamming near-dup pairs over the perceptual hash: docs sharing ANY
+    * 16-bit band are candidates (4 equi-join buckets — the LSH structure
+    * of pHash dedup: a pair within Hamming distance 6 of 64 bits must
+    * match at least one band exactly... pigeonhole gives τ ≤ 3 a
+    * GUARANTEE; τ = 6 keeps the same candidate join as a high-recall
+    * heuristic), then exact band-wise popcount distance ≤ τ confirms.
+    * The candidate join is distributable by (band, value) at 100 TB;
+    * random 16-bit band collisions are ~n²/65536 per band — rare and
+    * benign. Returns (a, b, hamming), a < b. */
+  def phashNearDups(docs: DataFrame, tau: Int = 6): DataFrame = {
+    val ph = phash64(featureStub(toBinary(docs), d = 64).toDF()
+        .select(col("doc_id"), col("feat")))
+      .localCheckpoint(true)
+    val bands = ph.select(col("doc_id"), explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"b$k").as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val ha = ph.select((col("doc_id").as("a") +:
+      (0 until 4).map(k => col(s"b$k").as(s"xa$k"))): _*)
+    val hb = ph.select((col("doc_id").as("b") +:
+      (0 until 4).map(k => col(s"b$k").as(s"xb$k"))): _*)
+    cand.join(ha, Seq("a")).join(hb, Seq("b"))
+      .withColumn("hamming", (0 until 4).map(k =>
+        expr(s"bit_count(xa$k ^ xb$k)").cast("long")).reduce(_ + _))
+      .where(col("hamming") <= tau)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Frame sampling: explode each payload into fixed-size "frames" with a
     * per-frame digest — the video-frame-sample shape (one output row per
     * frame, offset metadata carried along). Pure column expressions.

@@ -79,6 +79,17 @@ object PipelineQueries extends QueryGroup {
       MultimodalOps.decodeStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()),
     "pipe_mm_frames" -> ((s, d) =>
       MultimodalOps.frameSample(Tables.documents(s, d).where(col("doc_id") < 200))),
+    // perceptual-hash near-dup over the multimodal path: stub decode →
+    // 64 pHash lanes → median-threshold bits → band-bucketed Hamming join.
+    // 25 planted payload copies (re-keyed +1000000) guarantee true pairs
+    // at every SF — without them the sf0.01 corpus has zero byte dupes
+    // and the check would be vacuous.
+    "pipe_mm_phash_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      val planted = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source"))
+      MultimodalOps.phashNearDups(docs.unionByName(planted), 6)
+    }),
     "pipe_mm_features" -> ((s, d) =>
       MultimodalOps.featureStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()
         .select(col("doc_id"), col("resized_w"), col("resized_h"),
@@ -968,6 +979,47 @@ object PipelineQueries extends QueryGroup {
         |          CAST(length(text)*(t+1)//8 - length(text)*t//8 AS INT))), 1, 8)) AS BIGINT)
         |        / 4294967296.0, 6) + 0.0 AS v
         |FROM documents, range(8) r(t)""".stripMargin,
+    // pHash near-dup replay: same 64 md5-window lanes as pipe_mm_features,
+    // median via the two middle order statistics, 16-bit bands, candidate
+    // = shared band, confirm = band-wise popcount of XOR <= 6
+    "pipe_mm_phash_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+        |lanes AS (
+        |  SELECT doc_id, t,
+        |    CAST(('0x' || substr(md5(substr(text,
+        |          CAST(length(text)*t//64 AS INT) + 1,
+        |          CAST(length(text)*(t+1)//64 - length(text)*t//64 AS INT))), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS v
+        |  FROM corpus, range(64) r(t)),
+        |med AS (
+        |  SELECT doc_id,
+        |    (min(CASE WHEN rn = 32 THEN v END) + min(CASE WHEN rn = 33 THEN v END)) / 2.0 AS med
+        |  FROM (SELECT doc_id, v,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY v) AS rn
+        |        FROM lanes)
+        |  GROUP BY 1),
+        |bits AS (
+        |  SELECT l.doc_id, t // 16 AS band,
+        |    CAST(sum(CASE WHEN v > med THEN 1 << (t % 16) ELSE 0 END) AS BIGINT) AS bval
+        |  FROM lanes l JOIN med USING (doc_id) GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bits x JOIN bits y
+        |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id),
+        |w AS (SELECT doc_id,
+        |        min(CASE WHEN band = 0 THEN bval END) AS b0,
+        |        min(CASE WHEN band = 1 THEN bval END) AS b1,
+        |        min(CASE WHEN band = 2 THEN bval END) AS b2,
+        |        min(CASE WHEN band = 3 THEN bval END) AS b3
+        |      FROM bits GROUP BY 1)
+        |SELECT a, b, hamming FROM (
+        |  SELECT a, b,
+        |    bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1)) +
+        |    bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS hamming
+        |  FROM cand JOIN w wa ON wa.doc_id = a JOIN w wb ON wb.doc_id = b)
+        |WHERE hamming <= 6""".stripMargin,
     "pipe_mm_frames" ->
       """SELECT doc_id, i AS frame_idx, i * 200 AS offset,
         |  md5(substr(text, i * 200 + 1, 200)) AS frame_md5

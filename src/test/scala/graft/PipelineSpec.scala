@@ -359,6 +359,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
   }
 
+  test("pHash: identical payloads collide at 0, a 1-char edit stays near, unrelated stays far") {
+    import spark.implicits._
+    val base = ('a' to 'z').mkString * 25 // 650 chars -> ~10 chars per lane window
+    val edit = "Q" + base.substring(1)    // exactly one 64th-window perturbed
+    val docs = Seq((0L, base, "s"), (1L, base, "s"), (2L, edit, "s"),
+      (3L, base.reverse, "s")).toDF("doc_id", "text", "source")
+    val pairs = graft.operators.MultimodalOps.phashNearDups(docs, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(0L), s"identical pair missing: $pairs")
+    // the edit changes ONE lane's hash draw; only bits whose lane value
+    // sits between the old and new median can flip alongside it
+    assert(pairs.contains((0L, 2L)), s"1-char edit not caught: $pairs")
+    assert(pairs((0L, 2L)) <= 16L)
+    // reversed text draws an independent 64-bit hash: expected Hamming
+    // ~32, far outside tau — and with all 4 bands differing it never
+    // even becomes a candidate
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
+  }
+
   test("BPE encode: piece histogram matches the hand-traced final vocab") {
     import spark.implicits._
     // same fixture as the training test: merges (a,a),(a,b),(aa,ab) fold
