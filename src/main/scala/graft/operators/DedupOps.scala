@@ -251,6 +251,29 @@ object DedupOps {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** FUZZY decontamination — the near-dup upgrade of [[contamination]]:
+    * exact shingle-sharing misses paraphrased or partially-overlapping
+    * benchmark leakage, so candidate (train, eval) pairs come from shared
+    * MinHash-LSH band buckets (the [[minhashDupPairs]] machinery joined
+    * ACROSS the split instead of within the corpus) and are confirmed by
+    * exact Jaccard ≥ `threshold`. The band join is keyed by (band, sig)
+    * with only the eval side's buckets relevant — eval is tiny next to
+    * train, so at 100 TB this is a broadcast-shaped equi-join, never a
+    * train×train pair blowup. Returns (doc_id, eval_id, jac): every
+    * train doc caught, with which eval doc and how much overlap. */
+  def fuzzyContamination(docs: DataFrame, evalMax: Int,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).localCheckpoint(true)
+    val bands = lshBands(minhash(sh))
+    val ev = bands.where(col("doc_id") < evalMax)
+      .select(col("doc_id").as("eval_id"), col("band"), col("sig"))
+    val cand = bands.where(col("doc_id") >= evalMax).as("x")
+      .join(broadcast(ev), Seq("band", "sig"))
+      .select(col("x.doc_id").as("a"), col("eval_id").as("b")).distinct()
+    jaccardOf(cand, sh).where(col("jac") >= threshold)
+      .select(col("a").as("doc_id"), col("b").as("eval_id"), col("jac"))
+  }
+
   // Bloom filter geometry: m = 2^16 bits packed 32-per-BIGINT-word (2048
   // words — bit 63 stays clear so neither engine's checked shift/sign
   // semantics bite); kHash affine probes p_j(hs) = (hs·(2j+1) + 12345j+7)

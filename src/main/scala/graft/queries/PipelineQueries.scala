@@ -123,6 +123,11 @@ object PipelineQueries extends QueryGroup {
       TextOps.qualityGate(Tables.documents(s, d))),
     "pipe_contamination" -> ((s, d) =>
       DedupOps.contamination(Tables.documents(s, d), 50)),
+    // near-dup decontamination: MinHash bands joined ACROSS the split,
+    // exact-Jaccard confirm — catches paraphrased leakage the exact
+    // shingle-share gate understates
+    "pipe_contamination_fuzzy" -> ((s, d) =>
+      DedupOps.fuzzyContamination(Tables.documents(s, d), 50, 0.5)),
     // batch twin of the STREAM-STATIC decontamination gate (the exact same
     // function runs under readStream in StreamingSpec): docs whose content
     // hash appears in the banned reference slice (doc_id % 17 == 0) are
@@ -520,6 +525,29 @@ object PipelineQueries extends QueryGroup {
          |  WHERE sa.hs = sb.hs GROUP BY 1, 2),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
          |SELECT i.a, i.b, round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jac
+         |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5""".stripMargin,
+    // same MinHash banding as pipe_minhash_lsh but joined ACROSS the
+    // train/eval split (train >= 50, eval < 50), exact-Jaccard confirmed
+    "pipe_contamination_fuzzy" ->
+      s"""$shCte,
+         |mh AS (
+         |  SELECT doc_id, i, min((hs * (2*i+1) + (12345*i+7)) % 2147483647) AS mh
+         |  FROM sh, unnest(range(16)) AS p(i) GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, string_agg(mh, ':' ORDER BY i) AS sig
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+         |  WHERE x.doc_id >= 50 AND y.doc_id < 50),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS inter FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+         |  WHERE sa.hs = sb.hs GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         |SELECT i.a AS doc_id, i.b AS eval_id,
+         |  round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jac
          |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
          |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5""".stripMargin,
     // same banding CTE as pipe_minhash_lsh, then transitive closure by
