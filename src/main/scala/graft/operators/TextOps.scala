@@ -451,6 +451,26 @@ object TextOps {
       .where(col("rnk") <= topN)
   }
 
+  /** Deterministic GLOBAL SHUFFLE layout (the "shuffle shards before
+    * training" step every data pipeline ends with): shuffle key =
+    * h32(doc_id:salt) — a pure function of document identity, so the
+    * permutation is reproducible across runs/engines and independent of
+    * input partitioning (the RNG-ops invariant). Because the key is
+    * uniform on [0, 2³²), shard = key·nShards >> 32 needs NO sampling
+    * pass or global sort — fixed ranges, balanced in expectation. The
+    * write form is `repartitionByRange(n, $"sk").sortWithinPartitions
+    * ("sk").write...` — one range exchange total. This query emits the
+    * layout evidence: per-shard doc count, key range, and source mix
+    * (a well-shuffled layout lands every source in every shard). */
+  def globalShuffle(docs: DataFrame, nShards: Int = 32, salt: Long = 6L): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        h32(concat_ws(":", col("doc_id"), lit(salt), lit("gshuf"))).as("sk"))
+      .withColumn("shard", shiftright(col("sk") * nShards, 32))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"),
+        countDistinct(col("source")).as("n_sources"))
+
   /** Interpolated bigram LM scoring (the CCNet-style perplexity quality
     * signal, one order up from [[unigramLogprob]]): train bigram +
     * unigram counts on the corpus itself, score each doc by

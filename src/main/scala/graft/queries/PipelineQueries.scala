@@ -246,6 +246,10 @@ object PipelineQueries extends QueryGroup {
       TextOps.curriculumBins(Tables.documents(s, d))),
     "pipe_split_stratified" -> ((s, d) =>
       TextOps.stratifiedSplit(Tables.documents(s, d))),
+    // deterministic global shuffle layout: hash shard assignment, no
+    // sampling pass — per-shard count/key-range/source-mix evidence
+    "pipe_global_shuffle" -> ((s, d) =>
+      TextOps.globalShuffle(Tables.documents(s, d))),
   )
 
   // ---- oracles ----
@@ -1007,6 +1011,17 @@ object PipelineQueries extends QueryGroup {
         |          CAST(length(text)*(t+1)//8 - length(text)*t//8 AS INT))), 1, 8)) AS BIGINT)
         |        / 4294967296.0, 6) + 0.0 AS v
         |FROM documents, range(8) r(t)""".stripMargin,
+    // deterministic shuffle replay: identical md5 key and fixed-range
+    // shard arithmetic
+    "pipe_global_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(concat_ws(':', doc_id, 6, 'gshuf')), 1, 8)) AS BIGINT) AS sk
+        |  FROM documents)
+        |SELECT sk * 32 >> 32 AS shard, count(*) AS cnt,
+        |  min(sk) AS min_sk, max(sk) AS max_sk,
+        |  count(DISTINCT source) AS n_sources
+        |FROM k GROUP BY 1""".stripMargin,
     // pHash near-dup replay: same 64 md5-window lanes as pipe_mm_features,
     // median via the two middle order statistics, 16-bit bands, candidate
     // = shared band, confirm = band-wise popcount of XOR <= 6

@@ -359,6 +359,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
   }
 
+  test("global shuffle: disjoint shard key ranges, every doc counted once, no hot shard") {
+    val docs = graft.Tables.documents(spark, sf)
+    val n = docs.count()
+    val layout = graft.operators.TextOps.globalShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(layout.map(_._2).sum == n, "shard counts must partition the corpus")
+    // fixed-range shard arithmetic -> key ranges are disjoint and ordered
+    layout.sliding(2).foreach {
+      case Array((_, _, _, hiA), (_, _, loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
+    val mean = n.toDouble / layout.length
+    assert(layout.map(_._2).max <= 3 * mean, "hash sharding should not produce a hot shard")
+  }
+
   test("pHash: identical payloads collide at 0, a 1-char edit stays near, unrelated stays far") {
     import spark.implicits._
     val base = ('a' to 'z').mkString * 25 // 650 chars -> ~10 chars per lane window
