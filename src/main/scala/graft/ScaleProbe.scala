@@ -121,7 +121,45 @@ object ScaleProbe {
         val recall = hits.toDouble / (100 * 5)
         require(recall >= 0.95, s"graph-search recall $recall below 0.95")
         s""""mode":"graphann","n":$n,"recall":$recall"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann)")
+      case "graphopt" =>
+        // CAGRA-style optimize at scale: exact kNN-10 via the ball-cover
+        // prune, detour-prune + reverse to deg 5, then landmark-seeded
+        // search over the OPTIMIZED graph. Self-checks: degree bounds,
+        // pruning actually dropped edges, recall vs the exact kNN-5
+        // edges ≥ 0.95, zero cross-cluster answers.
+        val cC2 = 1000L
+        val h2 = (tag: String, j: org.apache.spark.sql.Column) =>
+          (graft.operators.TextOps.h32(concat_ws(":", col("id"), j, lit(42), lit(tag)))
+            + lit(0.5)) / lit(4294967296.0)
+        val pts2 = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(7)), j => {
+            val center = pmod(pmod(col("id"), lit(cC2)) * 7 + j * 13, lit(cC2))
+              .cast("double") * 10.0
+            center + sqrt(lit(-2.0) * log(h2("p1", j))) *
+              cos(lit(2.0 * math.Pi) * h2("p2", j))
+          }).as("vec")).localCheckpoint(true)
+        val g10 = graft.operators.DistanceOps.ballCoverKnn(pts2, 10, cC2.toInt)
+          .select(col("src"), col("dst"), col("rnk")).localCheckpoint(true)
+        val nIn = g10.count()
+        val opt = graft.operators.AnnOps.optimizeKnnGraph(g10, 5).localCheckpoint(true)
+        val nOut = opt.count()
+        val maxDeg = opt.groupBy(col("src")).count()
+          .agg(max(col("count"))).collect()(0).getLong(0)
+        require(maxDeg <= 10, s"out-degree $maxDeg exceeds 2*deg")
+        val nFwd = opt.where(col("is_fwd") === 1).count()
+        require(nFwd < nIn, s"detour pruning dropped nothing ($nFwd of $nIn)")
+        val exact5 = g10.where(col("rnk") <= 5)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val res2 = graft.operators.AnnOps.graphSearchTopKLandmarks(
+          pts2, opt.select(col("src"), col("dst")), 100, 5, 8, 6, 2 * cC2.toInt)
+        val bad2 = res2.where(pmod(col("qid"), lit(cC2)) =!= pmod(col("node"), lit(cC2))).count()
+        require(bad2 == 0, s"$bad2 cross-cluster answers")
+        val hits2 = res2.select(col("qid").as("src"), col("node").as("dst"))
+          .join(exact5, Seq("src", "dst")).count()
+        val recall2 = hits2.toDouble / (100 * 5)
+        require(recall2 >= 0.95, s"recall $recall2 on the optimized graph below 0.95")
+        s""""mode":"graphopt","n":$n,"edges_in":$nIn,"edges_out":$nOut,"fwd":$nFwd,"recall":$recall2"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":{$result,"sec":$dt}}""")
