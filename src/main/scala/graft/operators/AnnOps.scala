@@ -218,7 +218,11 @@ object AnnOps {
     * (AnnSpec): pruning a k=10 graph to deg=5 beats the plain k=5 graph
     * at equal search cost. Input must carry (src, dst, rnk). */
   def optimizeKnnGraph(graph: DataFrame, deg: Int): DataFrame = {
-    val e = graph.select(col("src"), col("dst"), col("rnk"))
+    // eager materialization: the edge list feeds FIVE subtrees of one
+    // action (both sides of the 2-hop join, the prune probe, both caps)
+    // — without it the plan re-derives the graph build per subtree
+    // (the minhashDupPairs lesson; verified via Explain)
+    val e = graph.select(col("src"), col("dst"), col("rnk")).localCheckpoint(true)
     // best 2-hop detour rank per (src, dst): join keyed by the middle node
     val two = e.as("e1").join(e.as("e2"),
         col("e1.dst") === col("e2.src") && col("e1.src") =!= col("e2.dst"))
