@@ -247,6 +247,51 @@ object StatsOps {
     spark.createDataFrame(rows).toDF("i", "v")
   }
 
+  /** Mergeable APPROXIMATE quantiles via a deterministic HDR-style
+    * log-linear histogram sketch — the one-pass 100 TB quantile path
+    * beside [[quantiles]]' exact sort, the same pairing the repo gives
+    * count-distinct (exact groupBy vs the explicit HLL). Non-negative
+    * integer values bucket by (exponent, 5-bit mantissa):
+    *
+    *   v < 32            → bucket = v                      (exact)
+    *   else e = bitlen(v)−1 → bucket = (e−4)·32 + (v >> (e−5)) − 32
+    *
+    * so every bucket spans ≤ 1/32 relative range and the sketch is a
+    * few hundred counts no matter how large n is. The build is ONE
+    * map-side-combinable aggregate (counts merge across executors /
+    * days / shards — that mergeability is what approx_percentile's GK
+    * sketch buys, here with bit-exact determinism instead of
+    * order-dependent compression). Quantile q = lower bound of the
+    * first bucket whose cumulative count reaches ceil(q·n), all
+    * integer arithmetic — replayed identically by the SQL oracle.
+    * The cumulative window runs over the ≤ ~700-row sketch, not data.
+    */
+  def quantileSketch(values: DataFrame,
+      qs: Seq[(Long, Long)] = Seq((1L, 2L), (9L, 10L), (99L, 100L), (999L, 1000L))): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bucket = when(col("v") < 32L, col("v")).otherwise(
+      (length(bin(col("v"))).cast("long") - 5L) * 32L +
+        expr("v div CAST(power(2, length(bin(v)) - 6) AS BIGINT)") - 32L)
+    val sketch = values.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = sketch.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = sketch.agg(sum(col("cnt")).as("n"))
+    val ranks = qs.toDF("num", "den").crossJoin(broadcast(tot))
+      .select(col("num"), col("den"),
+        expr("(num * n + den - 1) div den").as("rank"))
+    val est = when(col("bucket") < 32L, col("bucket")).otherwise(
+      (col("bucket") % 32L + 32L) *
+        expr("CAST(power(2, bucket div 32 - 1) AS BIGINT)"))
+    ranks.join(cum, col("cum") >= col("rank"))
+      .groupBy(col("num"), col("den"), col("rank"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select((col("num").cast("double") / col("den")).as("q"),
+        col("rank"), est.cast("long").as("est"))
+  }
+
   /** popc: total population count over a bigint column —
     * reference: util/popc.cuh:23, core/bitset.hpp:124 (bitset.count). */
   def popCount(spark: SparkSession, dir: String): DataFrame =

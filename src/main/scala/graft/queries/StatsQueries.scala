@@ -48,6 +48,13 @@ object StatsQueries extends QueryGroup {
     "stat_popc" -> ((s, d) => StatsOps.popCount(s, d)),
     "stat_quantiles" -> ((s, d) =>
       StatsOps.quantiles(s, d, Seq(0.25, 0.5, 0.75, 0.95))),
+    // mergeable one-pass quantile sketch (HDR log-linear buckets) over
+    // price cents — the approximate scale path beside the exact sort
+    "stat_quantile_sketch" -> ((s, d) =>
+      StatsOps.quantileSketch(
+        graft.Tables.lineitem(s, d)
+          .where(col("l_extendedprice").isNotNull)
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")))),
     "stat_info_criterion" -> ((s, d) => StatsOps.informationCriterion(s, d)),
     "stat_trustworthiness" -> ((s, d) => graft.operators.SpectralOps.trustworthiness(s, d)),
   )
@@ -155,6 +162,31 @@ object StatsQueries extends QueryGroup {
         |UNION ALL SELECT 1, round(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem
         |UNION ALL SELECT 2, round(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem
         |UNION ALL SELECT 3, round(quantile_cont(l_extendedprice, 0.95), 4) FROM lineitem""".stripMargin,
+    // HDR-sketch replay: identical (exponent, 5-bit mantissa) bucketing,
+    // integer ceil-rank pick, lower-bound decode
+    "stat_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        |  SELECT CASE WHEN v < 32 THEN v
+        |    ELSE (length(bin(v)) - 5) * 32
+        |         + v // CAST(power(2, length(bin(v)) - 6) AS BIGINT) - 32 END AS bucket
+        |  FROM v),
+        |s AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt,
+        |        sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM s),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM s),
+        |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100), (999, 1000)) q(num, den)),
+        |r AS (SELECT num, den, (num * n + den - 1) // den AS rank FROM qs, tot),
+        |pick AS (SELECT num, den, rank, min(bucket) AS bucket
+        |         FROM r JOIN c ON c.cum >= r.rank GROUP BY 1, 2, 3)
+        |SELECT CAST(num AS DOUBLE) / den AS q, rank,
+        |  CAST(CASE WHEN bucket < 32 THEN bucket
+        |       ELSE (bucket % 32 + 32) * CAST(power(2, bucket // 32 - 1) AS BIGINT)
+        |       END AS BIGINT) AS est
+        |FROM pick""".stripMargin,
     "stat_trustworthiness" -> {
       def foldD(a: String, b: String) =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, x) -> s + x)"

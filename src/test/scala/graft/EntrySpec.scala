@@ -54,6 +54,25 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch brackets every exact quantile within its bucket width") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+      .where(col("l_extendedprice").isNotNull)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val got = graft.operators.StatsOps.quantileSketch(li).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 4)
+    val vals = li.collect().map(_.getLong(0)).sorted
+    got.foreach { case (q, rank, est) =>
+      val exact = vals(rank.toInt - 1) // the sketch's own ceil-rank target
+      // est is the LOWER BOUND of the bucket holding the rank-th value;
+      // bucket width = lo/(m+32) <= lo/32, so the bracket is tight
+      assert(est <= exact, s"q=$q: est $est above exact $exact")
+      assert(exact - est <= math.max(1L, est / 32L),
+        s"q=$q: exact $exact beyond bucket width of est $est")
+    }
+  }
+
   test("axpySum equals vectorSum of the per-row scaled array") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
