@@ -266,15 +266,23 @@ object StatsOps {
     * integer arithmetic — replayed identically by the SQL oracle.
     * The cumulative window runs over the ≤ ~700-row sketch, not data.
     */
+  /** HDR bucket id of a non-negative BIGINT column named `v` (see
+    * [[quantileSketch]]); shared with the streaming sketch twin. */
+  def hdrBucket: Column = when(col("v") < 32L, col("v")).otherwise(
+    (length(bin(col("v"))).cast("long") - 5L) * 32L +
+      expr("v div CAST(power(2, length(bin(v)) - 6) AS BIGINT)") - 32L)
+
+  /** Lower bound of an HDR bucket (the sketch's quantile estimate). */
+  def hdrLowerBound(bucket: Column): Column =
+    when(bucket < 32L, bucket).otherwise(
+      (bucket % 32L + 32L) * expr("CAST(power(2, bucket div 32 - 1) AS BIGINT)"))
+
   def quantileSketch(values: DataFrame,
       qs: Seq[(Long, Long)] = Seq((1L, 2L), (9L, 10L), (99L, 100L), (999L, 1000L))): DataFrame = {
     val spark = values.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val bucket = when(col("v") < 32L, col("v")).otherwise(
-      (length(bin(col("v"))).cast("long") - 5L) * 32L +
-        expr("v div CAST(power(2, length(bin(v)) - 6) AS BIGINT)") - 32L)
-    val sketch = values.select(bucket.as("bucket"))
+    val sketch = values.select(hdrBucket.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val cum = sketch.withColumn("cum", sum(col("cnt")).over(
       Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -282,9 +290,7 @@ object StatsOps {
     val ranks = qs.toDF("num", "den").crossJoin(broadcast(tot))
       .select(col("num"), col("den"),
         expr("(num * n + den - 1) div den").as("rank"))
-    val est = when(col("bucket") < 32L, col("bucket")).otherwise(
-      (col("bucket") % 32L + 32L) *
-        expr("CAST(power(2, bucket div 32 - 1) AS BIGINT)"))
+    val est = hdrLowerBound(col("bucket"))
     ranks.join(cum, col("cum") >= col("rank"))
       .groupBy(col("num"), col("den"), col("rank"))
       .agg(min(col("bucket")).as("bucket"))

@@ -129,6 +129,22 @@ object StreamingOps {
       .select(col("e.j").as("doc_id"), (-col("e.c")).as("score"))
   }
 
+  /** Streaming quantile sketch — [[graft.operators.StatsOps.quantileSketch]]'s
+    * HDR histogram as a STREAMING aggregate: state is one count per
+    * touched bucket (≤ ~700 cells no matter how long the stream runs —
+    * the same bounded-state story as the top-k heap and the meanvar
+    * triple), merged across micro-batches by ordinary aggregate merge
+    * because bucket counts are commutative. Complete-mode output is the
+    * current sketch; a downstream reader derives any quantile from the
+    * emitted cells, so the stream never re-sorts anything. Values =
+    * event value in integer cents (non-negative slice). */
+  def streamingQuantileSketch(events: Dataset[Ev]): DataFrame =
+    events.toDF()
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .where(col("v") >= 0L)
+      .select(graft.operators.StatsOps.hdrBucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
   /** Stream-static decontamination gate — the join flavor the other
     * streaming ops don't exercise: the incoming doc stream LEFT-ANTI joins
     * a STATIC reference table (banned / eval-set content hashes) that

@@ -139,6 +139,16 @@ object PipelineQueries extends QueryGroup {
         .select(col("doc_id"), col("source"), col("n_chars"))),
     "pipe_bloom_dedup" -> ((s, d) =>
       DedupOps.bloomProbe(Tables.documents(s, d), 400)),
+    // batch twin of the STREAMING quantile sketch (same function runs
+    // under MemoryStream in StreamingSpec): HDR bucket counts over
+    // event value cents — bounded mergeable state
+    "pipe_stream_qsketch" -> ((s, d) => {
+      import s.implicits._
+      StreamingOps.streamingQuantileSketch(
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")).as[StreamingOps.Ev])
+    }),
     "pipe_mixture_sample" -> ((s, d) =>
       TextOps.mixtureSample(Tables.documents(s, d))),
     "pipe_seq_packing" -> ((s, d) =>
@@ -853,6 +863,17 @@ object PipelineQueries extends QueryGroup {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 17 = 0)""".stripMargin,
+    // streaming-sketch batch twin: same HDR bucketing as
+    // stat_quantile_sketch, over event value cents
+    "pipe_stream_qsketch" ->
+      """WITH v AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE CAST(round(value * 100) AS BIGINT) >= 0)
+        |SELECT CASE WHEN v < 32 THEN v
+        |  ELSE (length(bin(v)) - 5) * 32
+        |       + v // CAST(power(2, length(bin(v)) - 6) AS BIGINT) - 32 END AS bucket,
+        |  count(*) AS cnt
+        |FROM v GROUP BY 1""".stripMargin,
     // Bloom filter (m = 2^16 bits, 32 per BIGINT word, 3 affine probes)
     // built over ref shingles (doc_id < 400), probed by the rest
     "pipe_bloom_dedup" ->

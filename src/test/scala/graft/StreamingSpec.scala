@@ -268,6 +268,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming quantile sketch merges micro-batches into the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Ev]
+    val query = StreamingOps.streamingQuantileSketch(input.toDS())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qsketch_out").start()
+    try {
+      val (first, second) = mkEvents().splitAt(120)
+      input.addData(first)
+      query.processAllAvailable()
+      input.addData(second)
+      query.processAllAvailable()
+      val streamed = spark.table("qsketch_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = StreamingOps.streamingQuantileSketch(mkEvents().toDS())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch, "bucket counts must merge across micro-batches")
+      assert(streamed.nonEmpty && streamed.size <= 700, "state stays a bounded sketch")
+    } finally query.stop()
+  }
+
   test("stream-static anti join gates banned content in every micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
