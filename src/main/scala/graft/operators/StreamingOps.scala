@@ -145,6 +145,29 @@ object StreamingOps {
       .select(graft.operators.StatsOps.hdrBucket.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** Stream-STREAM interval join — the remaining Structured Streaming
+    * join flavor (both sides streaming, state on both sides): clicks
+    * joined to purchases of the SAME user within the hour before the
+    * purchase. The watermarks + the time-range predicate are what make
+    * unbounded two-sided state droppable: Spark derives the state
+    * retention window from them, so each side holds ≤ (watermark +
+    * interval) of events per key — the attribution join of a live
+    * clickstream, keyed by user at any scale. Works identically as a
+    * batch query (the batch twin `pipe_stream_join` hash-checks the
+    * semantics; StreamingSpec runs the same function on two
+    * MemoryStreams and proves stream == batch). */
+  def streamingAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+      .join(purchases.select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 hours"),
+        expr("""c_user = p_user
+               |AND c_ts >= p_ts - INTERVAL 1 HOUR
+               |AND c_ts < p_ts""".stripMargin))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+
   /** Stream-static decontamination gate — the join flavor the other
     * streaming ops don't exercise: the incoming doc stream LEFT-ANTI joins
     * a STATIC reference table (banned / eval-set content hashes) that

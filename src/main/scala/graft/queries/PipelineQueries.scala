@@ -139,6 +139,15 @@ object PipelineQueries extends QueryGroup {
         .select(col("doc_id"), col("source"), col("n_chars"))),
     "pipe_bloom_dedup" -> ((s, d) =>
       DedupOps.bloomProbe(Tables.documents(s, d), 400)),
+    // batch twin of the STREAM-STREAM interval join (same function under
+    // two MemoryStreams in StreamingSpec): click->purchase attribution
+    // pairs, both sides watermark-bounded when streaming
+    "pipe_stream_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      StreamingOps.streamingAttribution(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"))
+    }),
     // batch twin of the STREAMING quantile sketch (same function runs
     // under MemoryStream in StreamingSpec): HDR bucket counts over
     // event value cents — bounded mergeable state
@@ -863,6 +872,14 @@ object PipelineQueries extends QueryGroup {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 17 = 0)""".stripMargin,
+    // stream-stream join twin: per-pair attribution rows
+    "pipe_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts""".stripMargin,
     // streaming-sketch batch twin: same HDR bucketing as
     // stat_quantile_sketch, over event value cents
     "pipe_stream_qsketch" ->

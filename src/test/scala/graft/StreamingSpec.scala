@@ -268,6 +268,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch attribution pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val query = StreamingOps.streamingAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      val evs = mkEvents()
+      val (c, p) = (evs.filter(_.event_type == "click"),
+        evs.filter(_.event_type == "purchase"))
+      // two micro-batches per side: pairs must match across batch edges
+      val (c1, c2) = c.splitAt(c.length / 2)
+      val (p1, p2) = p.splitAt(p.length / 2)
+      clicks.addData(c1); purchases.addData(p1)
+      query.processAllAvailable()
+      clicks.addData(c2); purchases.addData(p2)
+      query.processAllAvailable()
+      val streamed = spark.table("ssjoin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = StreamingOps.streamingAttribution(
+        c.toDF(), p.toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch, "stream-stream join must equal the batch join")
+      assert(batch.nonEmpty, "fixture must produce at least one attribution pair")
+    } finally query.stop()
+  }
+
   test("streaming quantile sketch merges micro-batches into the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
