@@ -97,6 +97,8 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_range_join_clicks" -> ((s, d) => Relational.clicksBeforePurchase(s, d)),
     "rel_interval_join_global" -> ((s, d) => Relational.globalAttributionClicks(s, d)),
     "rel_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
+    "rel_pivot" -> ((s, d) => Relational.pivotQuantity(s, d)),
+    "rel_latest_per_key" -> ((s, d) => Relational.latestEventPerUser(s, d)),
     "rel_json_extract" -> ((s, d) => Relational.eventPropsExtract(s, d)),
     "rel_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
     "rel_zorder_layout" -> ((s, d) => Relational.zorderLayout(s, d)),
@@ -172,6 +174,21 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT o_orderstatus, o_orderpriority,
         |  round(sum(o_totalprice), 2) AS total, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    // pivot as declared conditional aggregates — the plan Spark compiles
+    // a value-listed pivot to
+    "rel_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "rel_latest_per_key" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  epoch_us(ts) AS last_ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
     // deterministic HLL (md5 registers, integer-scaled sum — see
     // Relational.approxDistinctParts): the estimate is a pure function of
     // the value set, so both engines derive the identical integer

@@ -260,6 +260,33 @@ object Relational {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("cnt"))
 
+  /** Pivot / crosstab (the wide-format report every BI layer asks of an
+    * engine): quantity summed per linestatus, one column per return
+    * flag. With the pivot values DECLARED, Catalyst compiles this to a
+    * single pass of conditional aggregates — same plan as the CASE-sum
+    * oracle, no distinct-values pre-query and no second shuffle. */
+  def pivotQuantity(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+
+  /** Latest-row-per-key compaction (the CDC/upsert dedup every incremental
+    * ingest runs before merge): each user's most recent event, ties broken
+    * by event_id — WindowGroupLimit gives per-partition heaps, so the
+    * exchange carries the group key only, never a full sort. */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        unix_micros(col("ts")).as("last_ts_us"))
+  }
+
   /** Funnel / event-sequence analysis: per user, earliest signup → click →
     * purchase in strict temporal order; counts users reaching each stage —
     * the sequence-match analytic a product/training pipeline runs over
