@@ -51,4 +51,41 @@ object GraphOps {
     }
     r
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) made DETERMINISTIC: every node starts as its own label; per
+    * round each node adopts its neighbors' most frequent label with the
+    * total tie order (count desc, label asc), neighbors taken over the
+    * SYMMETRIZED self-loop-free edge set; nodes without neighbors keep
+    * their label. The curation use is grouping domains / near-dup
+    * families one notch softer than connected components (CC merges
+    * through any single stray edge; LPA needs a plurality).
+    *
+    * Scale shape: one keyed vote count + one per-node rank pick per
+    * round — label state is a (node, label) DataFrame, never
+    * driver-held; fixed rounds keep it SQL-replicable (the oracle
+    * unrolls the identical rounds), and lineage is checkpointed per
+    * round like every iterative driver here. */
+  def labelPropagation(edges: DataFrame, n: Long, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = spark.range(n).select(col("id").as("node"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+      val picked = votes.withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("c").desc, col("label").asc)))
+        .where(col("rn") === 1)
+        .select(col("src").as("node"), col("label").as("newl"))
+      labels = labels.join(picked, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("newl"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -80,6 +80,11 @@ object RandomLabelQueries extends QueryGroup {
     "graph_pagerank" -> ((s, d) =>
       GraphOps.pageRank(RandomOps.rmat(s, 1000, 8, 42), 256L, 10)
         .select(col("node"), (round(col("r"), 6) + 0.0).as("r"))),
+    // deterministic label propagation over the same R-MAT graph: 3
+    // synchronous rounds, plurality vote with total tie order — all
+    // integer state, so the unrolled SQL replay matches bit-for-bit
+    "graph_lpa" -> ((s, d) =>
+      GraphOps.labelPropagation(RandomOps.rmat(s, 1000, 8, 42), 256L, 3)),
   )
 
   private def rmatSql(nEdges: Int, scale: Int, seed: Long,
@@ -189,5 +194,25 @@ object RandomLabelQueries extends QueryGroup {
          |    GROUP BY 1, 2)
          |)
          |SELECT node, round(r, 6) + 0.0 AS r FROM pr WHERE it = 10""".stripMargin,
+    "graph_lpa" -> {
+      def round(r: Int): String = {
+        val prev = s"l${r - 1}"
+        s"""v$r AS (SELECT u.src, l.label, count(*) AS c
+           |       FROM und u JOIN $prev l ON l.node = u.dst GROUP BY 1, 2),
+           |p$r AS (SELECT src AS node, label FROM (
+           |  SELECT src, label,
+           |    row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+           |  FROM v$r) WHERE rn = 1),
+           |l$r AS (SELECT l.node, COALESCE(p.label, l.label) AS label
+           |        FROM $prev l LEFT JOIN p$r p ON p.node = l.node)""".stripMargin
+      }
+      s"""WITH raw AS (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |e0 AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |l0 AS (SELECT id::BIGINT AS node, id::BIGINT AS label FROM range(256) t(id)),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT node, label FROM l3""".stripMargin
+    },
   )
 }

@@ -64,6 +64,22 @@ class GraphSpec extends AnyFunSuite {
     assert(p32 === p7, s"lineage grew with round count: $p7 -> $p32")
   }
 
+  test("label propagation separates bridge-joined triangles; isolated keeps own label") {
+    import spark.implicits._
+    // two triangles joined by ONE bridge (2-3): CC merges everything into
+    // one component; LPA's plurality vote keeps the triangles apart —
+    // exactly the "softer than CC" property the curation use wants.
+    // Node 6 has no edges and must keep label 6.
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, 7L, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == got(1L) && got(1L) == got(2L), s"triangle A split: $got")
+    assert(got(3L) == got(4L) && got(4L) == got(5L), s"triangle B split: $got")
+    assert(got(0L) != got(3L), s"bridge merged the triangles: $got")
+    assert(got(6L) == 6L, s"isolated node lost its label: $got")
+  }
+
   test("pageRank: hub with many in-links outranks leaves") {
     import spark.implicits._
     val edges = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
