@@ -53,6 +53,28 @@ object AnnOps {
       .select(col("qid"), col("label").as("pred"), col("votes"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (id < nQueries), the k nearest points with a DIFFERENT label — the
+    * pairs that sharpen an embedding model (in-batch negatives are
+    * mostly easy; the valuable ones are nearest-other-class). Exact
+    * top-k here (the bounded oracle baseline, as everywhere in this
+    * family); at corpus scale the candidate set comes from the same
+    * LSH/IVF/graph paths the ANN queries use, with the label-mismatch
+    * predicate applied on candidates. Returns (qid, nid, neg_label, d, rnk). */
+  def hardNegatives(points: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = points.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vec").as("qv"), col("label").as("qlab"))
+    val c = points.select(col("id").as("nid"), col("vec").as("nv"),
+      col("label").as("neg_label"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("nid").asc)
+    q.join(c, col("qlab") =!= col("neg_label"))
+      .select(col("qid"), col("nid"), col("neg_label"),
+        sqrt(DistanceOps.l2sq(col("qv"), col("nv"))).as("d"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("neg_label"),
+        (round(col("d"), 4) + 0.0).as("d"), col("rnk"))
+  }
+
   /** Deterministic random hyperplane h (0-centered uniform lanes), seeded. */
   def hyperplane(h: Int, d: Int, seed: Long): Column =
     transform(sequence(lit(0), lit(d - 1)), j =>

@@ -147,6 +147,15 @@ object DistanceQueries extends QueryGroup {
         g0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       graft.operators.AnnOps.graphSearchTopKLandmarks(blobs, g, 20, 5, 8, 6, 25)
     }),
+    // hard-negative mining (contrastive-pair selection): nearest
+    // OTHER-label points per anchor on the labeled blobs fixture —
+    // exact form, brute-force oracle
+    "pipe_hard_negatives" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42)
+        .select(col("id"), col("vec"), col("cluster").as("label"))
+        .coalesce(4).localCheckpoint(true)
+      graft.operators.AnnOps.hardNegatives(blobs, 50, 3)
+    }),
     // CAGRA-style graph OPTIMIZE: kNN-10 graph → 2-hop detour pruning →
     // forward cap at 5 → reverse edges capped at 5. A pure function of the
     // rank-ordered graph, so the oracle replays the three relational steps;
@@ -286,6 +295,15 @@ object DistanceQueries extends QueryGroup {
   val sql: Map[String, String] = Map(
     "dist_nn_descent" -> nnDescentOracle,
     "pipe_ann_graph_opt" -> graphOptimizeOracle,
+    "pipe_hard_negatives" ->
+      s"""WITH ${blobsCte(500)}
+         |SELECT qid, nid, neg_label, round(d, 4) + 0.0 AS d, rnk FROM (
+         |  SELECT a.id AS qid, b.id AS nid, b.cluster AS neg_label,
+         |    sqrt(${foldL2sq("a.vec", "b.vec")}) AS d,
+         |    row_number() OVER (PARTITION BY a.id
+         |      ORDER BY sqrt(${foldL2sq("a.vec", "b.vec")}), b.id) AS rnk
+         |  FROM bl a JOIN bl b ON a.cluster <> b.cluster
+         |  WHERE a.id < 50) WHERE rnk <= 3""".stripMargin,
     "dist_pairwise_metrics" ->
       s"""WITH $vCte
          |SELECT a.id AS a, b.id AS b,
