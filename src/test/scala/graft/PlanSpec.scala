@@ -150,6 +150,24 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("graph optimize reads the checkpointed edge list — no per-subtree graph rebuild") {
+    val p = plan("pipe_ann_graph_opt")
+    // before the localCheckpoint the plan re-derived the kNN-graph build
+    // (an all-pairs BNLJ + WindowGroupLimit) once per consuming subtree
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "edge-list checkpoint lost: graph build re-derived per subtree")
+  }
+
+  test("pHash near-dup candidates come from a band equi-join, never all-pairs") {
+    val p = plan("pipe_mm_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band bucketing lost: pair stage degenerated to all-pairs")
+  }
+
+  test("latest-per-key keeps the window group limit (no full sort per user)") {
+    assert(plan("rel_latest_per_key").contains("WindowGroupLimit"))
+  }
+
   test("pipe_embed_neardup pair stage: native dot, cheap conjunct first, no HOF fold") {
     val p = plan("pipe_embed_neardup")
     assert(p.contains("arraydot"), s"pair stage lost the native fused dot:\n$p")
