@@ -133,6 +133,21 @@ object MultimodalOps {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Frame-level dedup — the video near-dup signal: frames (fixed-size
+    * payload windows, digested by [[frameSample]]) that appear in MORE
+    * THAN ONE document, with how many docs/occurrences share them. Two
+    * videos sharing a scene collide on its frames even when the
+    * surrounding content differs — the frame digest table is the join
+    * key, one keyed aggregate over the exploded frames (same shuffle
+    * shape as boilerplate-shingle detection, one modality over).
+    */
+  def frameDups(docs: DataFrame, frameBytes: Int = 200): DataFrame =
+    frameSample(docs, frameBytes)
+      .groupBy(col("frame_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+
   /** Frame sampling: explode each payload into fixed-size "frames" with a
     * per-frame digest — the video-frame-sample shape (one output row per
     * frame, offset metadata carried along). Pure column expressions.

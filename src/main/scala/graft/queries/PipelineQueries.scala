@@ -90,6 +90,14 @@ object PipelineQueries extends QueryGroup {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source"))
       MultimodalOps.phashNearDups(docs.unionByName(planted), 6)
     }),
+    // frame-level dedup (video near-dup): frames shared across docs;
+    // 25 planted copies guarantee collisions at every SF
+    "pipe_mm_frame_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      MultimodalOps.frameDups(docs.unionByName(planted))
+    }),
     "pipe_mm_features" -> ((s, d) =>
       MultimodalOps.featureStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()
         .select(col("doc_id"), col("resized_w"), col("resized_h"),
@@ -1101,6 +1109,17 @@ object PipelineQueries extends QueryGroup {
         |    bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS hamming
         |  FROM cand JOIN w wa ON wa.doc_id = a JOIN w wb ON wb.doc_id = b)
         |WHERE hamming <= 6""".stripMargin,
+    // frame dedup replay: identical frame digests over the planted corpus
+    "pipe_mm_frame_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+        |fr AS (
+        |  SELECT doc_id, md5(substr(text, i * 200 + 1, 200)) AS frame_md5
+        |  FROM corpus, unnest(range((length(text) + 199) // 200)) AS t(i))
+        |SELECT frame_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "pipe_mm_frames" ->
       """SELECT doc_id, i AS frame_idx, i * 200 AS offset,
         |  md5(substr(text, i * 200 + 1, 200)) AS frame_md5
