@@ -159,7 +159,32 @@ object ScaleProbe {
         val recall2 = hits2.toDouble / (100 * 5)
         require(recall2 >= 0.95, s"recall $recall2 on the optimized graph below 0.95")
         s""""mode":"graphopt","n":$n,"edges_in":$nIn,"edges_out":$nOut,"fwd":$nFwd,"recall":$recall2"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt)")
+      case "lpa" =>
+        // label propagation on a ring of cliques (n/20 cliques of 20, one
+        // bridge each): closed form — round 1 labels every clique member
+        // min(clique) except the min node itself, round 2 is uniform and
+        // stable, and a single bridge vote can never beat the 18-vote
+        // in-clique plurality. Self-check: exactly n/20 communities, each
+        // of size 20 with label = 20·c.
+        val nC = (n / 20L).toInt
+        val pairIdx = for (i <- 0 until 20; j <- i + 1 until 20) yield (i, j)
+        val pairsLit = typedLit(pairIdx)
+        val cliques = spark.range(nC)
+          .select(col("id").as("c"), explode(pairsLit).as("p"))
+          .select((col("c") * 20 + col("p._1")).as("src"),
+            (col("c") * 20 + col("p._2")).as("dst"))
+        val bridges = spark.range(nC - 1)
+          .select((col("id") * 20 + 19).as("src"), ((col("id") + 1) * 20).as("dst"))
+        val labels = graft.operators.GraphOps
+          .labelPropagation(cliques.unionByName(bridges), nC * 20L, 3)
+          .localCheckpoint(true)
+        val comms = labels.groupBy(col("label")).count().localCheckpoint(true)
+        val nComm = comms.count()
+        require(nComm == nC, s"expected $nC communities, got $nComm")
+        val bad = comms.where(col("count") =!= 20 || pmod(col("label"), lit(20L)) =!= 0).count()
+        require(bad == 0, s"$bad communities with wrong size/label")
+        s""""mode":"lpa","n":${nC * 20L},"edges":${nC * 190L + nC - 1},"communities":$nComm"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":{$result,"sec":$dt}}""")
