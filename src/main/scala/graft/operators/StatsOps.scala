@@ -267,8 +267,15 @@ object StatsOps {
     * The cumulative window runs over the ≤ ~700-row sketch, not data.
     */
   /** HDR bucket id of a non-negative BIGINT column named `v` (see
-    * [[quantileSketch]]); shared with the streaming sketch twin. */
-  def hdrBucket: Column = when(col("v") < 32L, col("v")).otherwise(
+    * [[quantileSketch]]); shared with the streaming sketch twin. The
+    * codegen'd [[graft.functions.HdrBucket]] — two integer ops per row;
+    * the declarative `length(bin(v))` twin allocates a string per row
+    * and lives on in the property suite as the equivalence oracle. */
+  def hdrBucket: Column = graft.functions.HdrBucket.bucket(col("v"))
+
+  /** The declarative twin (string-exponent form) — property-tested equal
+    * to [[hdrBucket]] on every v ≥ 0; the SQL oracles replay this shape. */
+  def hdrBucketDeclarative: Column = when(col("v") < 32L, col("v")).otherwise(
     (length(bin(col("v"))).cast("long") - 5L) * 32L +
       expr("v div CAST(power(2, length(bin(v)) - 6) AS BIGINT)") - 32L)
 

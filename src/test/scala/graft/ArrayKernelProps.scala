@@ -94,4 +94,39 @@ object ArrayKernelProps extends Properties("ArrayKernels") {
     val n = ArrayNormSq(arrLit(a)).eval(null).asInstanceOf[Double]
     java.lang.Double.doubleToLongBits(d) == java.lang.Double.doubleToLongBits(n)
   }
+
+  // the reference bucketing the SQL oracles replay: exact bit-length
+  // exponent + floor-divide mantissa, on plain Longs
+  private def hdrRef(v: Long): Long =
+    if (v < 32L) v
+    else {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      // mirror the declarative/oracle form: v div 2^(e-5) via exact
+      // double power (e-5 <= 58 so the power is exactly representable)
+      (e - 5 + 1).toLong * 32L + (v / math.pow(2.0, e - 5).toLong) - 32L
+    }
+
+  private val nonNeg: Gen[Long] = Gen.oneOf(
+    Gen.chooseNum(0L, 64L),
+    Gen.chooseNum(0L, 1L << 20),
+    Gen.chooseNum(0L, Long.MaxValue),
+    Gen.oneOf(0L, 31L, 32L, 33L, 63L, 64L, (1L << 62) - 1, 1L << 62, Long.MaxValue))
+
+  property("HdrBucket = the declarative bit-length form on all v >= 0") =
+    forAll(nonNeg) { (v: Long) =>
+      val got = graft.functions.HdrBucket(Literal(v)).eval(null).asInstanceOf[Long]
+      Prop(got == hdrRef(v)) :| s"v=$v got $got want ${hdrRef(v)}"
+    }
+
+  property("HdrBucket lower bound brackets v within 1/32 relative width") =
+    forAll(nonNeg) { (v: Long) =>
+      val b = graft.functions.HdrBucket(Literal(v)).eval(null).asInstanceOf[Long]
+      val lo = if (b < 32L) b else (b % 32L + 32L) << (b / 32L - 1).toInt
+      val width = if (b < 32L) 1L else 1L << (b / 32L - 1).toInt
+      Prop(lo <= v && (v - lo) < width) :| s"v=$v bucket=$b lo=$lo width=$width"
+    }
+
+  property("HdrBucket is null on negative input") = forAll(Gen.chooseNum(Long.MinValue, -1L)) {
+    (v: Long) => graft.functions.HdrBucket(Literal(v)).eval(null) == null
+  }
 }
