@@ -41,6 +41,25 @@ object TextOps {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
 
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009) —
+    * count-sketch signed projection of the term-doc matrix into d fixed
+    * lanes: proj_k(doc) = Σ_terms tf·s_k(term), s_k(term) = ±1 from the
+    * term hash. THE constant-width featurizer at 100 TB (no vocabulary
+    * to build, broadcast, or grow) and all-INTEGER arithmetic, so the
+    * projection is bit-exact across engines and partitionings — unlike
+    * a float JL projection, whose cross-engine summation order differs.
+    * One explode + one (doc, lane) aggregate. */
+  def featureHashing(docs: DataFrame, d: Int = 8): DataFrame =
+    termDoc(docs)
+      .select(col("doc_id"), col("tf").cast("long").as("tf"),
+        explode(sequence(lit(0), lit(d - 1))).as("k"),
+        col("term"))
+      .select(col("doc_id"), col("k"),
+        (col("tf") * (pmod(h32(concat_ws(":", col("term"), col("k"), lit("fh"))),
+          lit(2L)) * 2L - 1L)).as("sv"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(col("sv")).as("v"))
+
   /** TF-IDF per the reference formula; terms with tf=1 get weight 0
     * (tf = ln(count), as in transform_tfidf). */
   def tfidf(docs: DataFrame): DataFrame = {

@@ -169,6 +169,12 @@ object SparseTextQueries extends QueryGroup {
     "txt_bm25" -> ((s, d) => {
       TextOps.bm25(Tables.documents(s, d)).where(col("doc_id") < 300)
     }),
+    // hashing-trick featurization: signed integer count-sketch lanes —
+    // the vocabulary-free constant-width embedder, bit-exact (all
+    // integer arithmetic)
+    "txt_feature_hashing" -> ((s, d) =>
+      TextOps.featureHashing(Tables.documents(s, d))
+        .where(col("doc_id") < 300)),
     "txt_bm25_score" -> ((s, d) =>
       TextOps.bm25Score(Tables.documents(s, d), Seq("spark", "join", "merge"))),
     "txt_quality" -> ((s, d) => {
@@ -345,6 +351,15 @@ object SparseTextQueries extends QueryGroup {
          |SELECT td.doc_id, td.term,
          |       round(ln(td.tf) * ln(CAST(n.n AS DOUBLE)/df.df + 1.0), 6) AS w
          |FROM td, df, n WHERE td.term = df.term AND td.doc_id < 300""".stripMargin,
+    "txt_feature_hashing" ->
+      s"""$tokCte
+         |SELECT doc_id, k,
+         |  CAST(sum(CAST(tf AS BIGINT) *
+         |    ((CAST(('0x' || substr(md5(concat_ws(':', term, k, 'fh')), 1, 8)) AS BIGINT) % 2) * 2 - 1))
+         |    AS BIGINT) AS v
+         |FROM td, range(8) r(k)
+         |WHERE doc_id < 300
+         |GROUP BY 1, 2""".stripMargin,
     "txt_bm25" ->
       s"""$tokCte,
          |df AS (SELECT term, count(*) AS df FROM td GROUP BY term),
