@@ -147,6 +147,21 @@ object DistanceQueries extends QueryGroup {
         g0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       graft.operators.AnnOps.graphSearchTopKLandmarks(blobs, g, 20, 5, 8, 6, 25)
     }),
+    // kNN-distance outlier scoring (the embedding-space cleaning filter:
+    // score = distance to the k-th neighbor; planted far outliers score
+    // orders of magnitude above blob points). Composition of the
+    // existing kNN-graph primitive — at corpus scale the graph comes
+    // from the ball-cover/LSH paths.
+    "dist_knn_outlier" -> ((s, d) => {
+      val blobs = RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec"))
+      val outliers = s.range(10).select((col("id") + 500).as("id"),
+        transform(sequence(lit(0), lit(7)),
+          _ => lit(1.0e6) + col("id").cast("double") * 1.0e4).as("vec"))
+      val pts = blobs.unionByName(outliers).coalesce(4).localCheckpoint(true)
+      DistanceOps.knnGraph(pts, 5).where(col("rnk") === 5)
+        .select(col("src").as("id"), col("dist").as("knn_dist"),
+          (col("dist") > 100.0).cast("int").as("is_outlier"))
+    }),
     // hard-negative mining (contrastive-pair selection): nearest
     // OTHER-label points per anchor on the labeled blobs fixture —
     // exact form, brute-force oracle
@@ -295,6 +310,21 @@ object DistanceQueries extends QueryGroup {
   val sql: Map[String, String] = Map(
     "dist_nn_descent" -> nnDescentOracle,
     "pipe_ann_graph_opt" -> graphOptimizeOracle,
+    "dist_knn_outlier" ->
+      s"""WITH ${blobsCte(500)},
+         |pts AS (
+         |  SELECT id, vec FROM bl
+         |  UNION ALL
+         |  SELECT 500 + i, [1.0e6 + i * 1.0e4 FOR j IN range(8)] FROM range(10) t(i)),
+         |d AS (SELECT a.id AS src, b.id AS dst, ${foldL2sq("a.vec", "b.vec")} AS d2
+         |      FROM pts a JOIN pts b ON a.id <> b.id),
+         |e AS (SELECT src, d2,
+         |        row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rnk
+         |      FROM d QUALIFY rnk = 5)
+         |SELECT src AS id, round(sqrt(d2), 4) + 0.0 AS knn_dist,
+         |  CAST(CASE WHEN round(sqrt(d2), 4) + 0.0 > 100.0 THEN 1 ELSE 0 END AS INTEGER)
+         |    AS is_outlier
+         |FROM e""".stripMargin,
     "pipe_hard_negatives" ->
       s"""WITH ${blobsCte(500)}
          |SELECT qid, nid, neg_label, round(d, 4) + 0.0 AS d, rnk FROM (
