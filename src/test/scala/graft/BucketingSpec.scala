@@ -50,6 +50,48 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the third scan-reduction mechanism next to static pushdown and
+    // z-order skipping: the fact table is PARTITIONED by the join key's
+    // dimension attribute, and Spark injects a runtime subquery filter
+    // (dynamicpruning#...) so only partitions matching the FILTERED dim
+    // rows are read — at 100 TB this is the difference between scanning
+    // one date/segment directory and scanning the table
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.lineitem(spark, sf)
+      .write.mode("overwrite").partitionBy("l_returnflag")
+      .parquet(s"$dir/li_part")
+    try {
+      val fact = spark.read.parquet(s"$dir/li_part")
+      // the filter sits on a NON-join dim attribute: a literal equality on
+      // the join key itself would be constant-propagated onto the fact's
+      // partition column and pruned STATICALLY (verified — Spark does it),
+      // which is great but isn't the runtime mechanism under test. The dim
+      // must also be file-backed: over a LocalRelation the optimizer
+      // folds the filter into the literal rows and the DPP rule no longer
+      // sees a selective predicate to transplant
+      import spark.implicits._
+      Seq(("A", "keep"), ("N", "drop"), ("R", "keep"))
+        .toDF("rf", "category")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val dim = spark.read.parquet(s"$dir/dim")
+        .where(col("category") === "keep")
+      val joined = fact.join(dim, col("l_returnflag") === col("rf"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected a dynamic partition pruning subquery in:\n$plan")
+      // and the pruned result equals the direct filter
+      val got = math.round(joined.collect()(0).getDouble(0))
+      val expected = math.round(Tables.lineitem(spark, sf)
+        .where(col("l_returnflag").isin("A", "R"))
+        .agg(sum(col("l_quantity"))).collect()(0).getDouble(0))
+      assert(got == expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("z-order write path: range partitions carry disjoint z-ranges and tight boxes") {
     // the write-side form of rel_zorder_layout: repartitionByRange on the
     // z-value makes each output partition (= would-be file) own a disjoint
