@@ -305,6 +305,32 @@ object StatsOps {
         col("rank"), est.cast("long").as("est"))
   }
 
+  /** Per-GROUP quantile sketches — [[quantileSketch]] keyed by a group
+    * column (the production shape: percentiles per tenant / source /
+    * day). The sketch build stays one map-side-combinable aggregate,
+    * now keyed (group, bucket); the cumulative pick runs per group over
+    * each group's ≤ ~700 cells. Input: (g, v). Output: (g, q, rank, est). */
+  def quantileSketchBy(values: DataFrame,
+      qs: Seq[(Long, Long)] = Seq((1L, 2L), (9L, 10L), (99L, 100L))): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sketch = values.select(col("g"), hdrBucket.as("bucket"))
+      .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = sketch.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("g")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = sketch.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val ranks = qs.toDF("num", "den").crossJoin(broadcast(tot))
+      .select(col("g"), col("num"), col("den"),
+        expr("(num * n + den - 1) div den").as("rank"))
+    ranks.join(cum, Seq("g")).where(col("cum") >= col("rank"))
+      .groupBy(col("g"), col("num"), col("den"), col("rank"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("g"), (col("num").cast("double") / col("den")).as("q"),
+        col("rank"), hdrLowerBound(col("bucket")).cast("long").as("est"))
+  }
+
   /** popc: total population count over a bigint column —
     * reference: util/popc.cuh:23, core/bitset.hpp:124 (bitset.count). */
   def popCount(spark: SparkSession, dir: String): DataFrame =

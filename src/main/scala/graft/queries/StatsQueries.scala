@@ -55,6 +55,13 @@ object StatsQueries extends QueryGroup {
         graft.Tables.lineitem(s, d)
           .where(col("l_extendedprice").isNotNull)
           .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")))),
+    // the keyed form: sketches per return flag (percentiles-per-tenant)
+    "stat_quantile_sketch_by" -> ((s, d) =>
+      StatsOps.quantileSketchBy(
+        graft.Tables.lineitem(s, d)
+          .where(col("l_extendedprice").isNotNull)
+          .select(col("l_returnflag").as("g"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")))),
     "stat_info_criterion" -> ((s, d) => StatsOps.informationCriterion(s, d)),
     "stat_trustworthiness" -> ((s, d) => graft.operators.SpectralOps.trustworthiness(s, d)),
   )
@@ -183,6 +190,31 @@ object StatsQueries extends QueryGroup {
         |pick AS (SELECT num, den, rank, min(bucket) AS bucket
         |         FROM r JOIN c ON c.cum >= r.rank GROUP BY 1, 2, 3)
         |SELECT CAST(num AS DOUBLE) / den AS q, rank,
+        |  CAST(CASE WHEN bucket < 32 THEN bucket
+        |       ELSE (bucket % 32 + 32) * CAST(power(2, bucket // 32 - 1) AS BIGINT)
+        |       END AS BIGINT) AS est
+        |FROM pick""".stripMargin,
+    "stat_quantile_sketch_by" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        |  SELECT g, CASE WHEN v < 32 THEN v
+        |    ELSE (length(bin(v)) - 5) * 32
+        |         + v // CAST(power(2, length(bin(v)) - 6) AS BIGINT) - 32 END AS bucket
+        |  FROM v),
+        |s AS (SELECT g, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT g, bucket, cnt,
+        |        sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM s),
+        |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM s GROUP BY 1),
+        |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) q(num, den)),
+        |r AS (SELECT g, num, den, (num * n + den - 1) // den AS rank FROM qs, tot),
+        |pick AS (SELECT r.g, num, den, rank, min(bucket) AS bucket
+        |         FROM r JOIN c ON c.g = r.g AND c.cum >= r.rank
+        |         GROUP BY 1, 2, 3, 4)
+        |SELECT g, CAST(num AS DOUBLE) / den AS q, rank,
         |  CAST(CASE WHEN bucket < 32 THEN bucket
         |       ELSE (bucket % 32 + 32) * CAST(power(2, bucket // 32 - 1) AS BIGINT)
         |       END AS BIGINT) AS est
