@@ -251,6 +251,31 @@ object DedupOps {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** Sorted-neighborhood dedup (Hernández & Stolfo 1995) — the classic
+    * BLOCKING alternative to LSH banding: sort the corpus by a content
+    * sort key (here the first 4 tokens of the sorted distinct-token
+    * set — near-dups share their token multiset, hence the key), then
+    * compare each record only with its `window` successors in sort
+    * order, exact-Jaccard confirming at `threshold`. Candidates are
+    * n·window instead of n², and the sort is the one range exchange —
+    * the method of choice when a natural sort key clusters duplicates
+    * (timestamps, normalized titles). Returns (a, b, jac), a < b by
+    * sort position. */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokenize(docs)
+      .select(col("doc_id"), array_join(
+        slice(array_sort(array_distinct(col("tokens"))), 1, 4), " ").as("skey"))
+    val ranked = toks.withColumn("rn", row_number().over(
+      Window.orderBy(col("skey"), col("doc_id"))))
+    val cand = ranked.as("x").join(ranked.as("y"),
+        col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + window)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val sh = shingles(docs).localCheckpoint(true)
+    jaccardOf(cand, sh).where(col("jac") >= threshold)
+  }
+
   /** FUZZY decontamination — the near-dup upgrade of [[contamination]]:
     * exact shingle-sharing misses paraphrased or partially-overlapping
     * benchmark leakage, so candidate (train, eval) pairs come from shared

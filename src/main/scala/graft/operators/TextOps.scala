@@ -470,6 +470,30 @@ object TextOps {
       .where(col("rnk") <= topN)
   }
 
+  /** Greedy budget selection — "take the best docs until the token
+    * budget is spent", the final step of a quality-scored curation run:
+    * rank docs by a quality proxy (distinct-token count, integer so the
+    * rank is bit-deterministic; swap in any per-doc score), cumulative
+    * whitespace-token cost in rank order, keep while cum ≤ budget.
+    * The global rank IS the semantics (a total order over docs), so the
+    * one range exchange is irreducible; everything else is a window
+    * cumsum. Returns the per-source selection report. */
+  def budgetSelect(docs: DataFrame, budget: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = tokenize(docs)
+      .select(col("doc_id"), size(array_distinct(col("tokens"))).cast("long").as("score"))
+      .join(docs.select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("cost")),
+        Seq("doc_id"))
+    val ranked = scored.withColumn("cum", sum(col("cost")).over(
+      Window.orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.where(col("cum") <= budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cost")).as("n_tokens"),
+        min(col("score")).as("min_score"))
+  }
+
   /** Deterministic GLOBAL SHUFFLE layout (the "shuffle shards before
     * training" step every data pipeline ends with): shuffle key =
     * h32(doc_id:salt) — a pure function of document identity, so the

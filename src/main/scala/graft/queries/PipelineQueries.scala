@@ -123,6 +123,14 @@ object PipelineQueries extends QueryGroup {
       DedupOps.boilerplateShingles(Tables.documents(s, d), 3L)),
     "pipe_dedup_survivors" -> ((s, d) =>
       DedupOps.dedupSurvivors(Tables.documents(s, d), 0.5)),
+    // sorted-neighborhood blocking: sort by the token-set prefix key,
+    // compare each doc with its 3 successors, Jaccard confirm
+    "pipe_dedup_snm" -> ((s, d) =>
+      DedupOps.sortedNeighborhoodPairs(Tables.documents(s, d), 3, 0.5)),
+    // greedy quality-budget selection: best docs (distinct-token score)
+    // until 20k whitespace tokens
+    "pipe_budget_select" -> ((s, d) =>
+      TextOps.budgetSelect(Tables.documents(s, d), 20000L)),
     "pipe_dup_ngram_fraction" -> ((s, d) =>
       DedupOps.dupNgramFraction(Tables.documents(s, d), 2L)),
     "pipe_repetition" -> ((s, d) =>
@@ -558,6 +566,47 @@ object PipelineQueries extends QueryGroup {
          |SELECT i.a, i.b, round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jac
          |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
          |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5""".stripMargin,
+    // sorted-neighborhood replay: same token-prefix sort key, rank
+    // window, w=3 successor candidates, shingle-Jaccard confirm
+    "pipe_dedup_snm" ->
+      s"""$shCte,
+         |sk AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_sort(list_distinct(tokens))[1:4], ' ') AS skey
+         |  FROM toks),
+         |rk AS (SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) AS rn FROM sk),
+         |cand AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM rk x JOIN rk y ON y.rn > x.rn AND y.rn <= x.rn + 3),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS inter FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+         |  WHERE sa.hs = sb.hs GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         |SELECT i.a, i.b,
+         |  round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jac
+         |FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5""".stripMargin,
+    // budget-selection replay: identical integer score/cost and rank
+    "pipe_budget_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, d.source,
+        |    CAST(len(list_distinct(t.tokens)) AS BIGINT) AS score,
+        |    CAST(len(list_filter(string_split_regex(d.text, '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS cost
+        |  FROM toks t JOIN documents d ON d.doc_id = t.doc_id),
+        |ranked AS (
+        |  SELECT source, cost, score,
+        |    sum(cost) OVER (ORDER BY score DESC, doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM scored)
+        |SELECT source, count(*) AS n_docs, CAST(sum(cost) AS BIGINT) AS n_tokens,
+        |  min(score) AS min_score
+        |FROM ranked WHERE cum <= 20000 GROUP BY 1""".stripMargin,
     // same MinHash banding as pipe_minhash_lsh but joined ACROSS the
     // train/eval split (train >= 50, eval < 50), exact-Jaccard confirmed
     "pipe_contamination_fuzzy" ->

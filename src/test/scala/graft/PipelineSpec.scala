@@ -359,6 +359,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 2L), (3, "aa", "ab", 2L)))
   }
 
+  test("sorted-neighborhood blocking: true pairs only, overlaps LSH, recall is key-bound") {
+    val docs = graft.Tables.documents(spark, sf)
+    val snm = DedupOps.sortedNeighborhoodPairs(docs, 3, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(snm.nonEmpty, "expected near-dups adjacent under the token-prefix key")
+    // every reported pair re-verifies against an independent exact Jaccard
+    val sh = DedupOps.shingles(docs).localCheckpoint(true)
+    import spark.implicits._
+    val pairs = snm.map(_._1).toSeq.toDF("a", "b")
+    val re = DedupOps.jaccardOf(pairs, sh).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    snm.foreach { case (p, jac) =>
+      assert(re(p) == jac && jac >= 0.5, s"pair $p jac $jac vs ${re(p)}")
+    }
+    // the two blocking paradigms overlap but neither dominates here: the
+    // word-soup dups perturb the token SET, so some LSH pairs have
+    // diverged sort keys (SNM's documented recall bound — recall tracks
+    // sort-key quality, unlike LSH whose bound is the band structure)
+    def unordered(s: Set[(Long, Long)]) = s.map { case (a, b) => (a min b, a max b) }
+    val lsh = DedupOps.minhashDupPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unordered(snm.map(_._1).toSet).intersect(unordered(lsh)).nonEmpty,
+      "expected common pairs between SNM and LSH blocking")
+  }
+
   test("global shuffle: disjoint shard key ranges, every doc counted once, no hot shard") {
     val docs = graft.Tables.documents(spark, sf)
     val n = docs.count()
