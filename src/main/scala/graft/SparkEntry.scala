@@ -110,6 +110,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerFlag(s, d)),
     "rel_set_ops" -> ((s, d) => Relational.customerSetOps(s, d)),
     "rel_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(s, d)),
+    "rel_approx_distinct_union" -> ((s, d) => Relational.approxDistinctUnion(s, d)),
     "rel_event_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
     // connector round-trips: the ORACLE reads the original parquet, so a
     // quoting/escaping/null bug in the CSV/JSON path breaks the hash
@@ -223,6 +224,39 @@ private object RelationalQueries extends graft.queries.QueryGroup {
          |FROM est e JOIN (
          |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
          |  FROM lineitem GROUP BY 1) x USING (l_returnflag)""".stripMargin
+    },
+    // sketch-union identity: register-wise max across flags == rescan of
+    // the union slice; same register replay as rel_approx_distinct
+    "rel_approx_distinct_union" -> {
+      val numer = 0.7213 / (1.0 + 1.079 / 4096) * 4096.0 * 4096.0 * math.pow(2.0, 49)
+      def est(src: String, name: String): String =
+        s"""est_$name AS (
+           |  SELECT CAST(CASE WHEN raw <= 10240.0 AND zeros > 0
+           |    THEN round(4096.0 * ln(4096.0 / zeros)) ELSE round(raw) END AS BIGINT)
+           |    AS $name
+           |  FROM (
+           |    SELECT zeros, $numer / CAST(s_hit + zeros * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS raw
+           |    FROM (
+           |      SELECT sum(CAST(1 AS BIGINT) << (49 - rank)) AS s_hit,
+           |        4096 - count(*) AS zeros
+           |      FROM $src)))""".stripMargin
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         |base AS (
+         |  SELECT l_returnflag, h & 4095 AS bucket,
+         |    CASE WHEN h >> 12 = 0 THEN 49 ELSE 49 - length(bin(h >> 12)) END AS rk
+         |  FROM h),
+         |byflag AS (SELECT l_returnflag, bucket, max(rk) AS rank FROM base GROUP BY 1, 2),
+         |merged AS (SELECT bucket, max(rank) AS rank FROM byflag GROUP BY 1),
+         |rescan AS (SELECT bucket, max(rk) AS rank FROM base GROUP BY 1),
+         |${est("merged", "approx_union")},
+         |${est("rescan", "approx_rescan")},
+         |ex AS (SELECT count(DISTINCT l_partkey) AS exact_union FROM lineitem
+         |       WHERE l_returnflag IN ('A', 'R'))
+         |SELECT approx_union, approx_rescan, exact_union
+         |FROM est_approx_union, est_approx_rescan, ex""".stripMargin
     },
     // custom-operator as-of join: last signup at-or-before each event
     "rel_asof_native" ->

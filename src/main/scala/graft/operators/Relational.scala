@@ -241,6 +241,44 @@ object Relational {
         .agg(countDistinct(col("l_partkey")).as("exact_parts")), Seq("l_returnflag"))
   }
 
+  /** HLL sketch UNION — the mergeability that lets per-day / per-shard
+    * sketches roll up at 100 TB without rescanning rows: the distinct
+    * count of the A∪R slice derived by REGISTER-WISE MAX of the two
+    * flags' register tables equals (exactly — the register math is a
+    * pure function of the value set) the estimate from a direct rescan
+    * of the union slice. One row out: both estimates plus the exact
+    * union count, hash-proving the merge identity in-data. */
+  def approxDistinctUnion(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4096
+    val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val base = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"), (h.bitwiseAND(lit(m - 1L))).as("bucket"),
+        shiftright(h, 12).as("w"))
+    val rankAgg = max(when(col("w") === 0L, 49)
+      .otherwise(lit(49) - length(bin(col("w"))))).as("rank")
+    def estimate(regs: DataFrame, name: String): DataFrame = {
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      regs.agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - rank)")).as("s_hit"),
+          (lit(m) - count(lit(1))).as("zeros"))
+        .select(col("zeros"),
+          (lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, 49)) /
+            (col("s_hit") + col("zeros") * lit(1L << 49)).cast("double")).as("raw"))
+        .select(when(col("raw") <= 2.5 * m && col("zeros") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double"))))
+          .otherwise(round(col("raw"))).cast("long").as(name))
+    }
+    val byFlag = base.groupBy(col("l_returnflag"), col("bucket")).agg(rankAgg)
+    val merged = byFlag.groupBy(col("bucket")).agg(max(col("rank")).as("rank"))
+    val rescan = base.groupBy(col("bucket")).agg(rankAgg)
+    estimate(merged, "approx_union")
+      .crossJoin(estimate(rescan, "approx_rescan"))
+      .crossJoin(Tables.lineitem(spark, dir)
+        .where(col("l_returnflag").isin("A", "R"))
+        .agg(countDistinct(col("l_partkey")).as("exact_union")))
+  }
+
   /** Cube aggregation over two dimensions (grouping-sets surface). */
   def cubeQuantity(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
