@@ -268,10 +268,17 @@ object DedupOps {
       .select(col("doc_id"), array_join(
         slice(array_sort(array_distinct(col("tokens"))), 1, 4), " ").as("skey"))
     val ranked = toks.withColumn("rn", row_number().over(
-      Window.orderBy(col("skey"), col("doc_id"))))
-    val cand = ranked.as("x").join(ranked.as("y"),
-        col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + window)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      Window.orderBy(col("skey"), col("doc_id")))).localCheckpoint(true)
+    // the successor window is ENUMERABLE (offsets 1..w), so candidates
+    // are an EQUI-join on rank — a raw rn-range predicate plans as a
+    // BroadcastNestedLoopJoin, which is all-pairs at corpus scale
+    // (caught in the Explain audit; PlanSpec guards it now)
+    val cand = ranked
+      .select(col("doc_id").as("a"), col("rn"),
+        explode(sequence(lit(1), lit(window))).as("off"))
+      .select(col("a"), (col("rn") + col("off")).as("rn"))
+      .join(ranked.select(col("doc_id").as("b"), col("rn")), Seq("rn"))
+      .select(col("a"), col("b"))
     val sh = shingles(docs).localCheckpoint(true)
     jaccardOf(cand, sh).where(col("jac") >= threshold)
   }

@@ -168,6 +168,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("rel_latest_per_key").contains("WindowGroupLimit"))
   }
 
+  test("sorted-neighborhood candidates come from a rank equi-join, never BNLJ") {
+    assert(!plan("pipe_dedup_snm").contains("BroadcastNestedLoopJoin"),
+      "SNM successor window degenerated to an all-pairs range join")
+  }
+
   test("pipe_embed_neardup pair stage: native dot, cheap conjunct first, no HOF fold") {
     val p = plan("pipe_embed_neardup")
     assert(p.contains("arraydot"), s"pair stage lost the native fused dot:\n$p")
