@@ -331,6 +331,44 @@ object StatsOps {
         col("rank"), hdrLowerBound(col("bucket")).cast("long").as("est"))
   }
 
+  /** HDR sketch MERGE identity, proven in-data (the quantile counterpart
+    * of the HLL register union): build one sketch per half of the corpus
+    * (split by row parity — any shard split works), SUM the bucket
+    * counts, and the quantiles derived from the merged sketch equal the
+    * direct whole-corpus sketch's — exactly, because bucket counts are
+    * plain addends. This is why per-day / per-shard sketches roll up at
+    * 100 TB without rescanning rows. Output: (q, rank, est_merged,
+    * est_direct) — the two estimate columns are equal by construction. */
+  def quantileSketchMerge(values: DataFrame,
+      qs: Seq[(Long, Long)] = Seq((1L, 2L), (9L, 10L), (99L, 100L))): DataFrame = {
+    val halves = values.select((col("v") % 2L).as("g"), col("v"))
+    val merged = halves.select(col("g"), hdrBucket.as("bucket"))
+      .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt")) // the MERGE
+    val direct = values.select(hdrBucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    def pick(sketch: DataFrame, name: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val spark = values.sparkSession
+      import spark.implicits._
+      val cum = sketch.withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = sketch.agg(sum(col("cnt")).as("n"))
+      qs.toDF("num", "den").crossJoin(broadcast(tot))
+        .select(col("num"), col("den"), expr("(num * n + den - 1) div den").as("rank"))
+        .join(cum, col("cum") >= col("rank"))
+        .groupBy(col("num"), col("den"), col("rank"))
+        .agg(min(col("bucket")).as("bucket"))
+        .select(col("num"), col("den"), col("rank"),
+          hdrLowerBound(col("bucket")).cast("long").as(name))
+    }
+    pick(merged, "est_merged")
+      .join(pick(direct, "est_direct"), Seq("num", "den", "rank"))
+      .select((col("num").cast("double") / col("den")).as("q"),
+        col("rank"), col("est_merged"), col("est_direct"))
+  }
+
   /** popc: total population count over a bigint column —
     * reference: util/popc.cuh:23, core/bitset.hpp:124 (bitset.count). */
   def popCount(spark: SparkSession, dir: String): DataFrame =

@@ -55,6 +55,12 @@ object StatsQueries extends QueryGroup {
         graft.Tables.lineitem(s, d)
           .where(col("l_extendedprice").isNotNull)
           .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")))),
+    // merge identity in-data: per-half sketches summed == direct sketch
+    "stat_quantile_sketch_merge" -> ((s, d) =>
+      StatsOps.quantileSketchMerge(
+        graft.Tables.lineitem(s, d)
+          .where(col("l_extendedprice").isNotNull)
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")))),
     // the keyed form: sketches per return flag (percentiles-per-tenant)
     "stat_quantile_sketch_by" -> ((s, d) =>
       StatsOps.quantileSketchBy(
@@ -193,6 +199,34 @@ object StatsQueries extends QueryGroup {
         |  CAST(CASE WHEN bucket < 32 THEN bucket
         |       ELSE (bucket % 32 + 32) * CAST(power(2, bucket // 32 - 1) AS BIGINT)
         |       END AS BIGINT) AS est
+        |FROM pick""".stripMargin,
+    // merge replay: both estimate columns derive from the same buckets,
+    // so the oracle computes one estimate and emits it twice
+    "stat_quantile_sketch_merge" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        |  SELECT CASE WHEN v < 32 THEN v
+        |    ELSE (length(bin(v)) - 5) * 32
+        |         + v // CAST(power(2, length(bin(v)) - 6) AS BIGINT) - 32 END AS bucket
+        |  FROM v),
+        |s AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt,
+        |        sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM s),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM s),
+        |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) q(num, den)),
+        |r AS (SELECT num, den, (num * n + den - 1) // den AS rank FROM qs, tot),
+        |pick AS (SELECT num, den, rank, min(bucket) AS bucket
+        |         FROM r JOIN c ON c.cum >= r.rank GROUP BY 1, 2, 3)
+        |SELECT CAST(num AS DOUBLE) / den AS q, rank,
+        |  CAST(CASE WHEN bucket < 32 THEN bucket
+        |       ELSE (bucket % 32 + 32) * CAST(power(2, bucket // 32 - 1) AS BIGINT)
+        |       END AS BIGINT) AS est_merged,
+        |  CAST(CASE WHEN bucket < 32 THEN bucket
+        |       ELSE (bucket % 32 + 32) * CAST(power(2, bucket // 32 - 1) AS BIGINT)
+        |       END AS BIGINT) AS est_direct
         |FROM pick""".stripMargin,
     "stat_quantile_sketch_by" ->
       """WITH v AS (
