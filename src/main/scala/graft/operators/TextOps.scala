@@ -462,12 +462,16 @@ object TextOps {
     * still the word-count aggregate the training loop starts from. */
   def bpeEncode(docs: DataFrame, rounds: Int = 3, topN: Int = 50): DataFrame = {
     val (vocab, _) = bpeTrain(docs, rounds)
-    vocab.select(col("w"), col("cnt"), explode(col("syms")).as("piece"))
+    val hist = vocab.select(col("w"), col("cnt"), explode(col("syms")).as("piece"))
       .groupBy(col("piece"))
       .agg(sum(col("cnt")).as("n_occ"), countDistinct(col("w")).as("n_words"))
+    // top-N via sort+limit (TakeOrdered: per-partition heaps) — a global
+    // rank WINDOW here would single-partition the whole piece histogram,
+    // which is vocabulary-sized; the rank is recomputed on the <= topN
+    // survivors only
+    hist.orderBy(col("n_occ").desc, col("piece").asc).limit(topN)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("n_occ").desc, col("piece").asc)))
-      .where(col("rnk") <= topN)
   }
 
   /** Greedy budget selection — "take the best docs until the token
@@ -480,15 +484,39 @@ object TextOps {
     * cumsum. Returns the per-source selection report. */
   def budgetSelect(docs: DataFrame, budget: Long = 20000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     val scored = tokenize(docs)
       .select(col("doc_id"), size(array_distinct(col("tokens"))).cast("long").as("score"))
       .join(docs.select(col("doc_id"), col("source"),
         size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("cost")),
         Seq("doc_id"))
-    val ranked = scored.withColumn("cum", sum(col("cost")).over(
-      Window.orderBy(col("score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    ranked.where(col("cum") <= budget)
+    // distributed prefix sum, TeraSort shape (same pattern as the exact
+    // quantiles): range-partition on the rank order, cumsum WITHIN each
+    // partition in parallel, then add the broadcast per-partition offsets.
+    // A bare global-ORDER window would move the whole corpus to ONE task.
+    // The result is a pure function of the total order, so partitioner
+    // boundaries don't affect it.
+    val p = math.max(1, spark.sparkContext.defaultParallelism / 4)
+    val ranked = scored
+      .repartitionByRange(p, (-col("score")).as("ns"), col("doc_id"))
+      .sortWithinPartitions((-col("score")).as("ns"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("cum_local", sum(col("cost")).over(
+        Window.partitionBy(col("pid")).orderBy((-col("score")).as("ns"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val partTotals = ranked.groupBy(col("pid"))
+      .agg(sum(col("cost")).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = {
+      val sorted = partTotals.toSeq.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
+    }
+    val offCol = partTotals.keys.toSeq.sorted.foldLeft(lit(0L)) { (acc, pid) =>
+      when(col("pid") === pid, lit(offsets(pid))).otherwise(acc)
+    }
+    ranked.withColumn("cum", col("cum_local") + offCol)
+      .where(col("cum") <= budget)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("cost")).as("n_tokens"),
         min(col("score")).as("min_score"))
