@@ -263,12 +263,13 @@ object DedupOps {
     * sort position. */
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokenize(docs)
       .select(col("doc_id"), array_join(
         slice(array_sort(array_distinct(col("tokens"))), 1, 4), " ").as("skey"))
-    val ranked = toks.withColumn("rn", row_number().over(
-      Window.orderBy(col("skey"), col("doc_id")))).localCheckpoint(true)
+    // distributed global rank (TeraSort shape) — a bare ORDER-only
+    // window would single-partition the corpus
+    val ranked = RankUtils.globalRowNumber(toks,
+      Seq(col("skey"), col("doc_id"))).localCheckpoint(true)
     // the successor window is ENUMERABLE (offsets 1..w), so candidates
     // are an EQUI-join on rank — a raw rn-range predicate plans as a
     // BroadcastNestedLoopJoin, which is all-pairs at corpus scale
