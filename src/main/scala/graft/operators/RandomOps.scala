@@ -75,10 +75,11 @@ object RandomOps {
     * gather-from-permutation; the hash key is uniformly distributed so the
     * range partitioner is balanced by construction.
     */
-  def permute(df: DataFrame, idCol: String, seed: Long): DataFrame = {
-    val w = Window.orderBy(md5(concat_ws(":", col(idCol), lit(seed))), col(idCol))
-    df.withColumn("ord", row_number().over(w))
-  }
+  def permute(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    // distributed global rank (RankUtils TeraSort shape) — the bare
+    // ORDER-only window moved every row to one task
+    graft.operators.RankUtils.globalRowNumber(df,
+      Seq(md5(concat_ws(":", col(idCol), lit(seed))), col(idCol)), "ord")
 
   /** Weighted sampling without replacement via the exp-sort / A-Res trick
     * (key = ln(u)/w, take top-k) — reference:

@@ -1009,15 +1009,18 @@ object SolverOps {
     * rank (k−1 rows — a TakeOrdered at scale, not a full sort).
     */
   def singleLinkage(edges: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the edge list is consumed three times (MST size probe, MST build,
     // node set) — materialize once so an expensive upstream (e.g. the
     // mutual-reachability pair join) isn't re-evaluated per consumer
     val e = edges.localCheckpoint(true)
-    val mst = boruvkaMst(e)
-    val w = Window.orderBy(col("value").desc, col("src").desc, col("dst").desc)
-    val kept = mst.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") > k - 1).select(col("src"), col("dst"))
+    val mst = boruvkaMst(e).localCheckpoint(true)
+    // top-(k−1) heaviest via sort+limit (TakeOrdered per-partition heaps)
+    // then anti-join — a global rank WINDOW here would single-partition
+    // the whole n−1-edge MST
+    val heavy = mst.orderBy(col("value").desc, col("src").desc, col("dst").desc)
+      .limit(k - 1).select(col("src"), col("dst"))
+    val kept = mst.join(heavy, Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"))
     val nodes = e.select(col("src").as("n"))
       .unionByName(e.select(col("dst").as("n"))).distinct()
     LabelOps.connectedComponents(

@@ -327,10 +327,14 @@ object TextOps {
         bucket(d, col("token")) === col(s"b$d"))
         .drop(s"b$d")
     }
+    // top-k via sort+limit (TakeOrdered) — the rank window would
+    // single-partition the vocabulary-sized est table; rank is
+    // recomputed over the k survivors only
     val w = Window.orderBy(col("exact").desc, col("token").asc)
     est.select(col("token"), col("exact"),
         least((0 until depth).map(d => col(s"c$d")): _*).as("est"))
-      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .orderBy(col("exact").desc, col("token").asc).limit(k)
+      .withColumn("rnk", row_number().over(w))
       .select(col("token"), col("exact"), col("est"), col("rnk"))
   }
 
