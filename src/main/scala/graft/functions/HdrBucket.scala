@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -22,6 +23,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * the v ≥ 0 equivalence across the full range.
   */
 case class HdrBucket(child: Expression) extends UnaryExpression {
+
+  // analysis-time type check: a non-BIGINT child must fail analysis, not
+  // surface later as a ClassCastException / codegen compile error
+  // (ExpectsInputTypes' AbstractDataType is private[sql], hence this form)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"HDR_BUCKET requires a BIGINT child, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = LongType
 

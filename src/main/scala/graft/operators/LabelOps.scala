@@ -14,14 +14,17 @@ object LabelOps {
     df.select(col(labelCol).as("label")).distinct()
 
   /** make_monotonic: remap labels to dense 0..k-1, order-preserving —
-    * reference: label/classlabels.cuh:81. dense_rank over the distinct
-    * label set; the rank table is tiny → broadcast back when remapping rows.
+    * reference: label/classlabels.cuh:81. Distributed rank over the
+    * distinct label set ([[RankUtils.globalRowNumber]] — rank ==
+    * dense_rank on a distinct set): usually the set is tiny, but
+    * densifying 1e8 distinct labels through a bare `Window.orderBy`
+    * would wall on one task. The rank table broadcasts back when
+    * remapping rows.
     */
-  def makeMonotonic(df: DataFrame, labelCol: String): DataFrame = {
-    val w = Window.orderBy(col("label"))
-    df.select(col(labelCol).as("label")).distinct()
-      .withColumn("dense", dense_rank().over(w) - 1)
-  }
+  def makeMonotonic(df: DataFrame, labelCol: String): DataFrame =
+    RankUtils.globalRowNumber(
+        df.select(col(labelCol).as("label")).distinct(), Seq(col("label")))
+      .select(col("label"), (col("rn") - 1L).as("dense"))
 
   /** getOvrlabels: one-vs-rest binarization —
     * reference: label/classlabels.cuh:55. */

@@ -94,15 +94,16 @@ object MatrixOps {
 
   /** shift rows down by 1 with a neighbor-carried value — the window
     * lag/lead mapping of reference cpp/include/raft/matrix/shift.cuh:45.
-    * NOTE global order-by window: at 100 TB this runs as a range-partitioned
-    * sort (Spark plans a single-direction rangepartitioning), acceptable for
-    * the op's sequential semantics.
+    * Distributed lag via [[RankUtils.globalLag]] (range-partition on id,
+    * lag within partitions in parallel, one boundary row exchanged per
+    * partition) — a bare `Window.orderBy(id)` would plan
+    * `Exchange SinglePartition` and move EVERY row to one task.
     */
-  def shiftedRowSums(m: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("id"))
-    m.select(col("id"), rowSum(col("vec")).as("s"))
-      .select(col("id"), round(lag(col("s"), 1, 0.0).over(w), 4).as("prev_sum"))
-  }
+  def shiftedRowSums(m: DataFrame): DataFrame =
+    RankUtils.globalLag(
+        m.select(col("id"), rowSum(col("vec")).as("s")),
+        Seq(col("id")), col("s"), "prev", lit(0.0))
+      .select(col("id"), round(col("prev"), 4).as("prev_sum"))
 
   /** Lane shift right by k with a fill value (the in-row form of
     * reference matrix/shift.cuh:45 col_shift with fill). */

@@ -273,23 +273,38 @@ object StatsOps {
     * and lives on in the property suite as the equivalence oracle. */
   def hdrBucket: Column = graft.functions.HdrBucket.bucket(col("v"))
 
+  /** [[hdrBucket]] with the sketch's non-negative domain enforced LOUDLY:
+    * a negative v maps to a NULL bucket, which would sort first in the
+    * cumulative window and silently skew the low quantiles — fail the
+    * job instead (the streaming twin filters at its gate already). */
+  def hdrBucketChecked: Column =
+    when(col("v") < 0L, raise_error(concat(
+      lit("quantile sketch domain error: negative input v="), col("v").cast("string"))))
+      .otherwise(hdrBucket)
+
   /** The declarative twin (string-exponent form) — property-tested equal
     * to [[hdrBucket]] on every v ≥ 0; the SQL oracles replay this shape. */
   def hdrBucketDeclarative: Column = when(col("v") < 32L, col("v")).otherwise(
     (length(bin(col("v"))).cast("long") - 5L) * 32L +
       expr("v div CAST(power(2, length(bin(v)) - 6) AS BIGINT)") - 32L)
 
-  /** Lower bound of an HDR bucket (the sketch's quantile estimate). */
-  def hdrLowerBound(bucket: Column): Column =
+  /** Lower bound of an HDR bucket (the sketch's quantile estimate).
+    * Built from the passed Column (bucket ids are ≤ ~1900 so the
+    * floor-division and power stay exact in double): the earlier
+    * `expr("... bucket div 32 ...")` string form silently name-coupled
+    * to a column literally called `bucket`. */
+  def hdrLowerBound(bucket: Column): Column = {
+    val e = (floor(bucket / lit(32L)).cast("long") - 1L).cast("double")
     when(bucket < 32L, bucket).otherwise(
-      (bucket % 32L + 32L) * expr("CAST(power(2, bucket div 32 - 1) AS BIGINT)"))
+      (bucket % 32L + 32L) * pow(lit(2.0), e).cast("long"))
+  }
 
   def quantileSketch(values: DataFrame,
       qs: Seq[(Long, Long)] = Seq((1L, 2L), (9L, 10L), (99L, 100L), (999L, 1000L))): DataFrame = {
     val spark = values.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sketch = values.select(hdrBucket.as("bucket"))
+    val sketch = values.select(hdrBucketChecked.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val cum = sketch.withColumn("cum", sum(col("cnt")).over(
       Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -315,7 +330,7 @@ object StatsOps {
     val spark = values.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sketch = values.select(col("g"), hdrBucket.as("bucket"))
+    val sketch = values.select(col("g"), hdrBucketChecked.as("bucket"))
       .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
     val cum = sketch.withColumn("cum", sum(col("cnt")).over(
       Window.partitionBy(col("g")).orderBy(col("bucket"))
@@ -342,10 +357,10 @@ object StatsOps {
   def quantileSketchMerge(values: DataFrame,
       qs: Seq[(Long, Long)] = Seq((1L, 2L), (9L, 10L), (99L, 100L))): DataFrame = {
     val halves = values.select((col("v") % 2L).as("g"), col("v"))
-    val merged = halves.select(col("g"), hdrBucket.as("bucket"))
+    val merged = halves.select(col("g"), hdrBucketChecked.as("bucket"))
       .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt")) // the MERGE
-    val direct = values.select(hdrBucket.as("bucket"))
+    val direct = values.select(hdrBucketChecked.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     def pick(sketch: DataFrame, name: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window

@@ -487,39 +487,17 @@ object TextOps {
     * one range exchange is irreducible; everything else is a window
     * cumsum. Returns the per-source selection report. */
   def budgetSelect(docs: DataFrame, budget: Long = 20000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
     val scored = tokenize(docs)
       .select(col("doc_id"), size(array_distinct(col("tokens"))).cast("long").as("score"))
       .join(docs.select(col("doc_id"), col("source"),
         size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("cost")),
         Seq("doc_id"))
-    // distributed prefix sum, TeraSort shape (same pattern as the exact
-    // quantiles): range-partition on the rank order, cumsum WITHIN each
-    // partition in parallel, then add the broadcast per-partition offsets.
-    // A bare global-ORDER window would move the whole corpus to ONE task.
-    // The result is a pure function of the total order, so partitioner
-    // boundaries don't affect it.
-    val p = math.max(1, spark.sparkContext.defaultParallelism / 4)
-    val ranked = scored
-      .repartitionByRange(p, (-col("score")).as("ns"), col("doc_id"))
-      .sortWithinPartitions((-col("score")).as("ns"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("cum_local", sum(col("cost")).over(
-        Window.partitionBy(col("pid")).orderBy((-col("score")).as("ns"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint(true)
-    val partTotals = ranked.groupBy(col("pid"))
-      .agg(sum(col("cost")).as("t")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = {
-      val sorted = partTotals.toSeq.sortBy(_._1)
-      sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
-    }
-    val offCol = partTotals.keys.toSeq.sorted.foldLeft(lit(0L)) { (acc, pid) =>
-      when(col("pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
-    ranked.withColumn("cum", col("cum_local") + offCol)
+    // distributed prefix sum in (score desc, doc_id) order — the shared
+    // RankUtils TeraSort shape (range partition + in-partition cumsum +
+    // broadcast per-partition offsets); a bare global-ORDER window would
+    // move the whole corpus to ONE task.
+    RankUtils.globalPrefixSum(scored,
+        Seq((-col("score")).as("ns"), col("doc_id")), col("cost"), "cum")
       .where(col("cum") <= budget)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("cost")).as("n_tokens"),

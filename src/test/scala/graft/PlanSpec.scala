@@ -188,4 +188,57 @@ class PlanSpec extends AnyFunSuite {
     val dot = cond.indexOf("arraydot")
     assert(aLtB >= 0 && dot > aLtB, s"dot evaluates before a<b:\n$cond")
   }
+
+  // ------------------------------------------------------------------
+  // Fleet-wide single-task-window guard (round-7 VERDICT item #1): an
+  // unpartitioned window (Window.orderBy with no partitionBy) plans
+  // `Exchange SinglePartition` and moves its ENTIRE input through one
+  // task — the scale trap RankUtils exists to avoid. The invariant over
+  // every declared query: any unpartitioned Window/WindowGroupLimit must
+  // sit above an AGGREGATION (its input is an aggregated, bounded set —
+  // the HDR sketch's ≤~700 buckets, BPE's vocab-sized pair counts), never
+  // over raw data-sized rows. mat_shift and label_monotonic — the two
+  // ops rewritten onto RankUtils this round — are additionally required
+  // to have NO unpartitioned window at all.
+  // ------------------------------------------------------------------
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case o => o.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  private def unpartitionedWindows(p: SparkPlan): Seq[SparkPlan] = flatten(p).filter {
+    case w: WindowExec => w.partitionSpec.isEmpty
+    case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+    case _ => false
+  }
+
+  test("no unpartitioned window over un-aggregated input in ANY declared query") {
+    spark.catalog.clearCache()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val exec = fn(spark, sf).queryExecution.executedPlan
+      unpartitionedWindows(exec).collect {
+        case w if !flatten(w).tail.exists(_.getClass.getSimpleName.contains("Aggregate")) =>
+          s"$name: ${w.getClass.getSimpleName} with empty partitionSpec over raw rows"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("mat_shift and label_monotonic have zero unpartitioned windows (RankUtils shape)") {
+    spark.catalog.clearCache()
+    Seq("mat_shift", "label_monotonic").foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      assert(unpartitionedWindows(exec).isEmpty,
+        s"$name regressed to a single-task global window")
+    }
+  }
 }
