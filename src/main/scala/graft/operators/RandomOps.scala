@@ -51,6 +51,30 @@ object RandomOps {
   def bernoulli(id: Column, seed: Long, stream: String, p: Double): Column =
     (hashU(id, seed, stream) < lit(p)).cast("int")
 
+  /** normalInt: Box-Muller normal N(mu, sigma²) truncated to integer —
+    * reference: random/rng.cuh:195 (detail/rng_device.cuh:242 runs the
+    * double Box-Muller then `static_cast<IntType>`, i.e. truncation
+    * toward zero — Spark's double→long cast semantics exactly). */
+  def normalInt(id: Column, seed: Long, stream: String, mu: Double, sigma: Double): Column =
+    (lit(mu) + lit(sigma) * normal(id, seed, stream)).cast("long")
+
+  /** scaled_bernoulli: ±scale coin, val = u < p ? −scale : +scale —
+    * reference: random/rng.cuh:431 (detail/rng_device.cuh:296). */
+  def scaledBernoulli(id: Column, seed: Long, stream: String, p: Double, scale: Double): Column =
+    when(hashU(id, seed, stream) < lit(p), lit(-scale)).otherwise(lit(scale))
+
+  /** normalTable: n×d normal matrix where column j draws N(mu(j), sigma(j)²)
+    * — reference: random/rng.cuh:257 (detail/rng_device.cuh:262: per-column
+    * mu_vec/sigma_vec lookup). The (id, column-stream) counter hash keeps
+    * every cell partition-invariant and oracle-reproducible. */
+  def normalTable(spark: SparkSession, n: Long, seed: Long,
+      mus: Seq[Double], sigmas: Seq[Double]): DataFrame = {
+    require(mus.length == sigmas.length, "mu/sigma tables must align")
+    spark.range(n).select(col("id") +: mus.indices.map { j =>
+      round(lit(mus(j)) + lit(sigmas(j)) * normal(col("id"), seed, s"t$j"), 6).as(s"x$j")
+    }: _*)
+  }
+
   /** Inverse-CDF transforms — reference: random/rng.cuh:479-700
     * (gumbel, lognormal, logistic, exponential, rayleigh, laplace). */
   def exponential(id: Column, seed: Long, stream: String, lambda: Double): Column =

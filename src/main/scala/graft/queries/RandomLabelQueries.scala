@@ -33,6 +33,12 @@ object RandomLabelQueries extends QueryGroup {
       round(RandomOps.rayleigh(col("id"), 42, "r", 1.0), 6).as("ray"),
       round(RandomOps.laplace(col("id"), 42, "p", 0.0, 1.0), 6).as("lap"),
       round(RandomOps.lognormal(col("id"), 42, "o", 0.0, 0.5), 6).as("lgn"))),
+    "rng_normal_int" -> ((s, d) => s.range(1000).select(col("id"),
+      RandomOps.normalInt(col("id"), 42, "ni", 100.0, 15.0).as("k"))),
+    "rng_scaled_bernoulli" -> ((s, d) => s.range(1000).select(col("id"),
+      RandomOps.scaledBernoulli(col("id"), 42, "sb", 0.3, 2.5).as("v"))),
+    "rng_normal_table" -> ((s, d) =>
+      RandomOps.normalTable(s, 500, 42, Seq(0.0, 10.0, 100.0), Seq(1.0, 2.0, 5.0))),
     "rng_permute" -> ((s, d) =>
       RandomOps.permute(Tables.customer(s, d).select(col("c_custkey")), "c_custkey", 9)
         .select(col("ord"), col("c_custkey"))),
@@ -122,6 +128,19 @@ object RandomLabelQueries extends QueryGroup {
          |  round(exp(0.5 * sqrt(-2.0 * ln(${u("id", "o~1")})) *
          |        cos(2.0 * pi() * ${u("id", "o~2")})), 6) AS lgn
          |FROM range(500) t(id)""".stripMargin,
+    "rng_normal_int" ->
+      s"""SELECT id, CAST(trunc(100.0 + 15.0 * sqrt(-2.0 * ln(${u("id", "ni~1")})) *
+         |cos(2.0 * pi() * ${u("id", "ni~2")})) AS BIGINT) AS k FROM range(1000) t(id)""".stripMargin,
+    "rng_scaled_bernoulli" ->
+      s"""SELECT id, CASE WHEN ${u("id", "sb")} < 0.3 THEN -2.5 ELSE 2.5 END AS v
+         |FROM range(1000) t(id)""".stripMargin,
+    "rng_normal_table" -> {
+      val cols = Seq((0.0, 1.0), (10.0, 2.0), (100.0, 5.0)).zipWithIndex.map {
+        case ((mu, sg), j) =>
+          s"round($mu + $sg * sqrt(-2.0 * ln(${u("id", s"t$j~1")})) * cos(2.0 * pi() * ${u("id", s"t$j~2")}), 6) AS x$j"
+      }.mkString(",\n  ")
+      s"SELECT id,\n  $cols\nFROM range(500) t(id)"
+    },
     "rng_permute" ->
       """SELECT row_number() OVER (ORDER BY md5(concat_ws(':', c_custkey, 9)), c_custkey) AS ord,
         |       c_custkey

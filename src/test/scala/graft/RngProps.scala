@@ -68,4 +68,23 @@ object RngProps extends Properties("CounterRng") {
         .collect().head.toSeq.map(_.asInstanceOf[Double])
       Prop(draws.distinct.length > 1)
     }
+
+  property("scaledBernoulli emits only ±scale; p = 0 and p = 1 are exact") =
+    forAll(idsGen, seedGen, Gen.chooseNum(0.5, 10.0)) { (ids, seed, sc) =>
+      val rows = idsDf(ids).select(
+        RandomOps.scaledBernoulli(col("id"), seed, "sb", 0.5, sc).as("v"),
+        RandomOps.scaledBernoulli(col("id"), seed, "sb", 0.0, sc).as("z"),
+        RandomOps.scaledBernoulli(col("id"), seed, "sb", 1.0, sc).as("o")).collect()
+      Prop(rows.forall(r => math.abs(r.getDouble(0)) == sc &&
+        r.getDouble(1) == sc && r.getDouble(2) == -sc))
+    }
+
+  property("normalInt(mu, 0) is exactly trunc(mu); sigma shifts stay finite") =
+    forAll(idsGen, seedGen, Gen.chooseNum(-500.0, 500.0)) { (ids, seed, mu) =>
+      val rows = idsDf(ids).select(
+        RandomOps.normalInt(col("id"), seed, "ni", mu, 0.0).as("k0"),
+        RandomOps.normalInt(col("id"), seed, "ni", mu, 3.0).as("k3")).collect()
+      Prop(rows.forall(r => r.getLong(0) == mu.toLong &&
+        math.abs(r.getLong(1) - mu) < 3.0 * 40 + 1))
+    }
 }
