@@ -184,7 +184,33 @@ object ScaleProbe {
         val bad = comms.where(col("count") =!= 20 || pmod(col("label"), lit(20L)) =!= 0).count()
         require(bad == 0, s"$bad communities with wrong size/label")
         s""""mode":"lpa","n":${nC * 20L},"edges":${nC * 190L + nC - 1},"communities":$nComm"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa)")
+      case "silhouette" =>
+        // batched silhouette beyond the n=100 oracle fixture: 10 Gaussian
+        // clusters (σ=1) whose centers sit 100·cluster apart in every lane
+        // — between-cluster distances dwarf within-cluster ones, so the
+        // score must land near 1 (loud failure otherwise). Tiling
+        // invariance is checked on a n=1000 prefix: 128-row tiles must
+        // reproduce the single-tile (plain-shape) value to the same 6
+        // rounded decimals.
+        val k = 10L
+        val hS = (tag: String, j: org.apache.spark.sql.Column) =>
+          (graft.operators.TextOps.h32(concat_ws(":", col("id"), j, lit(42), lit(tag)))
+            + lit(0.5)) / lit(4294967296.0)
+        val pts = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(7)), j =>
+            pmod(col("id"), lit(k)).cast("double") * 100.0 +
+              sqrt(lit(-2.0) * log(hS("s1", j))) *
+                cos(lit(2.0 * math.Pi) * hS("s2", j))).as("vec"),
+          pmod(col("id"), lit(k)).as("label")).localCheckpoint(true)
+        val sBig = graft.operators.StatsOps.silhouetteBatched(pts, 1024L)
+          .collect()(0).getDouble(0)
+        require(sBig > 0.9, s"silhouette $sBig on separated clusters — tiling broke the metric")
+        val prefix = pts.where(col("id") < 1000).localCheckpoint(true)
+        val tiled = graft.operators.StatsOps.silhouetteBatched(prefix, 128L).collect()(0).getDouble(0)
+        val single = graft.operators.StatsOps.silhouetteBatched(prefix, 1000L).collect()(0).getDouble(0)
+        require(tiled == single, s"tiled $tiled != single-tile $single on the prefix")
+        s""""mode":"silhouette","n":$n,"score":$sBig"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | silhouette)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":{$result,"sec":$dt}}""")

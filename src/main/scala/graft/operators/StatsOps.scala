@@ -424,6 +424,14 @@ object StatsOps {
       .select(col("i"), col("la"), col("lb"),
         sqrt(greatest(ArrayMath.foldSum(ArrayMath.sub(col("va"), col("vb")), x => x * x), lit(0.0)))
           .as("dist"))
+    silhouetteFromPairs(pair)
+  }
+
+  /** a(i)/b(i) tail shared by the plain and batched silhouette forms:
+    * per-(point, other-label) mean distance, then the standard
+    * (b−a)/max(a,b) average. Everything after the pair stage is n·k
+    * rows, map-side partially aggregated. */
+  private def silhouetteFromPairs(pair: DataFrame): DataFrame = {
     val perCluster = pair.groupBy(col("i"), col("la"), col("lb"))
       .agg(avg(col("dist")).as("mean_d"))
     val ai = perCluster.where(col("la") === col("lb"))
@@ -433,5 +441,33 @@ object StatsOps {
     ai.join(bi, Seq("i"))
       .select(col("i"), ((col("b_i") - col("a_i")) / greatest(col("a_i"), col("b_i"))).as("s"))
       .agg(round(avg(col("s")), 6).as("silhouette"))
+  }
+
+  /** silhouette_score_batched: the scale path — reference:
+    * stats/silhouette_score.cuh:137 (`silhouette_score_batched` exists
+    * precisely because the plain form materializes the full n×n pass;
+    * the batched kernel walks the distance matrix in fixed-size tiles).
+    * Spark-first tiling: assign every point a block id (`id mod nB`, so
+    * blocks are balanced under any id distribution), replicate the LEFT
+    * side once per block, and join on the block id — an EQUI-join, so
+    * candidate generation is a hash/merge join whose per-task build side
+    * is ONE block (≤ blockRows rows), never the whole right side and
+    * never a CartesianProduct. Total pair work is still n² (silhouette's
+    * exact semantics — mean distances have no sketchable shortcut), but
+    * memory per task is bounded by the tile and the post-pair shuffle is
+    * n·k after map-side partial aggregation.
+    */
+  def silhouetteBatched(v: DataFrame, blockRows: Long): DataFrame = {
+    val n = v.count()
+    val nB = math.max(1L, (n + blockRows - 1) / blockRows)
+    val left = v.select(col("id").as("i"), col("vec").as("va"), col("label").as("la"))
+      .withColumn("bj", explode(sequence(lit(0L), lit(nB - 1))))
+    val right = v.select(col("id").as("j"), col("vec").as("vb"), col("label").as("lb"),
+      pmod(col("id"), lit(nB)).as("bj"))
+    val pair = left.join(right, Seq("bj")).where(col("i") =!= col("j"))
+      .select(col("i"), col("la"), col("lb"),
+        sqrt(greatest(ArrayMath.foldSum(ArrayMath.sub(col("va"), col("vb")), x => x * x), lit(0.0)))
+          .as("dist"))
+    silhouetteFromPairs(pair)
   }
 }

@@ -45,6 +45,9 @@ object StatsQueries extends QueryGroup {
     "stat_cov" -> ((s, d) => StatsOps.covariance(s, d)),
     "stat_dispersion" -> ((s, d) => StatsOps.clusterDispersion(s, d)),
     "stat_silhouette" -> ((s, d) => StatsOps.silhouette(s, d)),
+    "stat_silhouette_batched" -> ((s, d) => StatsOps.silhouetteBatched(
+      graft.Tables.vectors(s, d).where(col("id") < 100)
+        .select(col("id"), col("vec"), col("label")), 32L)),
     "stat_popc" -> ((s, d) => StatsOps.popCount(s, d)),
     "stat_quantiles" -> ((s, d) =>
       StatsOps.quantiles(s, d, Seq(0.25, 0.5, 0.75, 0.95))),
@@ -286,7 +289,13 @@ object StatsQueries extends QueryGroup {
         |  round(4.0 - 2.0 * ll + 12.0 / (n - 3.0), 4) AS aicc,
         |  round(2.0 * ln(n) - 2.0 * ll, 4) AS bic
         |FROM ll""".stripMargin,
-    "stat_silhouette" ->
+    "stat_silhouette" -> silhouetteSql,
+    // the plain form IS the batched form's oracle (same semantics, tiled
+    // execution) — identical SQL on the same n=100 fixture
+    "stat_silhouette_batched" -> silhouetteSql,
+  )
+
+  private lazy val silhouetteSql: String =
       """WITH v AS (
         |  SELECT vec_id AS id, list_transform(embedding, f -> CAST(f AS DOUBLE)) AS vec,
         |         label
@@ -300,6 +309,5 @@ object StatsQueries extends QueryGroup {
         |a_i AS (SELECT i, mean_d AS a FROM pc WHERE la = lb),
         |b_i AS (SELECT i, min(mean_d) AS b FROM pc WHERE la <> lb GROUP BY i)
         |SELECT round(avg((b - a) / greatest(a, b)), 6) AS silhouette
-        |FROM a_i JOIN b_i ON a_i.i = b_i.i""".stripMargin,
-  )
+        |FROM a_i JOIN b_i ON a_i.i = b_i.i""".stripMargin
 }
