@@ -5,6 +5,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * Configs mirror the 100 TB design defaults: AQE on (runtime re-plan,
   * skew handling), shuffle partitions sized to cores (not 200).
+  *
+  * Archived numbers are per-query MEDIANS over SPARK_GRAFT_REPS complete
+  * suite passes (default 3) — the outlier-discard rule: one contended
+  * pass per query is dropped by the median, per-rep totals stay in the
+  * JSON so contention is visible, and a query only reports FAILED
+  * (negative median) when it fails a majority of passes. Set
+  * SPARK_GRAFT_REPS=1 for a quick single-pass run while iterating.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,20 +40,37 @@ object Bench {
     // collected into an "errors" object, and printed per-failure to stderr.
     // The r5 snapshot silently recorded 11 analysis-broken queries as ~0.1s
     // successes; never again.
+    //
+    // NOISE PROTOCOL (round-6 verdict: the archived run carried host
+    // contention that idle re-runs didn't — sp_spmm 11.1 s archived vs
+    // 2.2 s idle): the suite runs SPARK_GRAFT_REPS complete passes
+    // (default 3) and archives the per-query MEDIAN of the signed times —
+    // one contended pass per query is discarded by construction, and a
+    // query must fail in a MAJORITY of passes for its median to go
+    // negative. Per-rep totals are recorded alongside so a contended rep
+    // is visible in the archive instead of silently averaged away.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
-        errors(name) = msg
-        System.err.println(s"[bench] FAILED $name: $msg")
-        false
+    val perRep: Seq[Seq[(String, Double)]] = (1 to reps).map { rep =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+          errors.getOrElseUpdate(name, msg)
+          System.err.println(s"[bench] FAILED $name (rep $rep): $msg")
+          false
+        }
+        spark.catalog.clearCache()
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -dt)
       }
-      spark.catalog.clearCache()
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+    }
+    val repTotals = perRep.map(_.map(t => math.abs(t._2)).sum)
+    val results: Seq[(String, Double)] = names.map { case (name, _) =>
+      val ts = perRep.map(_.toMap.apply(name)).sorted
+      name -> ts((ts.length - 1) / 2) // lower-median of the signed times
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -58,7 +82,9 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): ${errors.keys.mkString(", ")}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    val failedMedians = results.count(_._2 < 0)
+    val repsJson = repTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     // The harness records only the TAIL of the output, so the full ~4KB
     // per-query line gets truncated at the start and fails to parse. Emit
     // the full line first (archive: also written to BENCH_LOCAL.json),
@@ -78,7 +104,7 @@ object Bench {
     val top = results.sortBy(r => -math.abs(r._2)).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"queries":$top,"sf":"$sfDir","note":"top40 by |t|, negative = FAILED; full per-query dict in BENCH_LOCAL_<sf>.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"queries":$top,"sf":"$sfDir","note":"median of $reps passes per query; top40 by |t|, negative = FAILED in a majority of passes; full per-query dict in BENCH_LOCAL_<sf>.json"}"""
     println(line)
     println(compact)
     System.out.flush()

@@ -37,11 +37,15 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val result: String = mode match {
       case "lap" =>
-        // planted dual certificate (same construction as solver_lap_planted)
+        // planted dual certificate (same construction as
+        // solver_lap_planted_big): the noise only needs s ≥ 1 off the
+        // permutation — the closed-form Σu+Σv oracle never replays it —
+        // so it draws from the ~20× cheaper xxhash64 counter hash (at
+        // n=5e4 the n² passes evaluate 5e9 noise draws; the md5 form was
+        // the >40-min wall recorded in round 5's SCALE.md)
         val u = pmod(col("i") * 13, lit(500L))
         val v = pmod(col("j") * 7, lit(300L))
-        val noise = pmod(graft.operators.TextOps.h32(
-          concat_ws(":", col("i"), col("j"), lit("lapP"))), lit(1000000L)) + 1
+        val noise = pmod(xxhash64(col("i"), col("j"), lit("lapPB")), lit(1000000L)) + 1
         val c = when(col("j") === pmod(col("i") * 2001L, lit(n)), u + v)
           .otherwise(u + v + noise)
         require(BigInt(2001).gcd(BigInt(n)) == 1, s"2001 must be coprime to $n")
@@ -210,7 +214,48 @@ object ScaleProbe {
         val single = graft.operators.StatsOps.silhouetteBatched(prefix, 1000L).collect()(0).getDouble(0)
         require(tiled == single, s"tiled $tiled != single-tile $single on the prefix")
         s""""mode":"silhouette","n":$n,"score":$sBig"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | silhouette)")
+      case "lanefold" =>
+        // interpreted-HOF vs fused-kernel lane folds at n·d ≥ 1e7
+        // (VERDICT r6 item 7): same metric computed both ways over
+        // n rows × 64 lanes; values must agree bit-for-bit (round-10),
+        // the timing ratio is the porting evidence for NOTES/SCALE.
+        import graft.functions.ArrayLaneMetric
+        val d = 64
+        val mk = (tag: String) => transform(sequence(lit(0), lit(d - 1)), j =>
+          (pmod(graft.operators.TextOps.h32(concat_ws(":", col("id"), j, lit(tag))),
+            lit(1000L)).cast("double") - 500.0) / 100.0)
+        val pts = spark.range(n).select(col("id"), mk("va").as("va"), mk("vb").as("vb"))
+          .localCheckpoint(true)
+        pts.count() // materialize
+        import graft.operators.DistanceOps
+        import graft.functions.ArrayMath
+        def time(c: org.apache.spark.sql.Column): (Double, Double) = {
+          val t = System.nanoTime()
+          val v = pts.agg(sum(c)).collect()(0).getDouble(0)
+          ((System.nanoTime() - t) / 1e9, v)
+        }
+        val pairs = Seq(
+          "l1" -> (ArrayMath.l1(ArrayMath.sub(col("va"), col("vb"))),
+            ArrayLaneMetric.l1(col("va"), col("vb"))),
+          "linf" -> (ArrayMath.linf(ArrayMath.sub(col("va"), col("vb"))),
+            ArrayLaneMetric.linf(col("va"), col("vb"))),
+          "canberra" -> (DistanceOps.canberra(col("va"), col("vb")),
+            ArrayLaneMetric.canberra(col("va"), col("vb"))),
+          "mink3" -> (ArrayMath.foldSum(zip_with(col("va"), col("vb"),
+              (x, y) => abs(x - y) * abs(x - y) * abs(x - y)), identity),
+            ArrayLaneMetric.mink3(col("va"), col("vb"))),
+          "hamming" -> (ArrayMath.foldSum(zip_with(col("va"), col("vb"),
+              (x, y) => when(x === y, 0.0).otherwise(1.0)), identity),
+            ArrayLaneMetric.hamming(col("va"), col("vb"))))
+        val rows = pairs.map { case (nm, (hof, fused)) =>
+          val (tH, vH) = time(hof)
+          val (tF, vF) = time(fused)
+          require(math.abs(vH - vF) <= math.abs(vH) * 1e-12,
+            s"$nm: HOF $vH != fused $vF")
+          f""""$nm":{"hof_sec":$tH%.3f,"fused_sec":$tF%.3f,"speedup":${tH / tF}%.2f}"""
+        }
+        s""""mode":"lanefold","n":$n,"d":$d,${rows.mkString(",")}"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | silhouette | lanefold)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":{$result,"sec":$dt}}""")

@@ -63,22 +63,21 @@ object DistanceOps {
     val corrDenom = sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)
     val corrDist = when(corrDenom =!= 0.0,
       lit(1.0) - (n * sab - sa * sb) / corrDenom).otherwise(0.0)
-    val brayDenom = ArrayMath.foldSum(
-      zip_with(col("va"), col("vb"), (x, y) => abs(x + y)), identity)
+    // fused native lane folds (ArrayLaneMetric) — bit-identical to the
+    // declarative HOF twins (pinned in ArrayKernelProps), one codegen'd
+    // loop per metric instead of an interpreted zip_with + fold pair
+    import graft.functions.ArrayLaneMetric
+    val brayDenom = ArrayLaneMetric.abssum(col("va"), col("vb"))
     val bray = when(brayDenom =!= 0.0,
-      ArrayMath.l1(ArrayMath.sub(col("va"), col("vb"))) / brayDenom).otherwise(0.0)
-    val mink3 = cbrt(ArrayMath.foldSum(
-      zip_with(col("va"), col("vb"),
-        (x, y) => abs(x - y) * abs(x - y) * abs(x - y)), identity))
-    val hamming = ArrayMath.foldSum(
-      zip_with(col("va"), col("vb"),
-        (x, y) => when(x === y, 0.0).otherwise(1.0)), identity) / n
+      ArrayLaneMetric.l1(col("va"), col("vb")) / brayDenom).otherwise(0.0)
+    val mink3 = cbrt(ArrayLaneMetric.mink3(col("va"), col("vb")))
+    val hamming = ArrayLaneMetric.hamming(col("va"), col("vb")) / n
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        (round(ArrayMath.l1(ArrayMath.sub(col("va"), col("vb"))), 4) + 0.0).as("l1"),
+        (round(ArrayLaneMetric.l1(col("va"), col("vb")), 4) + 0.0).as("l1"),
         (round(sqrt(l2sq(col("va"), col("vb"))), 4) + 0.0).as("l2"),
-        (round(ArrayMath.linf(ArrayMath.sub(col("va"), col("vb"))), 4) + 0.0).as("linf"),
-        (round(canberra(col("va"), col("vb")), 4) + 0.0).as("canberra"),
+        (round(ArrayLaneMetric.linf(col("va"), col("vb")), 4) + 0.0).as("linf"),
+        (round(ArrayLaneMetric.canberra(col("va"), col("vb")), 4) + 0.0).as("canberra"),
         (round(ArrayMath.cosine(col("va"), col("vb")), 4) + 0.0).as("cos"),
         (round(corrDist, 4) + 0.0).as("corr"),
         (round(bray, 4) + 0.0).as("bray"),

@@ -234,6 +234,26 @@ object SolverQueries extends QueryGroup {
       SolverOps.lapAuctionDistributed(s, 2000, priceJoinThreshold = 0,
         costExpr = Some(c))
     }),
+    "solver_lap_planted_big" -> ((s, d) => {
+      // the 5×-bigger certificate row (VERDICT r6 item 6): same planted
+      // dual construction at n=10000 (1e8-entry cost matrix, kernel
+      // collect = n·topT ≈ 1.7e5 rows — the one driver object that grows
+      // with n, exercised at 5× the per-round size; the 2e4/5e4 one-off
+      // runs live in SCALE.md). The s(i,j) noise only needs s ≥ 1 off the
+      // permutation — the CLOSED-FORM oracle (Σu + Σv by LP duality) never
+      // replays it — so it draws from the ~20× cheaper xxhash64 counter
+      // hash instead of the md5 oracle hash (the RandomOps.hashUFast rule:
+      // internal draws that are never value-compared may use the fast
+      // path). 2001 ⊥ 10000 so π is a permutation.
+      val nB = 10000L
+      val u = pmod(col("i") * 13, lit(500L))
+      val v = pmod(col("j") * 7, lit(300L))
+      val noise = pmod(xxhash64(col("i"), col("j"), lit("lapPB")), lit(1000000L)) + 1
+      val c = when(col("j") === pmod(col("i") * 2001, lit(nB)), u + v)
+        .otherwise(u + v + noise)
+      SolverOps.lapAuctionDistributed(s, nB.toInt, priceJoinThreshold = 0,
+        costExpr = Some(c))
+    }),
     "solver_rsvd_sparse" -> ((s, d) => {
       // closed-form rank-8 fixture (exact σ, SQL oracle); the real-data
       // variant (cooOrdersParts, 20k-column Ω) lives in Solver2Spec
@@ -327,6 +347,11 @@ object SolverQueries extends QueryGroup {
       """SELECT CAST(2000 AS BIGINT) AS n_assigned,
         |  CAST((SELECT sum((i * 13) % 500) FROM range(2000) t(i))
         |     + (SELECT sum((j * 7) % 300) FROM range(2000) t(j)) AS BIGINT)
+        |    AS total_cost""".stripMargin,
+    "solver_lap_planted_big" ->
+      """SELECT CAST(10000 AS BIGINT) AS n_assigned,
+        |  CAST((SELECT sum((i * 13) % 500) FROM range(10000) t(i))
+        |     + (SELECT sum((j * 7) % 300) FROM range(10000) t(j)) AS BIGINT)
         |    AS total_cost""".stripMargin,
     // DCT-II closed form for the path-graph eigenvectors, squared
     "solver_eigsh_vectors" ->

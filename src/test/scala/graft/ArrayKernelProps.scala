@@ -95,6 +95,63 @@ object ArrayKernelProps extends Properties("ArrayKernels") {
     java.lang.Double.doubleToLongBits(d) == java.lang.Double.doubleToLongBits(n)
   }
 
+  // ---- ArrayLaneMetric: each op vs its strict-left-fold reference ----
+
+  import graft.functions.ArrayLaneMetric
+
+  private def refFold(op: String, a: Array[Double], b: Array[Double]): Any = op match {
+    case "l1" => a.indices.foldLeft(0.0)((s, i) => s + math.abs(a(i) - b(i)))
+    case "linf" =>
+      if (a.isEmpty) null
+      else a.indices.map(i => math.abs(a(i) - b(i))).reduceLeft(math.max)
+    case "canberra" => a.indices.foldLeft(0.0) { (s, i) =>
+      val den = math.abs(a(i)) + math.abs(b(i))
+      s + (if (den != 0.0) math.abs(a(i) - b(i)) / den else 0.0)
+    }
+    case "mink3" => a.indices.foldLeft(0.0) { (s, i) =>
+      val d = math.abs(a(i) - b(i)); s + d * d * d
+    }
+    case "hamming" => a.indices.count(i => a(i) != b(i)).toDouble
+    case "abssum" => a.indices.foldLeft(0.0)((s, i) => s + math.abs(a(i) + b(i)))
+  }
+
+  property("ArrayLaneMetric ops = strict left folds on equal lengths") =
+    forAll(arr, Gen.oneOf(ArrayLaneMetric.ops.toSeq)) { (a: Array[Double], op: String) =>
+      val b = a.map(v => if (v > 0) v * 0.75 - 2.0 else v)
+      val got = ArrayLaneMetric(arrLit(a), arrLit(b), op).eval(null)
+      val want = refFold(op, a, b)
+      val eq = (got, want) match {
+        case (null, null) => true
+        case (g: java.lang.Double, w: Double) =>
+          java.lang.Double.doubleToLongBits(g) == java.lang.Double.doubleToLongBits(w)
+        case _ => false
+      }
+      Prop(eq) :| s"op=$op got $got want $want"
+    }
+
+  property("ArrayLaneMetric: null on length mismatch and on null lanes") =
+    forAll(arr, arr, Gen.oneOf(ArrayLaneMetric.ops.toSeq), Gen.choose(0, 39)) {
+      (a: Array[Double], b: Array[Double], op: String, k: Int) =>
+        val mismatch = if (a.length != b.length)
+          ArrayLaneMetric(arrLit(a), arrLit(b), op).eval(null) == null else true
+        val poisoned = if (a.nonEmpty) {
+          val boxed: Array[java.lang.Double] = a.map(java.lang.Double.valueOf)
+          boxed(k % a.length) = null
+          ArrayLaneMetric(raggedLit(boxed), arrLit(a), op).eval(null) == null
+        } else true
+        Prop(mismatch && poisoned) :| s"op=$op mismatch=$mismatch poisoned=$poisoned"
+    }
+
+  property("ArrayLaneMetric identities: m(a,a) for the difference metrics") =
+    forAll(arr) { (a: Array[Double]) =>
+      val zero = Seq("l1", "canberra", "mink3", "hamming").forall(op =>
+        ArrayLaneMetric(arrLit(a), arrLit(a), op).eval(null) == 0.0)
+      val linfOk =
+        if (a.isEmpty) ArrayLaneMetric(arrLit(a), arrLit(a), "linf").eval(null) == null
+        else ArrayLaneMetric(arrLit(a), arrLit(a), "linf").eval(null) == 0.0
+      Prop(zero && linfOk)
+    }
+
   // the reference bucketing the SQL oracles replay: exact bit-length
   // exponent + floor-divide mantissa, on plain Longs
   private def hdrRef(v: Long): Long =
