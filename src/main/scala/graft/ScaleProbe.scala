@@ -154,8 +154,14 @@ object ScaleProbe {
         require(nFwd < nIn, s"detour pruning dropped nothing ($nFwd of $nIn)")
         val exact5 = g10.where(col("rnk") <= 5)
           .select(col("src"), col("dst")).localCheckpoint(true)
+        // search width (beam, hops) is the CAGRA recall/latency knob: the
+        // deg-5 pruned graph needs a wider walk as clusters grow (n/1000
+        // points each) — n=2e4 hits 0.998 recall at (8, 6); n=1e5's
+        // 100-point clusters need (16, 8) (at (8, 6): 0.936)
+        val beam = if (args.length > 2) args(2).toInt else if (n > 50000) 16 else 8
+        val hops = if (args.length > 3) args(3).toInt else if (n > 50000) 8 else 6
         val res2 = graft.operators.AnnOps.graphSearchTopKLandmarks(
-          pts2, opt.select(col("src"), col("dst")), 100, 5, 8, 6, 2 * cC2.toInt)
+          pts2, opt.select(col("src"), col("dst")), 100, 5, beam, hops, 2 * cC2.toInt)
         val bad2 = res2.where(pmod(col("qid"), lit(cC2)) =!= pmod(col("node"), lit(cC2))).count()
         require(bad2 == 0, s"$bad2 cross-cluster answers")
         val hits2 = res2.select(col("qid").as("src"), col("node").as("dst"))

@@ -395,4 +395,46 @@ object DedupOps {
     unit.join(removed.withColumn("rm", lit(1)), Seq("cluster", "id"), "left")
       .select(col("id"), col("cluster"), col("rm").isNull.as("keep"))
   }
+
+  /** SPAN-level dedup: repeated-k-gram coverage per document — the
+    * substring counterpart of the doc-level MinHash family (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better":
+    * training corpora repeat SPANS — boilerplate, licenses, templates —
+    * that doc-level dedup never sees). A k-gram of tokens occurring in
+    * MORE THAN ONE document marks its k token positions in every
+    * occurrence; the per-doc report is (n_tokens, dup_tokens, dup_frac)
+    * — the removal targets a span-dedup pass would cut.
+    *
+    * Scale shape: one row per token position (the gram table), a
+    * cross-doc frequency aggregate keyed on the gram hash, an equi-join
+    * back, and a k× explode of DUPLICATED positions only before the
+    * distinct-coverage count — equi-joins and aggregates throughout,
+    * no all-pairs stage, map-side partial aggregation everywhere. */
+  def spanDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = graft.operators.TextOps.tokenize(docs)
+      .select(col("doc_id"), col("tokens"), size(col("tokens")).as("n_tokens"))
+      .localCheckpoint(true)
+    // one gram per start position; sequence(0, n-k) only when n >= k
+    // (Spark's sequence DESCENDS when the bound is below the start)
+    val grams = toks
+      .select(col("doc_id"), col("tokens"),
+        explode(when(col("n_tokens") >= k,
+            sequence(lit(0), col("n_tokens") - k))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("tokens"), col("pos") + 1, lit(k)))).as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") > 1)
+      .select(col("g"))
+    val covered = grams.join(dup, Seq("g"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6) + 0.0)
+          .as("dup_frac"))
+  }
 }

@@ -72,6 +72,7 @@ object PipelineQueries extends QueryGroup {
     "pipe_simhash" -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "pipe_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccard(Tables.documents(s, d).where(col("doc_id") < 300), 0.8)),
+    "pipe_span_dedup" -> ((s, d) => DedupOps.spanDedup(Tables.documents(s, d), 8)),
     "pipe_ann_brute" -> ((s, d) => AnnOps.bruteForceTopK(Tables.vectors(s, d), 5, 10)),
     "pipe_ann_lsh" -> ((s, d) => AnnOps.lshTopK(Tables.vectors(s, d), 5, 5)),
     "pipe_ann_recall" -> ((s, d) => AnnOps.recallVsExact(Tables.vectors(s, d), 5, 10)),
@@ -988,6 +989,27 @@ object PipelineQueries extends QueryGroup {
          |  GROUP BY doc_id, t.term),
          |sums AS (SELECT doc_id, $simhashSums FROM td GROUP BY doc_id)
          |SELECT doc_id, $simhashBits AS sim FROM sums""".stripMargin,
+    "pipe_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    md5(array_to_string(tokens[i:i+7], ' ')) AS g
+        |  FROM toks, unnest(generate_series(1, len(tokens) - 7)) AS u(i)
+        |  WHERE len(tokens) >= 8),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + off AS cp
+        |  FROM g JOIN dup USING (g), unnest(generate_series(0, 7)) AS o(off)),
+        |cnt AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CASE WHEN len(t.tokens) = 0 THEN 0.0
+        |       ELSE round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.tokens), 6) + 0.0
+        |  END AS dup_frac
+        |FROM toks t LEFT JOIN cnt c USING (doc_id)""".stripMargin,
     "pipe_ngram_jaccard" ->
       s"""$shCte,
          |shl AS (SELECT * FROM sh WHERE doc_id < 300),

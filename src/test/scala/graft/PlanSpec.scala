@@ -233,6 +233,12 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("batched silhouette pairs come from a block equi-join, never all-pairs") {
+    val p = plan("stat_silhouette_batched")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"tiled pair stage degenerated to all-pairs:\n${p.take(2000)}")
+  }
+
   test("mat_shift and label_monotonic have zero unpartitioned windows (RankUtils shape)") {
     spark.catalog.clearCache()
     Seq("mat_shift", "label_monotonic").foreach { name =>
