@@ -26,6 +26,16 @@ object LabelOps {
         df.select(col(labelCol).as("label")).distinct(), Seq(col("label")))
       .select(col("label"), (col("rn") - 1L).as("dense"))
 
+  /** make_monotonic applied to the data ROWS — the reference's primary
+    * signature (classlabels.cuh:81 maps the whole input array through
+    * the dense rank): the k-row rank table from [[makeMonotonic]]
+    * broadcasts back onto the rows, so the remap is a map-side hash
+    * join (zero shuffle of the data side at any scale). */
+  def makeMonotonicRemap(df: DataFrame, labelCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(labelCol).as("label"))
+      .join(broadcast(makeMonotonic(df, labelCol)), Seq("label"))
+      .select(col("id"), col("label"), col("dense"))
+
   /** getOvrlabels: one-vs-rest binarization —
     * reference: label/classlabels.cuh:55. */
   def oneVsRest(df: DataFrame, labelCol: String, idCol: String, cls: Long): DataFrame =

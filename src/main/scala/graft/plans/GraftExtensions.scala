@@ -88,6 +88,30 @@ object DotFusionRule extends Rule[LogicalPlan] {
         firstSecond(x1, y1, zipArgs) && firstSecond(x2, y2, zipArgs) &&
         boundTo(Seq(acc, el), mergeArgs) && isIdentity(finish) =>
       ArrayL2Sq(a, b)
+    // aggregate(zip_with(a, b, (x,y) => abs(x-y)), 0.0, +) → fused L1
+    // distance; same strict fold order → bit-identical
+    case ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(Abs(Subtract(x, y, _), _), zipArgs, _)),
+        Literal(zero, DoubleType),
+        LambdaFunction(Add(acc, el, _), mergeArgs, _),
+        finish)
+      if zero == 0.0 && doubleArray(a) && doubleArray(b) &&
+        firstSecond(x, y, zipArgs) &&
+        boundTo(Seq(acc, el), mergeArgs) && isIdentity(finish) =>
+      graft.functions.ArrayLaneMetric(a, b, "l1")
+    // the ArrayMath.l1(ArrayMath.sub(a,b)) spelling: aggregate(
+    // transform(zip_with(a, b, x-y), abs), 0.0, +) → same fused L1
+    case ArrayAggregate(
+        ArrayTransform(
+          ZipWith(a, b, LambdaFunction(Subtract(x, y, _), zipArgs, _)),
+          LambdaFunction(Abs(v: NamedLambdaVariable, _), tArgs, _)),
+        Literal(zero, DoubleType),
+        LambdaFunction(Add(acc, el, _), mergeArgs, _),
+        finish)
+      if zero == 0.0 && doubleArray(a) && doubleArray(b) &&
+        firstSecond(x, y, zipArgs) && boundTo(Seq(v), tArgs) &&
+        boundTo(Seq(acc, el), mergeArgs) && isIdentity(finish) =>
+      graft.functions.ArrayLaneMetric(a, b, "l1")
     // aggregate(transform(v, x*x), 0.0, +) → fused Σx² (the L2/cosine/
     // normalize inner kernel); same strict fold order → bit-identical
     case ArrayAggregate(

@@ -66,6 +66,11 @@ object RandomLabelQueries extends QueryGroup {
         .select((col("label") * 3 + 1).cast("long").as("y"))
       LabelOps.makeMonotonic(relabeled, "y")
     }),
+    "label_monotonic_remap" -> ((s, d) => {
+      val relabeled = Tables.embeddings(s, d)
+        .select(col("vec_id"), (col("label") * 3 + 1).cast("long").as("y"))
+      LabelOps.makeMonotonicRemap(relabeled, "y", "vec_id")
+    }),
     "label_ovr" -> ((s, d) =>
       LabelOps.oneVsRest(Tables.embeddings(s, d), "label", "vec_id", 3L)),
     "rng_discrete" -> ((s, d) => s.range(1000).select(col("id"),
@@ -189,6 +194,11 @@ object RandomLabelQueries extends QueryGroup {
     "label_monotonic" ->
       """WITH dl AS (SELECT DISTINCT CAST(label*3+1 AS BIGINT) AS label FROM embeddings)
         |SELECT label, dense_rank() OVER (ORDER BY label) - 1 AS dense FROM dl""".stripMargin,
+    "label_monotonic_remap" ->
+      """WITH dl AS (SELECT DISTINCT CAST(label*3+1 AS BIGINT) AS label FROM embeddings),
+        |d AS (SELECT label, dense_rank() OVER (ORDER BY label) - 1 AS dense FROM dl)
+        |SELECT e.vec_id AS id, CAST(e.label*3+1 AS BIGINT) AS label, d.dense
+        |FROM embeddings e JOIN d ON CAST(e.label*3+1 AS BIGINT) = d.label""".stripMargin,
     "label_ovr" ->
       """SELECT vec_id AS id, CASE WHEN label = 3 THEN 1 ELSE 0 END AS ovr
         |FROM embeddings""".stripMargin,

@@ -144,4 +144,25 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("L1 fusion rewrites both declarative abs-diff spellings, same bits") {
+    val s = TestSpark.spark
+    def va = transform(sequence(lit(0), lit(7)), j => (col("id") * 3 - j * 2).cast("double"))
+    def vb = transform(sequence(lit(0), lit(7)), j => (col("id") - j * 5).cast("double"))
+    // spelling 1: aggregate(zip_with(a, b, abs(x - y)), 0.0, +)
+    val direct = s.range(50).select(col("id"),
+      aggregate(zip_with(va, vb, (x, y) => abs(x - y)), lit(0.0), (acc, x) => acc + x).as("d"))
+    // spelling 2: ArrayMath.l1(ArrayMath.sub(a, b))
+    val composed = s.range(50).select(col("id"),
+      ArrayMath.l1(ArrayMath.sub(va, vb)).as("d"))
+    Seq("direct" -> direct, "composed" -> composed).foreach { case (tag, df) =>
+      assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("arraylanemetric"),
+        s"$tag spelling not fused")
+      val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (0L until 50L).foreach { id =>
+        val expected = (0 until 8).map(j => math.abs((id * 3 - j * 2).toDouble - (id - j * 5))).sum
+        assert(got(id) == expected, s"$tag id=$id: ${got(id)} vs $expected")
+      }
+    }
+  }
 }
