@@ -261,7 +261,25 @@ object ScaleProbe {
           f""""$nm":{"hof_sec":$tH%.3f,"fused_sec":$tF%.3f,"speedup":${tH / tF}%.2f}"""
         }
         s""""mode":"lanefold","n":$n,"d":$d,${rows.mkString(",")}"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | silhouette | lanefold)")
+      case "allpairs" =>
+        // phase timing for the sparse all-pairs cosine join: where do the
+        // seconds go on the bounded 600-doc bench slice (and at larger
+        // doc counts for the scale row)? n = doc bound.
+        import graft.operators.TextOps
+        val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val docs = graft.Tables.documents(spark, sf).where(col("doc_id") < n)
+        def phase(tag: String)(f: => Long): String = {
+          val t = System.nanoTime()
+          val c = f
+          f""""$tag":{"rows":$c,"sec":${(System.nanoTime() - t) / 1e9}%.3f}"""
+        }
+        val p0 = phase("tfidf_unit") { TextOps.tfidfUnit(docs).count() }
+        val p1 = phase("exact") { TextOps.allPairsCosine(docs, 0.8).count() }
+        val p2 = phase("prefix") { TextOps.allPairsCosinePrefix(docs, 0.8).count() }
+        val u = TextOps.tfidfUnit(docs).localCheckpoint(true)
+        val p3 = phase("prefix_index") { TextOps.prefixIndex(u, 0.8).count() }
+        s""""mode":"allpairs","doc_bound":$n,$p0,$p1,$p2,$p3"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | silhouette | lanefold | allpairs)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":{$result,"sec":$dt}}""")

@@ -72,6 +72,108 @@ object TextOps {
         round(log(col("tf")) * log(col("n").cast("double") / col("df") + 1.0), 6).as("w"))
   }
 
+  /** L2-normalized TF-IDF vectors as a sparse COO: (doc_id, term, u) with
+    * Σu² = 1 per doc. Zero-weight entries (tf=1 terms) are dropped — they
+    * contribute nothing to either the norm or any dot product. Documents
+    * whose every term has tf=1 vanish entirely (no direction to normalize).
+    */
+  def tfidfUnit(docs: DataFrame): DataFrame = {
+    val w = tfidf(docs).where(col("w") =!= 0.0)
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("term"), (col("w") / col("nrm")).as("u"))
+  }
+
+  /** Term-keyed pair enumeration with HOT-KEY ISOLATION: terms with
+    * df > hotDf (a zipfian vocabulary head — "the"-class terms whose df²
+    * blocks would each land on ONE task of a plain term join) are split
+    * 2-D: the left side salted by hash(doc)%salts, the right side
+    * replicated to every salt, so each hot term's quadratic block spreads
+    * over `salts` tasks. Every pair still meets exactly once (at
+    * salt = hash(doc_a) % salts), so the union feeds the same per-pair
+    * sum. Cold tail terms join unsalted — no replication cost where there
+    * is no skew. */
+  private def pairContributions(u: DataFrame, salts: Int, hotDf: Long): DataFrame = {
+    val dfT = u.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ud = u.join(broadcast(dfT), Seq("term"))
+    def side(n: String) = (d: DataFrame) => d.select(
+      col("doc_id").as(s"doc_$n"), col("term"), col("u").as(s"u$n"))
+    val (a, b) = (side("a"), side("b"))
+    val cold = ud.where(col("df") <= hotDf)
+    val hot = ud.where(col("df") > hotDf)
+    val coldPairs = a(cold).join(b(cold), Seq("term"))
+    val hotA = a(hot).withColumn("salt", pmod(hash(col("doc_a")), lit(salts)))
+    val hotB = b(hot).withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val hotPairs = hotA.join(hotB, Seq("term", "salt")).drop("salt")
+    coldPairs.unionByName(hotPairs).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (col("ua") * col("ub")).as("p"))
+  }
+
+  /** All-pairs cosine similarity join over sparse TF-IDF vectors (the
+    * document-level near-dup / IR similarity op; sparse counterpart of the
+    * dense pairwise-distance family — reference semantics:
+    * sparse inner-product distance, cpp/include/raft/sparse/linalg/ and the
+    * dense pairwise kernels). Inverted-index formulation: self-join on the
+    * TERM key (never a doc×doc cross join), sum u_a·u_b per pair, keep
+    * sim ≥ tau. Cost is Σ_t df(t)², so high-df terms dominate — the
+    * bounded exact baseline; [[allPairsCosinePrefix]] is the scale path.
+    */
+  def allPairsCosine(docs: DataFrame, tau: Double,
+      salts: Int = 16, hotDf: Long = 256): DataFrame =
+    pairContributions(tfidfUnit(docs).localCheckpoint(true), salts, hotDf)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("p")).as("s"))
+      .where(col("s") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("s"), 4).as("sim"))
+
+  /** The indexed head of each doc's rarity-sorted unit vector: entries
+    * whose suffix norm is ≥ tau (see [[allPairsCosinePrefix]]). Exposed so
+    * the pruning ratio is measurable in specs. */
+  def prefixIndex(u: DataFrame, tau: Double): DataFrame = {
+    val dfT = u.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // suffix norm under the global (df asc, term) order — per-doc window,
+    // bounded by document length, never a global sort
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("term"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.join(broadcast(dfT), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        sqrt(sum(col("u") * col("u")).over(byRarity)).as("suffix"))
+      .where(col("suffix") >= tau - 1e-9)
+      .select(col("doc_id"), col("term"))
+  }
+
+  /** All-pairs cosine with LOSSLESS prefix filtering (Bayardo, Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007): under a
+    * global term order (rarest df first), each doc indexes only the head
+    * of its sorted vector whose suffix norm is ≥ tau. For any pair with
+    * sim ≥ tau, the FIRST shared term s satisfies
+    * sim ≤ ‖u_a[pos(s):]‖·‖u_b‖ = suffix_a(s) (and symmetrically), so s is
+    * indexed by both sides and the candidate equi-join cannot miss the
+    * pair — identical output to [[allPairsCosine]], proven by sharing its
+    * oracle. The pruning removes exactly the high-df template terms that
+    * make Σ df² explode, so candidates stay near the true answer size.
+    * Candidates are then verified against the FULL vectors.
+    */
+  def allPairsCosinePrefix(docs: DataFrame, tau: Double,
+      salts: Int = 16, hotDf: Long = 256): DataFrame = {
+    val u = tfidfUnit(docs).localCheckpoint(true)
+    val idx = prefixIndex(u, tau)
+    // candidate equi-join with the same hot-key isolation as the exact
+    // form (a unit-valued vector: p=1 just marks a shared indexed term)
+    val cand = pairContributions(idx.withColumn("u", lit(1.0)), salts, hotDf)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = u.select(col("doc_id").as("doc_a"), col("term"), col("u").as("ua"))
+    val b = u.select(col("doc_id").as("doc_b"), col("term"), col("u").as("ub"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("ua") * col("ub")).as("s"))
+      .where(col("s") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("s"), 4).as("sim"))
+  }
+
   /** Okapi BM25 per the reference formula (k1=1.6, b=0.75). */
   def bm25(docs: DataFrame, k1: Double = 1.6, b: Double = 0.75): DataFrame = {
     val td = termDoc(docs)

@@ -32,6 +32,32 @@ object SparseTextQueries extends QueryGroup {
       |  FROM toks, unnest(toks.tokens) AS t(term)
       |  GROUP BY doc_id, t.term)""".stripMargin
 
+  // one oracle for BOTH the exact and the prefix-filtered all-pairs
+  // cosine queries: prefix filtering (Bayardo et al. WWW'07) is lossless,
+  // so the two must hash identically against this full self-join
+  private val allPairsCosineSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS tokens
+      |  FROM documents WHERE doc_id < 600),
+      |td AS (
+      |  SELECT doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM toks, unnest(toks.tokens) AS t(term)
+      |  GROUP BY doc_id, t.term),
+       |df AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+       |n AS (SELECT count(DISTINCT doc_id) AS n FROM td),
+       |w AS (SELECT td.doc_id, td.term,
+       |        round(ln(td.tf) * ln(CAST(n.n AS DOUBLE)/df.df + 1.0), 6) AS w
+       |      FROM td, df, n WHERE td.term = df.term),
+       |wz AS (SELECT * FROM w WHERE w <> 0),
+       |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM wz GROUP BY doc_id),
+       |u AS (SELECT wz.doc_id, wz.term, wz.w/nrm.nrm AS u
+       |      FROM wz JOIN nrm USING (doc_id))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       round(sum(a.u*b.u), 4) AS sim
+       |FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING sum(a.u*b.u) >= 0.8""".stripMargin
+
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_degree" -> ((s, d) => {
       SparseOps.degree(Tables.cooOrdersParts(s, d))
@@ -177,6 +203,20 @@ object SparseTextQueries extends QueryGroup {
         .where(col("doc_id") < 300)),
     "txt_bm25_score" -> ((s, d) =>
       TextOps.bm25Score(Tables.documents(s, d), Seq("spark", "join", "merge"))),
+    // sparse all-pairs cosine ≥ 0.8 over TF-IDF unit vectors: exact
+    // inverted-index form and the prefix-filtered (Bayardo et al. WWW'07)
+    // scale path — SAME oracle, because prefix filtering is lossless.
+    // Bounded to 600 docs like the rest of the txt family: this fixture
+    // is template soup (31 effective terms at sf0.1, ~10M truly-similar
+    // pairs), so the full-corpus output itself is quadratic — the
+    // operators carry the scale design (prefix pruning + hot-term
+    // salting), the query carries the oracle.
+    "txt_allpairs_cosine" -> ((s, d) =>
+      TextOps.allPairsCosine(
+        Tables.documents(s, d).where(col("doc_id") < 600), 0.8)),
+    "txt_allpairs_prefix" -> ((s, d) =>
+      TextOps.allPairsCosinePrefix(
+        Tables.documents(s, d).where(col("doc_id") < 600), 0.8)),
     "txt_quality" -> ((s, d) => {
       TextOps.quality(Tables.documents(s, d)).where(col("doc_id") < 1000)
     }),
@@ -351,6 +391,8 @@ object SparseTextQueries extends QueryGroup {
          |SELECT td.doc_id, td.term,
          |       round(ln(td.tf) * ln(CAST(n.n AS DOUBLE)/df.df + 1.0), 6) AS w
          |FROM td, df, n WHERE td.term = df.term AND td.doc_id < 300""".stripMargin,
+    "txt_allpairs_cosine" -> allPairsCosineSql,
+    "txt_allpairs_prefix" -> allPairsCosineSql,
     "txt_feature_hashing" ->
       s"""$tokCte
          |SELECT doc_id, k,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{AnnOps, ClusterOps, DedupOps, LabelOps, RandomOps}
+import graft.operators.{AnnOps, ClusterOps, DedupOps, LabelOps, RandomOps, TextOps}
 
 /** Behavior tests for the pipeline ops whose guarantees go beyond what the
   * oracle hash-compare shows: RNG partition-invariance, LSH recall quality,
@@ -27,6 +27,22 @@ class PipelineSpec extends AnyFunSuite {
       .agg(avg(col("u")).as("m"), variance(col("u")).as("v")).collect().head
     assert(math.abs(m.getDouble(0) - 0.5) < 0.01)
     assert(math.abs(m.getDouble(1) - 1.0 / 12) < 0.01)
+  }
+
+  test("all-pairs cosine prefix filter prunes the index yet loses no pair") {
+    val docs = graft.Tables.documents(spark, sf)
+    val tau = 0.8
+    val u = TextOps.tfidfUnit(docs).localCheckpoint(true)
+    val fullEntries = u.count()
+    val idxEntries = TextOps.prefixIndex(u, tau).count()
+    assert(idxEntries < fullEntries,
+      s"prefix index kept $idxEntries of $fullEntries entries — no pruning")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(TextOps.allPairsCosine(docs, tau))
+    val pruned = pairs(TextOps.allPairsCosinePrefix(docs, tau))
+    assert(exact.nonEmpty, "fixture should contain cosine near-dups")
+    assert(exact == pruned, "prefix filtering must be lossless (Bayardo WWW'07)")
   }
 
   test("minhash LSH finds the planted near-duplicates") {
