@@ -278,7 +278,14 @@ object ScaleProbe {
         val p2 = phase("prefix") { TextOps.allPairsCosinePrefix(docs, 0.8).count() }
         val u = TextOps.tfidfUnit(docs).localCheckpoint(true)
         val p3 = phase("prefix_index") { TextOps.prefixIndex(u, 0.8).count() }
-        s""""mode":"allpairs","doc_bound":$n,$p0,$p1,$p2,$p3"""
+        val p4 = phase("enum_only") { TextOps.pairContributionsForProbe(u).count() }
+        val p5 = phase("exact_repart") {
+          TextOps.pairContributionsForProbe(u)
+            .repartition(256, col("doc_a"), col("doc_b"))
+            .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("p")).as("s"))
+            .where(col("s") >= 0.8).count()
+        }
+        s""""mode":"allpairs","doc_bound":$n,$p0,$p1,$p2,$p3,$p4,$p5"""
       case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | silhouette | lanefold | allpairs)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
