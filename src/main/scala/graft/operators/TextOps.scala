@@ -145,6 +145,25 @@ object TextOps {
       .where(col("s") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("s"), 4).as("sim"))
 
+  /** Top-k cosine neighbors per document (sparse text-side similarity
+    * search): symmetrize the a<b pair table from [[allPairsCosine]], rank
+    * by ROUNDED similarity with a doc-id tie-break — rounding first makes
+    * the ranking engine-portable (raw float sums differ in the last ulp
+    * across summation orders). row_number over a per-doc window:
+    * WindowGroupLimit prunes to k per partition map-side, and the
+    * partition key is the doc, so no global sort exists at any scale. */
+  def cosineTopK(docs: DataFrame, tau: Double, k: Int): DataFrame = {
+    val p = allPairsCosine(docs, tau)
+    val sym = p.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("sim"))
+      .unionByName(
+        p.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("sim")))
+    val bySim = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sim").desc, col("nbr"))
+    sym.select(col("doc_id"), col("nbr"), col("sim"),
+        row_number().over(bySim).as("rnk"))
+      .where(col("rnk") <= k)
+  }
+
   /** The indexed head of each doc's rarity-sorted unit vector: entries
     * whose suffix norm is ≥ tau (see [[allPairsCosinePrefix]]). Exposed so
     * the pruning ratio is measurable in specs. */

@@ -35,7 +35,10 @@ object SparseTextQueries extends QueryGroup {
   // one oracle for BOTH the exact and the prefix-filtered all-pairs
   // cosine queries: prefix filtering (Bayardo et al. WWW'07) is lossless,
   // so the two must hash identically against this full self-join
-  private val allPairsCosineSql =
+  // CTE chain shared by the all-pairs cosine family: tokenize the bounded
+  // corpus, TF-IDF weights (reference formula, rounded like txt_tfidf),
+  // drop zeros, L2-normalize, then the exact pair sums at tau=0.8
+  private val allPairsCtes =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
       |                             t -> t <> '') AS tokens
@@ -44,19 +47,35 @@ object SparseTextQueries extends QueryGroup {
       |  SELECT doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
       |  FROM toks, unnest(toks.tokens) AS t(term)
       |  GROUP BY doc_id, t.term),
-       |df AS (SELECT term, count(*) AS df FROM td GROUP BY term),
-       |n AS (SELECT count(DISTINCT doc_id) AS n FROM td),
-       |w AS (SELECT td.doc_id, td.term,
-       |        round(ln(td.tf) * ln(CAST(n.n AS DOUBLE)/df.df + 1.0), 6) AS w
-       |      FROM td, df, n WHERE td.term = df.term),
-       |wz AS (SELECT * FROM w WHERE w <> 0),
-       |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM wz GROUP BY doc_id),
-       |u AS (SELECT wz.doc_id, wz.term, wz.w/nrm.nrm AS u
-       |      FROM wz JOIN nrm USING (doc_id))
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       round(sum(a.u*b.u), 4) AS sim
-       |FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING sum(a.u*b.u) >= 0.8""".stripMargin
+      |df AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM td),
+      |w AS (SELECT td.doc_id, td.term,
+      |        round(ln(td.tf) * ln(CAST(n.n AS DOUBLE)/df.df + 1.0), 6) AS w
+      |      FROM td, df, n WHERE td.term = df.term),
+      |wz AS (SELECT * FROM w WHERE w <> 0),
+      |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM wz GROUP BY doc_id),
+      |u AS (SELECT wz.doc_id, wz.term, wz.w/nrm.nrm AS u
+      |      FROM wz JOIN nrm USING (doc_id)),
+      |sims AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                round(sum(a.u*b.u), 4) AS sim
+      |         FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2 HAVING sum(a.u*b.u) >= 0.8)""".stripMargin
+
+  private val allPairsCosineSql =
+    s"""$allPairsCtes
+       |SELECT doc_a, doc_b, sim FROM sims""".stripMargin
+
+  private val cosineTopKSql =
+    s"""$allPairsCtes,
+       |sym AS (SELECT doc_a AS doc_id, doc_b AS nbr, sim FROM sims
+       |        UNION ALL
+       |        SELECT doc_b AS doc_id, doc_a AS nbr, sim FROM sims)
+       |SELECT doc_id, nbr, sim,
+       |       CAST(row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY sim DESC, nbr) AS INT) AS rnk
+       |FROM sym
+       |QUALIFY row_number() OVER (PARTITION BY doc_id
+       |                           ORDER BY sim DESC, nbr) <= 3""".stripMargin
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_degree" -> ((s, d) => {
@@ -217,6 +236,11 @@ object SparseTextQueries extends QueryGroup {
     "txt_allpairs_prefix" -> ((s, d) =>
       TextOps.allPairsCosinePrefix(
         Tables.documents(s, d).where(col("doc_id") < 600), 0.8)),
+    // per-doc top-3 cosine neighbors — text-side similarity search on the
+    // same pair table; ranking on the ROUNDED sim keeps it engine-portable
+    "txt_cosine_topk" -> ((s, d) =>
+      TextOps.cosineTopK(
+        Tables.documents(s, d).where(col("doc_id") < 600), 0.8, 3)),
     "txt_quality" -> ((s, d) => {
       TextOps.quality(Tables.documents(s, d)).where(col("doc_id") < 1000)
     }),
@@ -393,6 +417,7 @@ object SparseTextQueries extends QueryGroup {
          |FROM td, df, n WHERE td.term = df.term AND td.doc_id < 300""".stripMargin,
     "txt_allpairs_cosine" -> allPairsCosineSql,
     "txt_allpairs_prefix" -> allPairsCosineSql,
+    "txt_cosine_topk" -> cosineTopKSql,
     "txt_feature_hashing" ->
       s"""$tokCte
          |SELECT doc_id, k,
