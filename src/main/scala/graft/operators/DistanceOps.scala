@@ -85,6 +85,69 @@ object DistanceOps {
         (round(hamming, 4) + 0.0).as("hamming"))
   }
 
+  /** The remaining rows of the reference's DistanceType enum (the
+    * historical raft/distance distance_types surface) not covered by
+    * [[pairwiseMetrics]]: inner product; KL divergence, Jensen-Shannon
+    * and Hellinger over the DERIVED probability simplex p_i = |v_i|/Σ|v|
+    * (the fixture embeddings are signed, so the simplex lift is part of
+    * the declared transform — computed identically in the oracle);
+    * Jaccard, Dice and Russell-Rao over the derived binary mask
+    * v_i > 0 (the "expanded" binary forms); and Haversine over the first
+    * two lanes scaled to radians. Same bounded exact-baseline block
+    * shape as [[pairwiseMetrics]]; every metric is a strict lane fold.
+    */
+  def pairwiseMetrics2(vectors: DataFrame, maxId: Int): DataFrame = {
+    val a = vectors.where(col("id") < maxId)
+      .select(col("id").as("a"), col("vec").as("va"))
+    val b = vectors.where(col("id") < maxId)
+      .select(col("id").as("b"), col("vec").as("vb"))
+    val n = size(col("va")).cast("double")
+    val la = ArrayMath.l1(col("va"))
+    val lb = ArrayMath.l1(col("vb"))
+    def probFold(f: (Column, Column) => Column): Column =
+      ArrayMath.foldSum(zip_with(col("va"), col("vb"),
+        (x, y) => f(abs(x) / la, abs(y) / lb)), identity)
+    val kl = probFold((p, q) =>
+      when((p > 0.0) && (q > 0.0), p * log(p / q)).otherwise(0.0))
+    val jsSum = probFold { (p, q) =>
+      val m = (p + q) / 2.0
+      when((p > 0.0) && (m > 0.0), p * log(p / m)).otherwise(0.0) +
+        when((q > 0.0) && (m > 0.0), q * log(q / m)).otherwise(0.0)
+    }
+    val js = sqrt(jsSum / 2.0)
+    val hellinger =
+      sqrt(greatest(lit(0.0), lit(1.0) - probFold((p, q) => sqrt(p * q))))
+    val ip = ArrayMath.dot(col("va"), col("vb"))
+    val ca = ArrayMath.foldSum(col("va"),
+      x => when(x > 0.0, 1.0).otherwise(0.0))
+    val cb = ArrayMath.foldSum(col("vb"),
+      x => when(x > 0.0, 1.0).otherwise(0.0))
+    val both = ArrayMath.foldSum(zip_with(col("va"), col("vb"),
+      (x, y) => when((x > 0.0) && (y > 0.0), 1.0).otherwise(0.0)), identity)
+    val jaccard = when(ca + cb - both =!= 0.0,
+      lit(1.0) - both / (ca + cb - both)).otherwise(0.0)
+    val dice = when(ca + cb =!= 0.0,
+      lit(1.0) - lit(2.0) * both / (ca + cb)).otherwise(0.0)
+    val russellrao = (n - both) / n
+    def lane(v: Column, i: Int): Column = element_at(v, i) / 10.0
+    val (latA, lonA) = (lane(col("va"), 1), lane(col("va"), 2))
+    val (latB, lonB) = (lane(col("vb"), 1), lane(col("vb"), 2))
+    val sLat = sin((latA - latB) / 2.0)
+    val sLon = sin((lonA - lonB) / 2.0)
+    val haversine = lit(2.0) * asin(sqrt(
+      sLat * sLat + cos(latA) * cos(latB) * sLon * sLon))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (round(ip, 4) + 0.0).as("ip"),
+        (round(kl, 4) + 0.0).as("kl"),
+        (round(js, 4) + 0.0).as("js"),
+        (round(hellinger, 4) + 0.0).as("hellinger"),
+        (round(jaccard, 4) + 0.0).as("jaccard"),
+        (round(dice, 4) + 0.0).as("dice"),
+        (round(russellrao, 4) + 0.0).as("russellrao"),
+        (round(haversine, 4) + 0.0).as("haversine"))
+  }
+
   /** Epsilon-neighborhood degree: for each point, how many points (self
     * included — the adjacency diagonal is true) lie within squared L2
     * distance eps2. Exact over the bounded block; at scale the same count

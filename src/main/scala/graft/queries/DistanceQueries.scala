@@ -53,6 +53,17 @@ object DistanceQueries extends QueryGroup {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), " +
       s"p -> CASE WHEN p[1] = p[2] THEN 0.0 ELSE 1.0 END)), (s, x) -> s + x) / CAST(len($a) AS DOUBLE)"
 
+  // ---- helpers for the pairwise_metrics2 oracle (probability-simplex,
+  // binary-mask and haversine metrics; p = abs(x)/la, q = abs(y)/lb) ----
+  private def zfold(a: String, b: String, term: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), pr -> $term)), (s, x) -> s + x)"
+  private def vfold(v: String, term: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform($v, x -> $term)), (s, x) -> s + x)"
+  private val pP = "(abs(pr[1])/la)"
+  private val pQ = "(abs(pr[2])/lb)"
+
   private val vCte =
     """v AS (SELECT vec_id AS id,
       |  list_transform(embedding, f -> CAST(f AS DOUBLE)) AS vec FROM embeddings)""".stripMargin
@@ -74,6 +85,11 @@ object DistanceQueries extends QueryGroup {
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dist_pairwise_metrics" -> ((s, d) =>
       DistanceOps.pairwiseMetrics(Tables.vectors(s, d), 200)),
+    // the rest of the reference DistanceType enum: inner product,
+    // KL/JS/Hellinger on the derived simplex, Jaccard/Dice/Russell-Rao
+    // on the derived binary mask, haversine on two scaled lanes
+    "dist_pairwise_metrics2" -> ((s, d) =>
+      DistanceOps.pairwiseMetrics2(Tables.vectors(s, d), 200)),
     "dist_eps_neighborhood" -> ((s, d) =>
       DistanceOps.epsNeighborhood(
         RandomOps.makeBlobs(s, 500, 8, 5, 42).select(col("id"), col("vec")).coalesce(4).localCheckpoint(true), 64.0)),
@@ -348,6 +364,40 @@ object DistanceQueries extends QueryGroup {
          |  round(${hammingExpr("a.vec", "b.vec")}, 4) + 0.0 AS hamming
          |FROM v a JOIN v b ON a.id < b.id
          |WHERE a.id < 200 AND b.id < 200""".stripMargin,
+    "dist_pairwise_metrics2" -> {
+      val m = s"(($pP + $pQ)/2.0)"
+      val klT = s"CASE WHEN $pP > 0.0 AND $pQ > 0.0 " +
+        s"THEN $pP * ln($pP / $pQ) ELSE 0.0 END"
+      val jsT = s"(CASE WHEN $pP > 0.0 AND $m > 0.0 THEN $pP * ln($pP / $m) ELSE 0.0 END + " +
+        s"CASE WHEN $pQ > 0.0 AND $m > 0.0 THEN $pQ * ln($pQ / $m) ELSE 0.0 END)"
+      val hellT = s"sqrt($pP * $pQ)"
+      val sLat = "sin((va[1]/10.0 - vb[1]/10.0)/2.0)"
+      val sLon = "sin((va[2]/10.0 - vb[2]/10.0)/2.0)"
+      s"""WITH $vCte,
+         |p AS (
+         |  SELECT a.id AS a, b.id AS b, a.vec AS va, b.vec AS vb,
+         |    ${vfold("a.vec", "abs(x)")} AS la,
+         |    ${vfold("b.vec", "abs(x)")} AS lb,
+         |    CAST(len(a.vec) AS DOUBLE) AS n,
+         |    ${vfold("a.vec", "CASE WHEN x > 0.0 THEN 1.0 ELSE 0.0 END")} AS ca,
+         |    ${vfold("b.vec", "CASE WHEN x > 0.0 THEN 1.0 ELSE 0.0 END")} AS cb,
+         |    ${zfold("a.vec", "b.vec", "CASE WHEN pr[1] > 0.0 AND pr[2] > 0.0 THEN 1.0 ELSE 0.0 END")} AS bth
+         |  FROM v a JOIN v b ON a.id < b.id
+         |  WHERE a.id < 200 AND b.id < 200)
+         |SELECT a, b,
+         |  round(${zfold("va", "vb", "pr[1] * pr[2]")}, 4) + 0.0 AS ip,
+         |  round(${zfold("va", "vb", klT)}, 4) + 0.0 AS kl,
+         |  round(sqrt(${zfold("va", "vb", jsT)} / 2.0), 4) + 0.0 AS js,
+         |  round(sqrt(greatest(0.0, 1.0 - ${zfold("va", "vb", hellT)})), 4) + 0.0 AS hellinger,
+         |  round(CASE WHEN ca + cb - bth <> 0.0
+         |        THEN 1.0 - bth / (ca + cb - bth) ELSE 0.0 END, 4) + 0.0 AS jaccard,
+         |  round(CASE WHEN ca + cb <> 0.0
+         |        THEN 1.0 - 2.0 * bth / (ca + cb) ELSE 0.0 END, 4) + 0.0 AS dice,
+         |  round((n - bth) / n, 4) + 0.0 AS russellrao,
+         |  round(2.0 * asin(sqrt($sLat * $sLat +
+         |        cos(va[1]/10.0) * cos(vb[1]/10.0) * $sLon * $sLon)), 4) + 0.0 AS haversine
+         |FROM p""".stripMargin
+    },
     "dist_eps_neighborhood" ->
       s"""WITH ${blobsCte(500)}
          |SELECT a.id AS id, count(*) AS deg

@@ -38,6 +38,31 @@ class DistanceSpec extends AnyFunSuite {
     assert(r.getAs[Double]("hamming") == 0.75)
   }
 
+  test("pairwise metrics2 (simplex/binary/haversine rows) match hand-computed values") {
+    val r = DistanceOps.pairwiseMetrics2(twoVecs, 2).collect().head
+    // a=(1,-2,0,3), b=(-1,2,4,3): ip = -1-4+0+9 = 4
+    assert(r.getAs[Double]("ip") == 4.0)
+    // p = |a|/6 = (1/6,1/3,0,1/2), q = |b|/10 = (.1,.2,.4,.3);
+    // every p>0 lane has p/q = 5/3, so KL = ln(5/3)
+    assert(math.abs(r.getAs[Double]("kl") - math.log(5.0 / 3.0)) < 2e-4)
+    // js² = (ln(5/4) + 0.6·ln(3/4) + 0.4·ln 2)/2
+    val js = math.sqrt((math.log(1.25) + 0.6 * math.log(0.75) + 0.4 * math.log(2.0)) / 2.0)
+    assert(math.abs(r.getAs[Double]("js") - js) < 2e-4)
+    // Σ√(pq) = √(1/60)+√(1/15)+0+√(3/20)
+    val hell = math.sqrt(1.0 -
+      (math.sqrt(1.0 / 60) + math.sqrt(1.0 / 15) + math.sqrt(3.0 / 20)))
+    assert(math.abs(r.getAs[Double]("hellinger") - hell) < 2e-4)
+    // masks: a>0 = (1,0,0,1), b>0 = (0,1,1,1), both = 1
+    assert(r.getAs[Double]("jaccard") == 0.75)   // 1 - 1/4
+    assert(r.getAs[Double]("dice") == 0.6)       // 1 - 2/5
+    assert(r.getAs[Double]("russellrao") == 0.75) // (4-1)/4
+    // lat/lon = first two lanes /10: (0.1,-0.2) vs (-0.1,0.2)
+    val inner = math.pow(math.sin(0.1), 2) +
+      math.cos(0.1) * math.cos(-0.1) * math.pow(math.sin(-0.2), 2)
+    assert(math.abs(r.getAs[Double]("haversine") -
+      2.0 * math.asin(math.sqrt(inner))) < 2e-4)
+  }
+
   test("eps-neighborhood degree counts self and is symmetric in total") {
     val blobs = RandomOps.makeBlobs(spark, 200, 8, 5, 42).select(col("id"), col("vec"))
     val deg = DistanceOps.epsNeighborhood(blobs, 64.0).collect()
