@@ -196,7 +196,9 @@ object TextOps {
   def allPairsCosinePrefix(docs: DataFrame, tau: Double,
       salts: Int = 16, hotDf: Long = 256): DataFrame = {
     val u = tfidfUnit(docs).localCheckpoint(true)
-    val idx = prefixIndex(u, tau)
+    // checkpointed: the index subtree (groupBy df + window) otherwise
+    // replays once per consumer — pairContributions reads it four times
+    val idx = prefixIndex(u, tau).localCheckpoint(true)
     // candidate equi-join with the same hot-key isolation as the exact
     // form (a unit-valued vector: p=1 just marks a shared indexed term)
     val cand = pairContributions(idx.withColumn("u", lit(1.0)), salts, hotDf)
