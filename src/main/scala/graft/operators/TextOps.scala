@@ -145,6 +145,27 @@ object TextOps {
       .where(col("s") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("s"), 4).as("sim"))
 
+  /** Cross-corpus cosine decontamination: eval-side documents scored
+    * against every train-side document at the TF-IDF level — the 4th
+    * decontamination modality beside exact-hash, MinHash-fuzzy and
+    * embedding-semantic (DedupOps). Weights and norms come from the FULL
+    * corpus (one idf model, both sides comparable); the eval side is
+    * broadcast (decontamination's defining asymmetry: eval ≪ train), so
+    * the term-keyed pair enumeration is a map-side hash join — the train
+    * corpus never shuffles, which is the property that survives 100 TB. */
+  def crossCorpusCosine(docs: DataFrame, evalPred: Column, tau: Double): DataFrame = {
+    val u = tfidfUnit(docs).localCheckpoint(true)
+    val evalIds = docs.where(evalPred).select(col("doc_id"))
+    val a = u.join(evalIds, Seq("doc_id"))
+      .select(col("doc_id").as("doc_a"), col("term"), col("u").as("ua"))
+    val b = u.join(evalIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("doc_b"), col("term"), col("u").as("ub"))
+    sumPairSims(
+      broadcast(a).join(b, Seq("term"))
+        .select(col("doc_a"), col("doc_b"), (col("ua") * col("ub")).as("p")),
+      tau)
+  }
+
   /** Top-k cosine neighbors per document (sparse text-side similarity
     * search): symmetrize the a<b pair table from [[allPairsCosine]], rank
     * by ROUNDED similarity with a doc-id tie-break — rounding first makes

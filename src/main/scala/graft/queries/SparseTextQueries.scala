@@ -241,6 +241,11 @@ object SparseTextQueries extends QueryGroup {
     "txt_cosine_topk" -> ((s, d) =>
       TextOps.cosineTopK(
         Tables.documents(s, d).where(col("doc_id") < 600), 0.8, 3)),
+    // TF-IDF-cosine decontamination over the FULL corpus (no doc bound:
+    // the broadcast eval side keeps it linear in the train side)
+    "pipe_contamination_cosine" -> ((s, d) =>
+      TextOps.crossCorpusCosine(
+        Tables.documents(s, d), col("source") === "src1", 0.8)),
     "txt_quality" -> ((s, d) => {
       TextOps.quality(Tables.documents(s, d)).where(col("doc_id") < 1000)
     }),
@@ -418,6 +423,25 @@ object SparseTextQueries extends QueryGroup {
     "txt_allpairs_cosine" -> allPairsCosineSql,
     "txt_allpairs_prefix" -> allPairsCosineSql,
     "txt_cosine_topk" -> cosineTopKSql,
+    "pipe_contamination_cosine" ->
+      s"""$tokCte,
+         |df AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM td),
+         |w AS (SELECT td.doc_id, td.term,
+         |        round(ln(td.tf) * ln(CAST(n.n AS DOUBLE)/df.df + 1.0), 6) AS w
+         |      FROM td, df, n WHERE td.term = df.term),
+         |wz AS (SELECT * FROM w WHERE w <> 0),
+         |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM wz GROUP BY doc_id),
+         |u AS (SELECT wz.doc_id, wz.term, wz.w/nrm.nrm AS u
+         |      FROM wz JOIN nrm USING (doc_id)),
+         |ue AS (SELECT u.* FROM u JOIN documents d ON d.doc_id = u.doc_id
+         |       WHERE d.source = 'src1'),
+         |ut AS (SELECT u.* FROM u JOIN documents d ON d.doc_id = u.doc_id
+         |       WHERE d.source <> 'src1')
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(sum(a.u*b.u), 4) AS sim
+         |FROM ue a JOIN ut b ON a.term = b.term
+         |GROUP BY 1, 2 HAVING sum(a.u*b.u) >= 0.8""".stripMargin,
     "txt_feature_hashing" ->
       s"""$tokCte
          |SELECT doc_id, k,

@@ -24,6 +24,24 @@ object DedupProps extends Properties("MinhashLsh") {
     .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
   private val corpusGen = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, docGen))
 
+  property("prefix-filtered all-pairs cosine equals the exact join at any tau") =
+    forAll(corpusGen, Gen.oneOf(0.3, 0.5, 0.7, 0.9)) { (texts, tau) =>
+      import spark.implicits._
+      import graft.operators.TextOps
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        // repeat the word list so tf > 1 terms exist (tf=1 ln-weights
+        // are 0 and whole docs would vanish from the unit-vector table)
+        (i.toLong, t + " " + t, "x", "s", t.length)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = pairSet(TextOps.allPairsCosine(docs, tau))
+      val pruned = pairSet(TextOps.allPairsCosinePrefix(docs, tau))
+      Prop(exact == pruned) :|
+        s"tau=$tau exact=${exact.size} pruned=${pruned.size} " +
+          s"diff=${(exact -- pruned) ++ (pruned -- exact)}"
+    }
+
   property("an exact copy is always found with jaccard exactly 1") =
     forAll(corpusGen, Gen.choose(0, 100)) { (texts, pick) =>
       import spark.implicits._
