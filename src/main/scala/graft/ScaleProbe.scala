@@ -286,7 +286,51 @@ object ScaleProbe {
             .where(col("s") >= 0.8).count()
         }
         s""""mode":"allpairs","doc_bound":$n,$p0,$p1,$p2,$p3,$p4,$p5"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | silhouette | lanefold | allpairs)")
+      case "allpairszipf" =>
+        // the all-pairs shape the sf fixtures CANNOT show: a zipfian
+        // vocabulary (V=10k, s≈1) where idf mass concentrates on rare
+        // terms, so the Bayardo prefix index drops the high-df head and
+        // the candidate join collapses — prefix should WIN here, unlike
+        // the 31-term template fixture where the answer itself is
+        // quadratic. Each doc = 30 zipf-drawn words, each written twice
+        // (tf=1 terms carry zero reference-formula weight and would
+        // vanish). Self-checks exact == prefix before reporting.
+        import graft.operators.TextOps
+        import org.apache.spark.sql.DataFrame
+        val v = 10000.0
+        def wordsFor(idc: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(29)), j => {
+            val u = (pmod(TextOps.h32(concat_ws(":", idc, j, lit("zipf"))),
+              lit(1000000L)).cast("double") + 0.5) / 1000000.0
+            val r = ceil(pow(lit(v), u)).cast("long")
+            concat_ws("", lit("w"), r.cast("string"))
+          })
+        def text(idc: org.apache.spark.sql.Column) =
+          concat_ws(" ", flatten(transform(wordsFor(idc), w => array(w, w))))
+        // base corpus + 1% planted exact copies so the ≥0.8 answer (and
+        // the exact-vs-prefix equality check) is non-vacuous
+        val docs = spark.range(n)
+          .select(col("id").as("doc_id"), text(col("id")).as("text"))
+          .unionByName(spark.range(n / 100).select((col("id") + n).as("doc_id"),
+            text(pmod(col("id") * 97L, lit(n))).as("text")))
+          .localCheckpoint(true)
+        // phase timer measures build + eager checkpoint (the real work),
+        // then the cheap post-checkpoint count
+        def phase(tag: String)(f: => DataFrame): (String, DataFrame) = {
+          val t = System.nanoTime()
+          val df = f.localCheckpoint(true)
+          val c = df.count()
+          (f""""$tag":{"rows":$c,"sec":${(System.nanoTime() - t) / 1e9}%.3f}""", df)
+        }
+        val (pe, u0) = phase("entries") { TextOps.tfidfUnit(docs) }
+        val (pi, _) = phase("prefix_index") { TextOps.prefixIndex(u0, 0.8) }
+        val (p1, exact) = phase("exact") { TextOps.allPairsCosine(docs, 0.8) }
+        val (p2, pruned) = phase("prefix") { TextOps.allPairsCosinePrefix(docs, 0.8) }
+        val diff = exact.unionByName(pruned).except(
+          exact.intersect(pruned)).count()
+        require(diff == 0, s"exact != prefix: $diff differing pairs")
+        s""""mode":"allpairszipf","n_docs":$n,$pe,$pi,$p1,$p2,"diff":$diff"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | silhouette | lanefold | allpairs | allpairszipf)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":{$result,"sec":$dt}}""")
