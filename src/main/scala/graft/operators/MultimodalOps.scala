@@ -148,6 +148,43 @@ object MultimodalOps {
         count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= 2)
 
+  /** Overlapping-window fingerprints — the AUDIO shape (an STFT hop):
+    * a window of `win` bytes every `hop` bytes (hop < win ⇒ overlap),
+    * each digested. Unlike the contiguous [[frameSample]] frames, a copy
+    * SHIFTED by any multiple of `hop` still collides on every interior
+    * window — the alignment robustness an audio fingerprinter
+    * (chromaprint family) exists for. The md5 digest is the
+    * deterministic stand-in for a band-energy/chroma vector (no codecs
+    * in this sandbox — see [[decodeStub]]); pure column expressions,
+    * one explode, no shuffle. */
+  def audioFingerprint(docs: DataFrame, win: Int = 200, hop: Int = 100): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        greatest(lit(0L),
+          ((length(col("text")) - win) / hop).cast("long")).as("n_win"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_win"))).as("win_idx"), col("text"))
+      .where(col("win_idx") * hop + win <= length(col("text")))
+      .select(col("doc_id"), col("win_idx"),
+        (col("win_idx") * hop).as("offset"),
+        md5(col("text").substr((col("win_idx") * hop + 1).cast("int"),
+          lit(win))).as("fp"))
+
+  /** Audio-style near-dup pairs: docs sharing ≥ minShared distinct
+    * window fingerprints. The fingerprint table is the join key — same
+    * keyed-aggregate shuffle shape as [[frameDups]], but the overlap
+    * makes it catch hop-shifted copies that contiguous frames miss
+    * (spec-pinned). */
+  def audioDups(docs: DataFrame, win: Int = 200, hop: Int = 100,
+      minShared: Long = 3): DataFrame = {
+    val f = audioFingerprint(docs, win, hop)
+    val a = f.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = f.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("fp")).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Frame sampling: explode each payload into fixed-size "frames" with a
     * per-frame digest — the video-frame-sample shape (one output row per
     * frame, offset metadata carried along). Pure column expressions.

@@ -99,6 +99,16 @@ object PipelineQueries extends QueryGroup {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       MultimodalOps.frameDups(docs.unionByName(planted))
     }),
+    // audio-lane dedup: HOP-SHIFTED copies planted (100 junk chars
+    // prepended = exactly one hop), which contiguous frames cannot catch
+    // but overlapping windows must (PipelineSpec pins the contrast)
+    "pipe_mm_audio_dup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("z" * 100), col("text")).as("text"))
+      MultimodalOps.audioDups(docs.unionByName(planted))
+    }),
     "pipe_mm_features" -> ((s, d) =>
       MultimodalOps.featureStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()
         .select(col("doc_id"), col("resized_w"), col("resized_h"),
@@ -1191,6 +1201,20 @@ object PipelineQueries extends QueryGroup {
         |  FROM corpus, unnest(range((length(text) + 199) // 200)) AS t(i))
         |SELECT frame_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "pipe_mm_audio_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, repeat('z', 100) || text
+        |  FROM documents WHERE doc_id < 25),
+        |fp AS (
+        |  SELECT doc_id, md5(substr(text, i * 100 + 1, 200)) AS fp
+        |  FROM corpus, unnest(range(length(text) // 100 + 1)) AS t(i)
+        |  WHERE i * 100 + 200 <= length(text))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(DISTINCT a.fp) AS shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 3""".stripMargin,
     "pipe_mm_frames" ->
       """SELECT doc_id, i AS frame_idx, i * 200 AS offset,
         |  md5(substr(text, i * 200 + 1, 200)) AS frame_md5

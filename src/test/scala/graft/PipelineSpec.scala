@@ -219,6 +219,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(high.subsetOf(lsh), s"LSH missed high-cos pairs: ${high -- lsh}")
   }
 
+  test("overlapping audio windows catch hop-shifted copies that frames miss") {
+    import spark.implicits._
+    val base = ('a' to 'z').mkString * 40 // 1040 chars
+    // shift by exactly one hop (100 chars): frames (stride 200) see no
+    // shared frame; overlapping windows realign from window 1 onward
+    val shifted = ("z" * 100) + base
+    val docs = Seq((0L, base), (1L, shifted)).toDF("doc_id", "text")
+    val frames = graft.operators.MultimodalOps.frameDups(docs).collect()
+    assert(frames.isEmpty, s"contiguous frames should miss the shift: ${frames.toList}")
+    val audio = graft.operators.MultimodalOps.audioDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // base has floor((1040-200)/100)+1 = 9 windows, all present in the
+    // shifted copy one hop later
+    assert(audio.get((0L, 1L)).contains(9L), s"audio windows: $audio")
+  }
+
   test("repetition metrics are closed-form on constructed docs") {
     import spark.implicits._
     // "a b a b a b": 5 2-grams, 2 distinct, top ("a b") occurs 3x
