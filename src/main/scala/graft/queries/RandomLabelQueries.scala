@@ -96,6 +96,11 @@ object RandomLabelQueries extends QueryGroup {
     // integer state, so the unrolled SQL replay matches bit-for-bit
     "graph_lpa" -> ((s, d) =>
       GraphOps.labelPropagation(RandomOps.rmat(s, 1000, 8, 42), 256L, 3)),
+    // triangle counts via degree-ordered wedges; the oracle uses the
+    // INDEPENDENT numeric-order brute formulation — same answer reached
+    // by a different algorithm is the strongest hash check
+    "graph_triangles" -> ((s, d) =>
+      GraphOps.triangleCounts(RandomOps.rmat(s, 1000, 8, 42))),
   )
 
   private def rmatSql(nEdges: Int, scale: Int, seed: Long,
@@ -243,5 +248,21 @@ object RandomLabelQueries extends QueryGroup {
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT node, label FROM l3""".stripMargin
     },
+    // numeric-order brute triangles: e1=(x,y), e2=(y,z), e3=(x,z) with
+    // x<y<z each counted once — algorithm-independent of the Spark
+    // degree-ordered wedge implementation
+    "graph_triangles" ->
+      s"""WITH raw AS (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM und e1
+         |      JOIN und e2 ON e2.a = e1.b
+         |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT node, count(*) AS n_tri FROM (
+         |  SELECT x AS node FROM t
+         |  UNION ALL SELECT y FROM t
+         |  UNION ALL SELECT z FROM t)
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -22,6 +22,22 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r(4L) - 0.15 / 5) < 1e-12, "isolated rank = (1-d)/N")
   }
 
+  test("triangleCounts: K4, squares, bridges and duplicate edges are closed-form") {
+    import spark.implicits._
+    // K4 on 0-3 (each node in C(3,2)=3 triangles), a 4-cycle on 10-13
+    // (no triangles), a pendant edge 0-20, plus duplicate/reversed
+    // spellings of an existing edge that must canonicalize away
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (0L, 20L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 3L).foreach(i => assert(got(i) == 3L, s"K4 node $i: $got"))
+    assert(!(10L to 13L).exists(got.contains), s"square has no triangles: $got")
+    assert(!got.contains(20L), s"pendant node in no triangle: $got")
+  }
+
   test("spectralPartition recovers a planted weakly-coupled partition") {
     import spark.implicits._
     // 4 cliques of 5 chained by weak bridges of distinct weights (chain,
