@@ -89,6 +89,31 @@ object GraphOps {
     labels
   }
 
+  /** Common-neighbor link prediction: for every vertex pair at distance
+    * 2, how many shared neighbors connect them (the classic
+    * link-prediction / graph-similarity score, and the base quantity of
+    * Adamic-Adar). Enumerated as wedges KEYED BY THE MIDDLE vertex —
+    * Σ_m deg(m)² rows, never n² — the same middle-vertex shape as the
+    * CAGRA 2-hop prune. Existing edges are anti-joined out (prediction
+    * scores only NON-edges); pairs canonical a < b. */
+  def commonNeighbors(edges: DataFrame, minShared: Long = 2): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("m"), col("a").as("x")))
+    val wedges = adj.select(col("m"), col("x").as("pa"))
+      .join(adj.select(col("m"), col("x").as("pb")), Seq("m"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    wedges.join(und, Seq("a", "b"), "left_anti")
+      .where(col("shared") >= minShared)
+  }
+
   /** Triangle counting with DEGREE ORDERING (the scalable formulation —
     * Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of
     * the Last Reducer"): canonicalize to undirected simple edges, orient

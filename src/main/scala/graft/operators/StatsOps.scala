@@ -188,6 +188,27 @@ object StatsOps {
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.cov").as("cov"))
   }
 
+  /** Spearman rank correlation with AVERAGE ranks for ties (the textbook
+    * convention): avg_rank(v) = #\{values < v\} + (#\{values = v\}+1)/2,
+    * built from the per-value count table with a DISTRIBUTED prefix sum
+    * (RankUtils — no global window even when the value domain is
+    * row-sized, e.g. prices), joined back value-keyed, then Pearson corr
+    * of the two rank columns. Everything is a keyed aggregate/join; the
+    * only ordered structure is the range-partitioned prefix sum. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def avgRanks(c: String): DataFrame = {
+      val counts = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      RankUtils.globalPrefixSum(counts, Seq(col("v")), col("cnt"), "cum")
+        .select(col("v").as(c),
+          (col("cum") - col("cnt") + (col("cnt") + 1) / 2.0).as(s"rank_$c"))
+    }
+    df.select(col(xCol), col(yCol))
+      .join(avgRanks(xCol), Seq(xCol))
+      .join(avgRanks(yCol), Seq(yCol))
+      .agg((round(corr(col(s"rank_$xCol"), col(s"rank_$yCol")), 6) + 0.0)
+        .as("spearman"))
+  }
+
   /** cluster_dispersion: Σ_k n_k·‖c_k − c‖² over label clusters —
     * reference: stats/dispersion.cuh:40. Centroids via lane explode +
     * two-level aggregation; everything stays keyed by (label, pos).

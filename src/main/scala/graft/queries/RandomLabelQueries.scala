@@ -101,6 +101,10 @@ object RandomLabelQueries extends QueryGroup {
     // by a different algorithm is the strongest hash check
     "graph_triangles" -> ((s, d) =>
       GraphOps.triangleCounts(RandomOps.rmat(s, 1000, 8, 42))),
+    // link prediction: common-neighbor counts for NON-edges at distance
+    // 2, wedges keyed by the middle vertex
+    "graph_common_neighbors" -> ((s, d) =>
+      GraphOps.commonNeighbors(RandomOps.rmat(s, 1000, 8, 42))),
   )
 
   private def rmatSql(nEdges: Int, scale: Int, seed: Long,
@@ -264,5 +268,17 @@ object RandomLabelQueries extends QueryGroup {
          |  UNION ALL SELECT y FROM t
          |  UNION ALL SELECT z FROM t)
          |GROUP BY 1""".stripMargin,
+    "graph_common_neighbors" ->
+      s"""WITH raw AS (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS (SELECT a AS m, b AS x FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |w AS (SELECT p.x AS a, q.x AS b, count(*) AS shared
+         |      FROM adj p JOIN adj q ON p.m = q.m AND p.x < q.x
+         |      GROUP BY 1, 2)
+         |SELECT w.a, w.b, w.shared FROM w
+         |LEFT JOIN und ON und.a = w.a AND und.b = w.b
+         |WHERE und.a IS NULL AND w.shared >= 2""".stripMargin,
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.StatsOps
+import graft.Tables
 
 /** Stats & model-evaluation metric queries (SURVEY.md §2.9) with DuckDB
   * oracles. Label fixture: truth=embeddings.label, pred=vec_id%10.
@@ -43,6 +44,10 @@ object StatsQueries extends QueryGroup {
     "stat_minmax" -> ((s, d) => StatsOps.minMax(s, d)),
     "stat_weighted_mean" -> ((s, d) => StatsOps.weightedMean(s, d)),
     "stat_cov" -> ((s, d) => StatsOps.covariance(s, d)),
+    // Spearman with textbook average-rank ties; ranks from a distributed
+    // prefix sum over the per-value count table, never a global window
+    "stat_spearman" -> ((s, d) =>
+      StatsOps.spearman(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")),
     "stat_dispersion" -> ((s, d) => StatsOps.clusterDispersion(s, d)),
     "stat_silhouette" -> ((s, d) => StatsOps.silhouette(s, d)),
     "stat_silhouette_batched" -> ((s, d) => StatsOps.silhouetteBatched(
@@ -161,6 +166,15 @@ object StatsQueries extends QueryGroup {
         |UNION ALL SELECT 1, 1, round(covar_samp(l_extendedprice, l_extendedprice), 4) FROM lineitem
         |UNION ALL SELECT 1, 2, round(covar_samp(l_extendedprice, l_discount), 4) FROM lineitem
         |UNION ALL SELECT 2, 2, round(covar_samp(l_discount, l_discount), 4) FROM lineitem""".stripMargin,
+    "stat_spearman" ->
+      """WITH rx AS (SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |rxx AS (SELECT v, sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS r FROM rx),
+        |ry AS (SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |ryy AS (SELECT v, sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS r FROM ry)
+        |SELECT round(corr(rxx.r, ryy.r), 6) + 0.0 AS spearman
+        |FROM lineitem l
+        |JOIN rxx ON rxx.v = l.l_quantity
+        |JOIN ryy ON ryy.v = l.l_extendedprice""".stripMargin,
     "stat_dispersion" ->
       """WITH lanes AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
