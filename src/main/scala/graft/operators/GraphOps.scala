@@ -97,21 +97,54 @@ object GraphOps {
     * CAGRA 2-hop prune. Existing edges are anti-joined out (prediction
     * scores only NON-edges); pairs canonical a < b. */
   def commonNeighbors(edges: DataFrame, minShared: Long = 2): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("m"), col("a").as("x")))
+    // middle-vertex degree rides along for the Adamic-Adar weight
+    // 1/ln(deg(m)); a wedge middle always has deg ≥ 2, so ln > 0
+    val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("dm"))
+    val adjD = adj.join(deg, Seq("m"))
+    val wedges = adjD.select(col("m"), col("dm"), col("x").as("pa"))
+      .join(adjD.select(col("m"), col("x").as("pb")), Seq("m"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("shared"),
+        (round(sum(lit(1.0) / log(col("dm"))), 6) + 0.0).as("adamic_adar"))
+    wedges.join(und, Seq("a", "b"), "left_anti")
+      .where(col("shared") >= minShared)
+  }
+
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(true)
-    val adj = und.select(col("a").as("m"), col("b").as("x"))
-      .unionByName(und.select(col("b").as("m"), col("a").as("x")))
-    val wedges = adj.select(col("m"), col("x").as("pa"))
-      .join(adj.select(col("m"), col("x").as("pb")), Seq("m"))
-      .where(col("pa") < col("pb"))
-      .groupBy(col("pa").as("a"), col("pb").as("b"))
-      .agg(count(lit(1)).as("shared"))
-    wedges.join(und, Seq("a", "b"), "left_anti")
-      .where(col("shared") >= minShared)
+
+  /** Fixed-round k-core peeling: `rounds` SYNCHRONOUS rounds of "drop
+    * every vertex with degree < k" over the canonical undirected simple
+    * edge set, then the surviving vertices with their residual degrees.
+    * A fixed round count keeps the op deterministic and round-by-round
+    * SQL-replayable (the labelPropagation convention); when the peel
+    * reaches its fixpoint within `rounds` the result IS the k-core
+    * (GraphSpec pins a graph with known peel depth). Each round is one
+    * degree aggregate + two semi-joins — edge-list state, never
+    * driver-held. */
+  def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    def degrees(und: DataFrame): DataFrame =
+      und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var und = canonicalUndirected(edges).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).where(col("deg") >= k).select(col("node"))
+      und = und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    degrees(und)
   }
 
   /** Triangle counting with DEGREE ORDERING (the scalable formulation —
@@ -127,11 +160,7 @@ object GraphOps {
     * corners via one union. Returns (node, n_tri).
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = canonicalUndirected(edges)
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

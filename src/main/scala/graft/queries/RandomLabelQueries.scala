@@ -101,10 +101,14 @@ object RandomLabelQueries extends QueryGroup {
     // by a different algorithm is the strongest hash check
     "graph_triangles" -> ((s, d) =>
       GraphOps.triangleCounts(RandomOps.rmat(s, 1000, 8, 42))),
-    // link prediction: common-neighbor counts for NON-edges at distance
-    // 2, wedges keyed by the middle vertex
+    // link prediction: common-neighbor counts + Adamic-Adar weights for
+    // NON-edges at distance 2, wedges keyed by the middle vertex
     "graph_common_neighbors" -> ((s, d) =>
       GraphOps.commonNeighbors(RandomOps.rmat(s, 1000, 8, 42))),
+    // 4 synchronous peel rounds of the 3-core; the oracle replays each
+    // round (the labelPropagation fixed-round convention)
+    "graph_kcore" -> ((s, d) =>
+      GraphOps.kCore(RandomOps.rmat(s, 1000, 8, 42), 3L, 4)),
   )
 
   private def rmatSql(nEdges: Int, scale: Int, seed: Long,
@@ -274,11 +278,33 @@ object RandomLabelQueries extends QueryGroup {
          |        FROM raw WHERE src <> dst),
          |adj AS (SELECT a AS m, b AS x FROM und
          |        UNION ALL SELECT b, a FROM und),
-         |w AS (SELECT p.x AS a, q.x AS b, count(*) AS shared
+         |dg AS (SELECT m, count(*) AS dm FROM adj GROUP BY 1),
+         |w AS (SELECT p.x AS a, q.x AS b, count(*) AS shared,
+         |             round(sum(1.0 / ln(dg.dm)), 6) + 0.0 AS adamic_adar
          |      FROM adj p JOIN adj q ON p.m = q.m AND p.x < q.x
+         |      JOIN dg ON dg.m = p.m
          |      GROUP BY 1, 2)
-         |SELECT w.a, w.b, w.shared FROM w
+         |SELECT w.a, w.b, w.shared, w.adamic_adar FROM w
          |LEFT JOIN und ON und.a = w.a AND und.b = w.b
          |WHERE und.a IS NULL AND w.shared >= 2""".stripMargin,
+    "graph_kcore" -> {
+      def round(r: Int): String = {
+        val prev = s"e${r - 1}"
+        s"""d$r AS (SELECT node, count(*) AS deg FROM (
+           |  SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+           |  GROUP BY 1),
+           |k$r AS (SELECT node FROM d$r WHERE deg >= 3),
+           |e$r AS (SELECT e.a, e.b FROM $prev e
+           |        JOIN k$r ka ON ka.node = e.a
+           |        JOIN k$r kb ON kb.node = e.b)""".stripMargin
+      }
+      s"""WITH raw AS (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM raw WHERE src <> dst),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+         |GROUP BY 1""".stripMargin
+    },
   )
 }

@@ -38,6 +38,26 @@ class GraphSpec extends AnyFunSuite {
     assert(!got.contains(20L), s"pendant node in no triangle: $got")
   }
 
+  test("kCore: the pendant path cascades away round by round, cores survive") {
+    import spark.implicits._
+    // K5 on 0-4, a path 4-10-11-12 hanging off (peels one node per
+    // round at k=2: 12 then 11 then 10), and a triangle 20-21-22 (a
+    // 2-core that must survive)
+    val edges = ((for { i <- 0 to 4; j <- 0 to 4 if i < j } yield
+      (i.toLong, j.toLong)) ++ Seq((4L, 10L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L))).toDF("src", "dst")
+    val got = GraphOps.kCore(edges, 2L, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L to 4L).map(_ -> 4L).toMap ++
+      Seq(20L, 21L, 22L).map(_ -> 2L)
+    assert(got == want, s"2-core: $got")
+    // one round only removes the path TIP — the cascade is real
+    val partial = GraphOps.kCore(edges, 2L, 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(partial.contains(10L) && partial.contains(11L) && !partial.contains(12L),
+      s"after one round only node 12 is gone: $partial")
+  }
+
   test("spectralPartition recovers a planted weakly-coupled partition") {
     import spark.implicits._
     // 4 cliques of 5 chained by weak bridges of distinct weights (chain,
