@@ -147,6 +147,83 @@ object GraphOps {
     degrees(und)
   }
 
+  /** Deterministic DeepWalk-style random walks (Perozzi et al., KDD'14):
+    * one walk per vertex over the symmetrized simple edge set, advanced
+    * `length` SYNCHRONOUS steps. The "random" neighbor choice is the
+    * counter-hash convention every sampler here uses — at step t the
+    * walk at v moves to the neighbor x minimizing
+    * h32("walk:t:x" · seed), a pure expression of (walk, t, x) — so the
+    * walk corpus is partition-invariant and the oracle replays it as an
+    * unrolled argmin-per-step SQL. The output (walk, step, node) rows
+    * ARE the skip-gram training sequences a graph-embedding pipeline
+    * consumes.
+    *
+    * Scale shape: frontier state is one (walk, node) row per walk; each
+    * step is one adjacency equi-join + one min_by aggregate keyed by
+    * walk — 2 keyed shuffles per step, nothing driver-held, and walk
+    * count scales with the graph (or any supplied start set), not with
+    * walk length. Every symmetrized vertex has degree ≥ 1, so no walk
+    * dies before `length`. */
+  def randomWalks(edges: DataFrame, length: Int, seed: Long = 42): DataFrame = {
+    import graft.operators.TextOps.h32
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("m"), col("a").as("x")))
+      .localCheckpoint(true)
+    var frontier = adj.select(col("m")).distinct()
+      .select(col("m").as("walk"), col("m").as("node"))
+    var out = frontier.select(col("walk"), lit(0).as("step"), col("node"))
+    for (t <- 1 to length) {
+      // integer key with x as the low bits: argmin is tie-free by
+      // construction, and both engines pick with one arg-min aggregate
+      val key = h32(concat_ws(":",
+          concat_ws(":", col("walk"), lit(t), col("x")),
+          lit(seed), lit("walk"))) * lit(65536L) + col("x")
+      frontier = frontier.join(adj, frontier("node") === adj("m"))
+        .select(col("walk"), col("x"), key.as("k"))
+        .groupBy(col("walk")).agg(min_by(col("x"), col("k")).as("node"))
+      if (t % 4 == 0 && t < length) frontier = frontier.localCheckpoint(true)
+      out = out.unionByName(
+        frontier.select(col("walk"), lit(t).as("step"), col("node")))
+    }
+    out
+  }
+
+  /** Personalized PageRank: identical synchronous update to [[pageRank]]
+    * but the restart mass lands on the SEED set only —
+    * r_{t+1}(v) = (1−d)·1[v ∈ S]/|S| + d·Σ_{u→v} r_t(u)/outdeg(u).
+    * The curation use is topic-conditioned authority: rank the corpus
+    * graph from a trusted seed domain set. Seeds arrive as a DataFrame
+    * (column `node`) and are broadcast into the update as a join —
+    * never collected. */
+  def personalizedPageRank(edges: DataFrame, n: Long, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("od"))
+      .localCheckpoint(true)
+    val s = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val nodes = spark.range(n).select(col("id").as("node"))
+      .join(broadcast(s.select(col("node"), lit(1.0).as("is_seed"))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0.0)).as("is_seed"))
+      .localCheckpoint(true)
+    val nSeeds = lit(s.count().toDouble)
+    val restart = col("is_seed") / nSeeds * lit(1.0 - damping)
+    var r = nodes.select(col("node"), (col("is_seed") / nSeeds).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), (col("r") / col("od")).as("cv"))
+        .groupBy(col("node")).agg(sum(col("cv")).as("s"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (restart + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+      if (i % 5 == 0 && i < iters) r = r.localCheckpoint(true)
+    }
+    r.select(col("node"), col("r"))
+  }
+
   /** Triangle counting with DEGREE ORDERING (the scalable formulation —
     * Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of
     * the Last Reducer"): canonicalize to undirected simple edges, orient

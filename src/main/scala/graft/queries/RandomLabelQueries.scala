@@ -109,6 +109,17 @@ object RandomLabelQueries extends QueryGroup {
     // round (the labelPropagation fixed-round convention)
     "graph_kcore" -> ((s, d) =>
       GraphOps.kCore(RandomOps.rmat(s, 1000, 8, 42), 3L, 4)),
+    // DeepWalk corpus: one 6-step walk per vertex, each neighbor pick a
+    // counter-hash argmin — the oracle replays the steps as unrolled
+    // arg_min aggregates over the same md5 keys
+    "graph_walks" -> ((s, d) =>
+      GraphOps.randomWalks(RandomOps.rmat(s, 1000, 8, 42), 6)),
+    // topic-conditioned authority: restart mass confined to an 8-seed
+    // set (nodes 0,31,...,217), 10 synchronous rounds
+    "graph_ppr" -> ((s, d) =>
+      GraphOps.personalizedPageRank(RandomOps.rmat(s, 1000, 8, 42), 256L,
+        s.range(8).select((col("id") * 31).as("node")), 10)
+        .select(col("node"), (round(col("r"), 6) + 0.0).as("r"))),
   )
 
   private def rmatSql(nEdges: Int, scale: Int, seed: Long,
@@ -306,5 +317,42 @@ object RandomLabelQueries extends QueryGroup {
          |  SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
          |GROUP BY 1""".stripMargin
     },
+    "graph_walks" -> {
+      def step(t: Int): String =
+        s"""s$t AS (SELECT s.walk AS walk,
+           |  arg_min(a.x, ${h(s"concat_ws(':', s.walk, $t, a.x)", "walk")} * 65536 + a.x) AS node
+           |  FROM s${t - 1} s JOIN adj a ON a.m = s.node GROUP BY 1)""".stripMargin
+      s"""WITH raw AS (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS (SELECT a AS m, b AS x FROM und UNION ALL SELECT b, a FROM und),
+         |s0 AS (SELECT DISTINCT m AS walk, m AS node FROM adj),
+         |${(1 to 6).map(step).mkString(",\n")}
+         |${(0 to 6).map(t => s"SELECT walk, $t AS step, node FROM s$t").mkString("\nUNION ALL ")}""".stripMargin
+    },
+    "graph_ppr" ->
+      s"""WITH RECURSIVE
+         |raw AS (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |e AS (SELECT DISTINCT src, dst FROM raw),
+         |deg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY 1),
+         |sd AS (SELECT id * 31 AS node FROM range(8) t(id)),
+         |nd AS (SELECT n.id::BIGINT AS node,
+         |         CASE WHEN sd.node IS NULL THEN 0.0 ELSE 1.0 END AS is_seed
+         |       FROM range(256) n(id) LEFT JOIN sd ON sd.node = n.id),
+         |pr AS (
+         |  SELECT 0 AS it, node, is_seed / 8 AS r FROM nd
+         |  UNION ALL
+         |  SELECT it + 1, node, 0.15 * is_seed / 8 + 0.85 * s AS r FROM (
+         |    SELECT p.it AS it, nd.node AS node, nd.is_seed AS is_seed,
+         |           COALESCE(sum(contrib.cv), 0.0) AS s
+         |    FROM nd
+         |    CROSS JOIN (SELECT DISTINCT it FROM pr WHERE it < 10) p
+         |    LEFT JOIN (
+         |      SELECT pr2.it AS cit, e.dst AS d, pr2.r / deg.od AS cv
+         |      FROM pr pr2 JOIN e ON e.src = pr2.node JOIN deg ON deg.src = e.src
+         |    ) contrib ON contrib.d = nd.node AND contrib.cit = p.it
+         |    GROUP BY 1, 2, 3)
+         |)
+         |SELECT node, round(r, 6) + 0.0 AS r FROM pr WHERE it = 10""".stripMargin,
   )
 }

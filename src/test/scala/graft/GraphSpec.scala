@@ -58,6 +58,51 @@ class GraphSpec extends AnyFunSuite {
       s"after one round only node 12 is gone: $partial")
   }
 
+  test("randomWalks: every hop follows an edge, degree-1 nodes are forced, partition-invariant") {
+    import spark.implicits._
+    // path 0-1-2 plus triangle 5-6-7
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("src", "dst")
+    val walks = GraphOps.randomWalks(edges, 4, 42)
+    val rows = walks.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 6 * 5, s"6 walks x 5 positions: ${rows.length}")
+    // consecutive positions are edges of the symmetrized graph
+    val und = Set((0L, 1L), (1L, 2L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val byWalk = rows.groupBy(_._1).values
+    byWalk.foreach { w =>
+      val seq = w.sortBy(_._2).map(_._3)
+      seq.sliding(2).foreach { case Array(a, b) =>
+        assert(und.contains((a, b)), s"hop $a->$b not an edge")
+      }
+    }
+    // degree-1 endpoints have exactly one choice: 0 -> 1, 2 -> 1
+    val w0 = rows.filter(r => r._1 == 0L && r._2 == 1).head._3
+    val w2 = rows.filter(r => r._1 == 2L && r._2 == 1).head._3
+    assert(w0 == 1L && w2 == 1L)
+    // partition invariance: the hash pick is a pure function of (walk, t, x)
+    val reWalks = GraphOps.randomWalks(edges.repartition(7), 4, 42)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(reWalks == rows.toSet, "walks must not depend on partitioning")
+  }
+
+  test("personalizedPageRank: mass stays on the seed-reachable side") {
+    import spark.implicits._
+    // two disconnected directed cycles: 0->1->2->0 and 10->11->12->10
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val r = GraphOps.personalizedPageRank(edges, 13L, seeds, 12)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(10L) == 0.0 && r(11L) == 0.0 && r(12L) == 0.0,
+      s"unreachable component must hold zero mass: $r")
+    // cycles have no dangling loss: total mass on the seeded cycle is 1
+    val tot = r(0L) + r(1L) + r(2L)
+    assert(math.abs(tot - 1.0) < 1e-9, s"seeded cycle mass $tot")
+    assert(r(0L) > r(1L) && r(1L) > r(2L),
+      s"restart node outranks its successors: $r")
+  }
+
   test("spectralPartition recovers a planted weakly-coupled partition") {
     import spark.implicits._
     // 4 cliques of 5 chained by weak bridges of distinct weights (chain,
