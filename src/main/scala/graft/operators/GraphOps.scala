@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph-centrality scoring — the domain-authority signal a corpus
@@ -189,6 +189,62 @@ object GraphOps {
     out
   }
 
+  /** node2vec biased second-order walks (Grover & Leskovec, KDD'16):
+    * like [[randomWalks]] but each step weights candidate x by the
+    * search bias α(prev, x) — wReturn if x is the previous node
+    * (α = 1/p), wCommon if x neighbors the previous node (α = 1),
+    * wFar otherwise (α = 1/q). Defaults (4, 2, 1) encode p = 1/2,
+    * q = 2: return-tolerant and locality-biased (the BFS-ish,
+    * structural-equivalence end of the paper's dial).
+    *
+    * Weights are INTEGERS so the weighted pick stays exact and
+    * replayable: candidate x enters w replicas (explode of
+    * sequence(1, w)), each keyed by an integer counter-hash, and the
+    * walk takes the arg-min key — P(x) = w_x/Σw exactly (the arg-min
+    * over Σw iid uniform draws is uniform over draws), with zero
+    * float comparison for the oracle to straddle. Scale shape per
+    * step: one adjacency equi-join, one left join against the edge
+    * set for the prev-neighbor mark, one ≤4× replica explode, one
+    * keyed arg-min — frontier state is one (walk, prev, node) row per
+    * walk, nothing driver-held. */
+  def node2vecWalks(edges: DataFrame, length: Int, wReturn: Int = 4,
+      wCommon: Int = 2, wFar: Int = 1, seed: Long = 42): DataFrame = {
+    import graft.operators.TextOps.h32
+    require(wReturn < 8 && wCommon < 8 && wFar < 8, "replica weights < 8")
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("m"), col("a").as("x")))
+      .localCheckpoint(true)
+    val prevAdj = adj.select(col("m").as("pm"), col("x").as("px"),
+      lit(1).as("near"))
+    // prev = start at t=1: no self-loops, and every candidate neighbors
+    // cur = prev, so the first step degrades to the uniform pick
+    var frontier = adj.select(col("m")).distinct()
+      .select(col("m").as("walk"), col("m").as("prev"), col("m").as("node"))
+    var out = frontier.select(col("walk"), lit(0).as("step"), col("node"))
+    for (t <- 1 to length) {
+      val cand = frontier.join(adj, frontier("node") === adj("m"))
+        .join(prevAdj, col("prev") === col("pm") && col("x") === col("px"), "left")
+        .select(col("walk"), col("node").as("cur"), col("x"),
+          when(col("x") === col("prev"), lit(wReturn))
+            .when(col("near").isNotNull, lit(wCommon))
+            .otherwise(lit(wFar)).as("w"))
+      val key = h32(concat_ws(":",
+          concat_ws(":", col("walk"), lit(t), col("x"), col("rep")),
+          lit(seed), lit("n2v"))) * lit(2048L) + col("x") * 8L + col("rep")
+      frontier = cand
+        .select(col("walk"), col("cur"), col("x"),
+          explode(sequence(lit(1), col("w"))).as("rep"))
+        .groupBy(col("walk"), col("cur"))
+        .agg(min_by(col("x"), key).as("node"))
+        .select(col("walk"), col("cur").as("prev"), col("node"))
+      if (t % 4 == 0 && t < length) frontier = frontier.localCheckpoint(true)
+      out = out.unionByName(
+        frontier.select(col("walk"), lit(t).as("step"), col("node")))
+    }
+    out
+  }
+
   /** Personalized PageRank: identical synchronous update to [[pageRank]]
     * but the restart mass lands on the SEED set only —
     * r_{t+1}(v) = (1−d)·1[v ∈ S]/|S| + d·Σ_{u→v} r_t(u)/outdeg(u).
@@ -222,6 +278,86 @@ object GraphOps {
       if (i % 5 == 0 && i < iters) r = r.localCheckpoint(true)
     }
     r.select(col("node"), col("r"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg '99), `iters` synchronous
+    * rounds over the DISTINCT directed edge set with L1 normalization
+    * each half-step (all-positive scores, so the L1 norm is one global
+    * sum — deterministic and SQL-replayable, unlike an L2 norm whose
+    * summation-order sensitivity the oracle would fight):
+    * a ∝ Σ_{u→v} h(u), h ∝ Σ_{u→v} a(v). Nodes outside the edge set
+    * settle at 0. Each half-step is one keyed join-aggregate plus one
+    * scalar normalizer (broadcast back via crossJoin of a 1-row agg —
+    * never collected). */
+  def hits(edges: DataFrame, n: Long, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val nodes = spark.range(n).select(col("id").as("node"))
+    def l1norm(df: DataFrame, c: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(sum(col(c)).as("__t"))))
+        .select(col("node"), (col(c) / col("__t")).as(c))
+    var h = nodes.select(col("node"), lit(1.0 / n).as("h"))
+    var a = nodes.select(col("node"), lit(1.0 / n).as("a"))
+    for (i <- 1 to iters) {
+      val aRaw = e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+      a = l1norm(nodes.join(aRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a")), "a")
+      val hRaw = e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+      h = l1norm(nodes.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h")), "h")
+      if (i % 3 == 0 && i < iters) {
+        a = a.localCheckpoint(true); h = h.localCheckpoint(true)
+      }
+    }
+    h.join(a, Seq("node"))
+  }
+
+  /** k-truss peeling: `rounds` SYNCHRONOUS rounds of "drop every edge
+    * supported by fewer than k−2 triangles", over the canonical
+    * undirected simple edge set; returns the surviving edges. The edge
+    * analog of [[kCore]] — a strictly stronger cohesion filter (every
+    * k-truss edge sits in a (k−1)-core). Per round the support count
+    * uses the DEGREE-ORDERED triangle enumeration of [[triangleCounts]]
+    * (Σ outdeg⁺², never Σ deg² — hub-safe), each triangle charged to
+    * its 3 edges with one union + keyed count; the oracle replays the
+    * rounds with the INDEPENDENT brute wedge formulation. */
+  def kTruss(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    var und = canonicalUndirected(edges).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = und
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      val oriented = withDeg.select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .localCheckpoint(true)
+      val wedges = oriented.select(col("u"), col("v").as("w1"))
+        .join(oriented.select(col("u"), col("v").as("w2")), Seq("u"))
+        .where(col("w1") < col("w2"))
+      val closing = oriented.select(col("u").as("w1"), col("v").as("w2"))
+        .unionByName(oriented.select(col("v").as("w1"), col("u").as("w2")))
+      val tris = wedges.join(closing, Seq("w1", "w2"))
+        .select(col("u"), col("w1"), col("w2"))
+      def canon(x: Column, y: Column) =
+        Seq(least(x, y).as("a"), greatest(x, y).as("b"))
+      val support = tris.select(canon(col("u"), col("w1")): _*)
+        .unionByName(tris.select(canon(col("u"), col("w2")): _*))
+        .unionByName(tris.select(canon(col("w1"), col("w2")): _*))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+      und = und.join(support, Seq("a", "b"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= lit(k - 2))
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    und
   }
 
   /** Triangle counting with DEGREE ORDERING (the scalable formulation —

@@ -491,4 +491,98 @@ object StatsOps {
           .as("dist"))
     silhouetteFromPairs(pair)
   }
+
+  /** Pearson chi-squared independence test + Cramér's V over the
+    * (truth, pred) contingency matrix — the hypothesis-test companion of
+    * [[contingency]]/[[mutualInfo]] (reference: stats/contingency_matrix
+    * .cuh:114 exposes the cross-tab; the test statistic is its standard
+    * consumer). Uses the observed-cells-only identity
+    *   χ² = n·(Σ_obs o²/(a_i·b_j) − 1)
+    * (zero-observed cells contribute exactly their expectation e, and
+    * Σ_all e = n), so the full r×c cell grid is never generated — the
+    * whole test is the contingency aggregate, two broadcast margins and
+    * one scalar fold, linear in OBSERVED cells at any scale. */
+  def chiSquared(spark: SparkSession, dir: String): DataFrame =
+    chiSquaredFrom(contingency(spark, dir))
+
+  /** [[chiSquared]] on a caller-supplied contingency table
+    * (truth, pred, cnt). */
+  def chiSquaredFrom(ctIn: DataFrame): DataFrame = {
+    val ct = ctIn.localCheckpoint(true)
+    val ai = ct.groupBy(col("truth")).agg(sum(col("cnt")).as("a"))
+    val bj = ct.groupBy(col("pred")).agg(sum(col("cnt")).as("b"))
+    val dims = ct.agg(sum(col("cnt")).cast("double").as("n"),
+      countDistinct(col("truth")).as("r"), countDistinct(col("pred")).as("c"))
+    ct.join(broadcast(ai), Seq("truth")).join(broadcast(bj), Seq("pred"))
+      .crossJoin(broadcast(dims))
+      .agg(sum(col("cnt") * col("cnt") / (col("a") * col("b"))).as("s"),
+        max(col("n")).as("n"), max(col("r")).as("r"), max(col("c")).as("c"))
+      .select(
+        (round(col("n") * (col("s") - 1), 4) + 0.0).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        (round(sqrt((col("s") - 1) / least(col("r") - 1, col("c") - 1)), 6) + 0.0)
+          .as("cramers_v"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test — the distribution-drift gate a
+    * curation pipeline runs between corpus slices (old vs new crawl, one
+    * source vs the rest): D = sup_x |F₁(x) − F₂(x)|. Distributed shape:
+    * ONE per-value count table with a conditional count per side, a
+    * RankUtils range-partitioned prefix sum per side (never a global
+    * window), and a scalar max — the same discrete-ECDF formulation both
+    * engines compute exactly, ties included. Returns D, the scaled
+    * statistic z = D·√(n₁n₂/(n₁+n₂)) and its asymptotic two-sided
+    * p-value 2·exp(−2z²). `inG1` must be a non-null boolean expression. */
+  def ksTest(df: DataFrame, valueCol: String, inG1: Column): DataFrame = {
+    val counts = df
+      .select(col(valueCol).as("v"), inG1.cast("long").as("g"))
+      .groupBy(col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    val cum = RankUtils.globalPrefixSum(
+      RankUtils.globalPrefixSum(counts, Seq(col("v")), col("c1"), "cum1"),
+      Seq(col("v")), col("c2"), "cum2")
+    val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // n₁·n₂ in double: the long product overflows past ~3e9 rows/side
+    val z = col("d") *
+      sqrt(col("n1").cast("double") * col("n2") / (col("n1") + col("n2")))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cum1") / col("n1") - col("cum2") / col("n2"))).as("d"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"), (round(col("d"), 6) + 0.0).as("d"),
+        (round(z, 6) + 0.0).as("z"),
+        (round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * z * z)), 6) + 0.0)
+          .as("p_value"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the rank-based
+    * drift/shift gate beside [[ksTest]] (sensitive to location shift
+    * where KS is sup-norm). Tie-corrected normal approximation:
+    *   U₁ = R₁ − n₁(n₁+1)/2,   μ = n₁n₂/2,
+    *   σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+    * with R₁ the average-rank sum of group 1 (same per-value count table
+    * + RankUtils prefix sum as [[spearman]] — ties handled exactly, no
+    * global window, no per-row rank materialization: everything folds
+    * from the value-keyed count table). */
+  def mannWhitneyU(df: DataFrame, valueCol: String, inG1: Column): DataFrame = {
+    val counts = df
+      .select(col(valueCol).as("v"), inG1.cast("long").as("g"))
+      .groupBy(col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val r = RankUtils.globalPrefixSum(counts, Seq(col("v")), col("c"), "cum")
+      .select(col("c1"), col("c2"), col("c"),
+        (col("cum") - col("c") + (col("c") + 1) / 2.0).as("rank"))
+    r.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("rank")).as("r1"),
+        sum(col("c").cast("double") * col("c") * col("c") - col("c")).as("ties"))
+      .select(col("n1"), col("n2"),
+        (col("r1") - col("n1").cast("double") * (col("n1") + 1) / 2.0).as("u1"),
+        col("ties"), (col("n1") + col("n2")).as("n"))
+      .select(col("n1"), col("n2"), (col("u1") + 0.0).as("u1"),
+        (col("n1").cast("double") * col("n2") - col("u1") + 0.0).as("u2"),
+        (round((col("u1") - col("n1").cast("double") * col("n2") / 2.0) /
+          sqrt(col("n1").cast("double") * col("n2") / 12.0 *
+            ((col("n") + 1) - col("ties") / (col("n").cast("double") * (col("n") - 1)))), 6)
+          + 0.0).as("z"))
+  }
 }

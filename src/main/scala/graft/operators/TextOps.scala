@@ -722,6 +722,31 @@ object TextOps {
         sum(col("tf")).cast("long").as("n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document by its LM negative log-likelihood ([[bigramNll]] — the
+    * in-corpus interpolated bigram model standing in for CCNet's
+    * KenLM), split the ranking into `buckets` equal-population tertiles
+    * (head = most fluent, tail = most perplexed — CCNet keeps head+
+    * middle), and report each bucket's population and NLL envelope.
+    * The rank is RankUtils' range-partitioned global row number over
+    * the total order (nll, doc_id) — deterministic under ties, never a
+    * single-task window — so the bucket boundary is an exact count
+    * quantile, not a float threshold two engines could straddle. */
+  def pplBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
+    val nll = bigramNll(docs)
+    val ranked = RankUtils.globalRowNumber(
+      nll, Seq(col("nll"), col("doc_id")), "rn")
+    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    ranked.crossJoin(n)
+      .select(col("nll"),
+        expr(s"((rn - 1) * $buckets) div n").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        (round(avg(col("nll")), 4) + 0.0).as("avg_nll"),
+        (min(col("nll")) + 0.0).as("min_nll"),
+        (max(col("nll")) + 0.0).as("max_nll"))
+  }
+
   /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): score every raw document by the
     * log importance ratio of a hashed-n-gram bag model fit on a TARGET

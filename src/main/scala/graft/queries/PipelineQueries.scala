@@ -195,6 +195,10 @@ object PipelineQueries extends QueryGroup {
       TextOps.dsirSelect(Tables.documents(s, d))),
     "pipe_bigram_nll" -> ((s, d) =>
       TextOps.bigramNll(Tables.documents(s, d))),
+    // CCNet perplexity tertiles: rank docs by bigram NLL, split by exact
+    // count quantile (rank formula, not a float threshold)
+    "pipe_ppl_buckets" -> ((s, d) =>
+      TextOps.pplBuckets(Tables.documents(s, d))),
     "pipe_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairStats(Tables.documents(s, d))),
     "pipe_bpe_merges" -> ((s, d) =>
@@ -750,6 +754,38 @@ object PipelineQueries extends QueryGroup {
         |  JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
         |  CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // perplexity tertiles over the same bigram NLL: exact-count rank
+    // split ((rn-1)*3 // n), envelope + mean per bucket
+    "pipe_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tokens[i+1] AS w1, tokens[i+2] AS w2,
+        |         CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks, unnest(range(len(tokens) - 1)) AS t(i)
+        |  WHERE len(tokens) >= 2 GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS cw FROM
+        |  (SELECT unnest(tokens) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT sum(cw) AS t FROM uni),
+        |nll AS (SELECT doc_id,
+        |  round(-sum(bi.tf * ln(0.7 * c12.c12 / u1.cw + 0.3 * u2.cw / tot.t))
+        |        / sum(bi.tf), 4) + 0.0 AS nll
+        |FROM bi JOIN c12 USING (w1, w2)
+        |  JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+        |  CROSS JOIN tot
+        |GROUP BY doc_id),
+        |rk AS (SELECT nll,
+        |  row_number() OVER (ORDER BY nll, doc_id) AS rn,
+        |  (SELECT count(*) FROM nll) AS n FROM nll)
+        |SELECT ((rn - 1) * 3) // n AS bucket,
+        |  count(*) AS n_docs,
+        |  round(avg(nll), 4) + 0.0 AS avg_nll,
+        |  min(nll) + 0.0 AS min_nll,
+        |  max(nll) + 0.0 AS max_nll
+        |FROM rk GROUP BY 1""".stripMargin,
     // DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
     // bag model target-vs-raw, Laplace-smoothed log ratio summed per doc,
     // top-100 kept (ties by doc_id on the ROUNDED score)

@@ -120,6 +120,20 @@ object RandomLabelQueries extends QueryGroup {
       GraphOps.personalizedPageRank(RandomOps.rmat(s, 1000, 8, 42), 256L,
         s.range(8).select((col("id") * 31).as("node")), 10)
         .select(col("node"), (round(col("r"), 6) + 0.0).as("r"))),
+    // node2vec biased walks (p=1/2, q=2 as integer weights 4/2/1):
+    // the oracle replays each step's replica argmin over the same keys
+    "graph_node2vec" -> ((s, d) =>
+      GraphOps.node2vecWalks(RandomOps.rmat(s, 1000, 8, 42), 6)),
+    // HITS after 5 L1-normalized rounds; unrolled half-step oracle
+    "graph_hits" -> ((s, d) =>
+      GraphOps.hits(RandomOps.rmat(s, 1000, 8, 42), 256L, 5)
+        .select(col("node"), (round(col("h"), 6) + 0.0).as("h"),
+          (round(col("a"), 6) + 0.0).as("a"))),
+    // 3 peel rounds of the 4-truss (edges in ≥2 triangles); the oracle
+    // recounts support each round with the brute wedge formulation —
+    // independent of the degree-ordered enumeration the op uses
+    "graph_ktruss" -> ((s, d) =>
+      GraphOps.kTruss(RandomOps.rmat(s, 1000, 8, 42), 4L, 3)),
   )
 
   private def rmatSql(nEdges: Int, scale: Int, seed: Long,
@@ -354,5 +368,72 @@ object RandomLabelQueries extends QueryGroup {
          |    GROUP BY 1, 2, 3)
          |)
          |SELECT node, round(r, 6) + 0.0 AS r FROM pr WHERE it = 10""".stripMargin,
+    "graph_node2vec" -> {
+      // MATERIALIZED: each step reads the previous state and adj twice
+      def step(t: Int): String =
+        s"""c$t AS MATERIALIZED (SELECT s.walk AS walk, s.node AS cur, a.x AS x,
+           |  CASE WHEN a.x = s.prev THEN 4
+           |       WHEN pa.px IS NOT NULL THEN 2 ELSE 1 END AS w
+           |  FROM s${t - 1} s JOIN adj a ON a.m = s.node
+           |  LEFT JOIN adj2 pa ON pa.pm = s.prev AND pa.px = a.x),
+           |s$t AS MATERIALIZED (SELECT walk, cur AS prev,
+           |  arg_min(x, ${h(s"concat_ws(':', walk, $t, x, rep)", "n2v")} * 2048 + x * 8 + rep) AS node
+           |  FROM (SELECT c.*, r.rep FROM c$t c, unnest(range(1, c.w + 1)) AS r(rep))
+           |  GROUP BY walk, cur)""".stripMargin
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a AS m, b AS x FROM und UNION ALL SELECT b, a FROM und),
+         |adj2 AS MATERIALIZED (SELECT m AS pm, x AS px FROM adj),
+         |s0 AS MATERIALIZED (SELECT DISTINCT m AS walk, m AS prev, m AS node FROM adj),
+         |${(1 to 6).map(step).mkString(",\n")}
+         |${(0 to 6).map(t => s"SELECT walk, $t AS step, node FROM s$t").mkString("\nUNION ALL ")}""".stripMargin
+    },
+    "graph_hits" -> {
+      // every CTE MATERIALIZED: each level references the previous one
+      // ~3× (agg join, scalar-subquery normalizer, left join), so the
+      // unmaterialized plan re-evaluates the chain exponentially (3^10
+      // replays of the R-MAT CTE — a measured multi-hour hang)
+      def halfSteps(r: Int): String =
+        s"""ar$r AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS a
+           |  FROM e JOIN h${r - 1} h ON h.node = e.src GROUP BY 1),
+           |a$r AS MATERIALIZED (SELECT nd.node,
+           |  COALESCE(ar$r.a, 0.0) / (SELECT sum(a) FROM ar$r) AS a
+           |  FROM nd LEFT JOIN ar$r ON ar$r.node = nd.node),
+           |hr$r AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS h
+           |  FROM e JOIN a$r a ON a.node = e.dst GROUP BY 1),
+           |h$r AS MATERIALIZED (SELECT nd.node,
+           |  COALESCE(hr$r.h, 0.0) / (SELECT sum(h) FROM hr$r) AS h
+           |  FROM nd LEFT JOIN hr$r ON hr$r.node = nd.node)""".stripMargin
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+         |nd AS MATERIALIZED (SELECT id::BIGINT AS node FROM range(256) t(id)),
+         |h0 AS MATERIALIZED (SELECT node, 1.0 / 256 AS h FROM nd),
+         |${(1 to 5).map(halfSteps).mkString(",\n")}
+         |SELECT h5.node, round(h5.h, 6) + 0.0 AS h, round(a5.a, 6) + 0.0 AS a
+         |FROM h5 JOIN a5 ON a5.node = h5.node""".stripMargin
+    },
+    "graph_ktruss" -> {
+      // MATERIALIZED for the same reason as graph_hits: each round
+      // references the previous edge set 4× (adj twice, support join,
+      // the filtered output) — unmaterialized this is 4^3 R-MAT replays
+      def round(r: Int): String = {
+        val prev = s"e${r - 1}"
+        s"""adj$r AS MATERIALIZED (SELECT a AS m, b AS x FROM $prev
+           |  UNION ALL SELECT b, a FROM $prev),
+           |sup$r AS MATERIALIZED (SELECT w.a, w.b, count(*) AS sup
+           |  FROM (SELECT p.x AS a, q.x AS b FROM adj$r p
+           |        JOIN adj$r q ON p.m = q.m AND p.x < q.x) w
+           |  JOIN $prev e ON e.a = w.a AND e.b = w.b GROUP BY 1, 2),
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+           |  LEFT JOIN sup$r s ON s.a = e.a AND s.b = e.b
+           |  WHERE COALESCE(s.sup, 0) >= 2)""".stripMargin
+      }
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM raw WHERE src <> dst),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT a, b FROM e3""".stripMargin
+    },
   )
 }

@@ -48,6 +48,17 @@ object StatsQueries extends QueryGroup {
     // prefix sum over the per-value count table, never a global window
     "stat_spearman" -> ((s, d) =>
       StatsOps.spearman(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")),
+    // chi-squared independence + Cramér's V from observed contingency
+    // cells only (zero cells folded in closed form — no r×c grid)
+    "stat_chi2" -> ((s, d) => StatsOps.chiSquared(s, d)),
+    // two-sample KS drift gate: doc-length distribution of the 'en'
+    // slice vs the rest; discrete ECDFs from distributed prefix sums
+    "stat_ks" -> ((s, d) => StatsOps.ksTest(
+      Tables.documents(s, d), "n_chars", col("lang") === "en")),
+    // rank-sum companion of the KS gate (location-shift sensitive),
+    // tie-corrected normal approximation, same fixture
+    "stat_mwu" -> ((s, d) => StatsOps.mannWhitneyU(
+      Tables.documents(s, d), "n_chars", col("lang") === "en")),
     "stat_dispersion" -> ((s, d) => StatsOps.clusterDispersion(s, d)),
     "stat_silhouette" -> ((s, d) => StatsOps.silhouette(s, d)),
     "stat_silhouette_batched" -> ((s, d) => StatsOps.silhouetteBatched(
@@ -166,6 +177,62 @@ object StatsQueries extends QueryGroup {
         |UNION ALL SELECT 1, 1, round(covar_samp(l_extendedprice, l_extendedprice), 4) FROM lineitem
         |UNION ALL SELECT 1, 2, round(covar_samp(l_extendedprice, l_discount), 4) FROM lineitem
         |UNION ALL SELECT 2, 2, round(covar_samp(l_discount, l_discount), 4) FROM lineitem""".stripMargin,
+    // χ² = n·(Σ_obs o²/(a·b) − 1); V = sqrt((s−1)/min(r−1,c−1))
+    "stat_chi2" ->
+      s"""$ctCte,
+         |s AS (SELECT sum(ct.cnt * ct.cnt / (ai.a * bj.b)) AS s,
+         |             (SELECT n FROM tot) AS n,
+         |             count(DISTINCT ct.truth) AS r,
+         |             count(DISTINCT ct.pred) AS c
+         |      FROM ct JOIN ai ON ai.truth = ct.truth
+         |              JOIN bj ON bj.pred = ct.pred)
+         |SELECT round(n * (s - 1), 4) + 0.0 AS chi2,
+         |       (r - 1) * (c - 1) AS dof,
+         |       round(sqrt((s - 1) / least(r - 1, c - 1)), 6) + 0.0 AS cramers_v
+         |FROM s""".stripMargin,
+    "stat_ks" ->
+      """WITH c AS (
+        |  SELECT n_chars AS v,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c2
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+        |               sum(c2) OVER (ORDER BY v) AS cum2 FROM c),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |               CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |dd AS (SELECT max(abs(cum1 / CAST(n1 AS DOUBLE) - cum2 / CAST(n2 AS DOUBLE))) AS d,
+        |              max(n1) AS n1, max(n2) AS n2
+        |       FROM cum, tot)
+        |SELECT n1, n2, round(d, 6) + 0.0 AS d,
+        |  round(d * sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2)), 6) + 0.0 AS z,
+        |  round(least(1.0, 2.0 * exp(-2.0 * d * sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2))
+        |                                  * (d * sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2))))), 6)
+        |    + 0.0 AS p_value
+        |FROM dd""".stripMargin,
+    // U₁ from the average-rank sum over the per-value count table;
+    // every intermediate is a dyadic rational < 2^53, so the float sums
+    // are exact and order-independent in both engines
+    "stat_mwu" ->
+      """WITH c AS (
+        |  SELECT n_chars AS v,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c2
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT c1, c2, c1 + c2 AS c,
+        |             sum(c1 + c2) OVER (ORDER BY v) - (c1 + c2) + (c1 + c2 + 1) / 2.0 AS rank
+        |      FROM c),
+        |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             sum(c1 * rank) AS r1,
+        |             sum(CAST(c AS DOUBLE) * c * c - c) AS ties
+        |      FROM r)
+        |SELECT n1, n2,
+        |  r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 + 0.0 AS u1,
+        |  CAST(n1 AS DOUBLE) * n2 - (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0) + 0.0 AS u2,
+        |  round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0) /
+        |        sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 *
+        |             ((n1 + n2 + 1) - ties / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6)
+        |    + 0.0 AS z
+        |FROM a""".stripMargin,
     "stat_spearman" ->
       """WITH rx AS (SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
         |rxx AS (SELECT v, sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS r FROM rx),

@@ -159,4 +159,47 @@ class EntrySpec extends AnyFunSuite {
     val df2 = SparkEntry.queries("rel_pricing_summary")(spark, sf).collect().map(_.toString).sorted
     assert(df1.sameElements(df2))
   }
+
+  test("chi-squared: 0 on an independent table, n (and V=1) on a diagonal one") {
+    import spark.implicits._
+    val indep = Seq((0L, 0L, 10L), (0L, 1L, 30L), (1L, 0L, 20L), (1L, 1L, 60L))
+      .toDF("truth", "pred", "cnt")
+    val r1 = graft.operators.StatsOps.chiSquaredFrom(indep).head()
+    assert(r1.getDouble(0) == 0.0 && r1.getDouble(2) == 0.0, s"independent: $r1")
+    assert(r1.getLong(1) == 1L, s"dof 2x2: $r1")
+    val diag = Seq((0L, 0L, 7L), (1L, 1L, 13L)).toDF("truth", "pred", "cnt")
+    val r2 = graft.operators.StatsOps.chiSquaredFrom(diag).head()
+    assert(r2.getDouble(0) == 20.0, s"perfect dependence: chi2 = n: $r2")
+    assert(r2.getDouble(2) == 1.0, s"Cramer's V = 1: $r2")
+  }
+
+  test("KS test: closed-form D on a hand ECDF pair; D=0 and p=1 on identical samples") {
+    import spark.implicits._
+    // F1 over {1,2,3}, F2 over {3,4,5,6}: sup diff = 3/4 at v=3
+    val df = (Seq(1, 2, 3).map((_, true)) ++ Seq(3, 4, 5, 6).map((_, false)))
+      .toDF("v", "g")
+    val r = graft.operators.StatsOps.ksTest(df, "v", org.apache.spark.sql.functions.col("g")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L, s"n1, n2: $r")
+    assert(r.getDouble(2) == 0.75, s"D = 3/4: $r")
+    val same = (Seq(1, 2, 3).map((_, true)) ++ Seq(1, 2, 3).map((_, false)))
+      .toDF("v", "g")
+    val r2 = graft.operators.StatsOps.ksTest(same, "v", org.apache.spark.sql.functions.col("g")).head()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(4) == 1.0,
+      s"identical: D=0, p clamped to 1: $r2")
+  }
+
+  test("Mann-Whitney U: hand-computed tie correction and the no-overlap extreme") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // g1={1,1}, g2={1,2}: avg ranks 2,2,2,4 -> U1=1, U2=3, sigma^2=1, z=-1
+    val tied = (Seq(1, 1).map((_, true)) ++ Seq(1, 2).map((_, false))).toDF("v", "g")
+    val r = graft.operators.StatsOps.mannWhitneyU(tied, "v", col("g")).head()
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 3.0, s"U1=1, U2=3: $r")
+    assert(r.getDouble(4) == -1.0, s"tie-corrected z=-1: $r")
+    // disjoint g1 below g2: U1 = 0 (every g2 value beats every g1 value)
+    val apart = (Seq(1, 2, 3).map((_, true)) ++ Seq(4, 5, 6).map((_, false))).toDF("v", "g")
+    val r2 = graft.operators.StatsOps.mannWhitneyU(apart, "v", col("g")).head()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 9.0, s"U1=0, U2=9: $r2")
+    assert(r2.getDouble(4) == -1.963961, s"z on 3v3 no ties: $r2")
+  }
 }

@@ -103,6 +103,56 @@ class GraphSpec extends AnyFunSuite {
       s"restart node outranks its successors: $r")
   }
 
+  test("hits: shared-citation authority dominates; scores are L1-normalized") {
+    import spark.implicits._
+    // 0 and 3 both cite 1; only 0 cites 2 — authority(1) > authority(2);
+    // hub(0) cites both top authorities so hub(0) > hub(3)
+    val edges = Seq((0L, 1L), (0L, 2L), (3L, 1L)).toDF("src", "dst")
+    val r = GraphOps.hits(edges, 5L, 5).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L)._2 > r(2L)._2, s"authority(1) > authority(2): $r")
+    assert(r(0L)._1 > r(3L)._1, s"hub(0) > hub(3): $r")
+    assert(r(4L) == ((0.0, 0.0)), s"isolated node scores 0: $r")
+    val (hs, as2) = (r.values.map(_._1).sum, r.values.map(_._2).sum)
+    assert(math.abs(hs - 1.0) < 1e-9 && math.abs(as2 - 1.0) < 1e-9,
+      s"L1 norms: $hs, $as2")
+  }
+
+  test("kTruss: K5 is a 4-truss, attached triangles and paths peel away") {
+    import spark.implicits._
+    // K5 on 0-4; triangle 4-10-11 hanging off; path 11-20
+    val k5 = for { i <- 0 to 4; j <- 0 to 4 if i < j } yield (i.toLong, j.toLong)
+    val edges = (k5 ++ Seq((4L, 10L), (10L, 11L), (4L, 11L), (11L, 20L)))
+      .toDF("src", "dst")
+    val t4 = GraphOps.kTruss(edges, 4L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4 == k5.toSet, s"4-truss is exactly K5: $t4")
+    // the 3-truss keeps the attached triangle but not the pendant path
+    val t3 = GraphOps.kTruss(edges, 3L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 == k5.toSet ++ Set((4L, 10L), (10L, 11L), (4L, 11L)),
+      s"3-truss adds the triangle: $t3")
+  }
+
+  test("node2vec walks: edge-valid transitions, full length, partition-invariant") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (3L, 4L))
+      .toDF("src", "dst")
+    val w = GraphOps.node2vecWalks(edges, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(w.count(_._2 == 0) == 5 && w.length == 5 * 6, s"5 walks x 6 steps: ${w.length}")
+    val und = Set((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (0L, 2L), (3L, 4L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    val byWalk = w.groupBy(_._1).values
+    assert(byWalk.forall(steps => steps.sortBy(_._2).sliding(2).forall {
+      case Array((_, _, a), (_, _, b)) => und((a, b)); case _ => true
+    }), "every consecutive pair is an edge")
+    // partition-invariance: the counter-hash picks ignore physical layout
+    val w2 = GraphOps.node2vecWalks(edges.repartition(7), 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(w.toSet == w2.toSet, "walks are partition-invariant")
+  }
+
   test("spectralPartition recovers a planted weakly-coupled partition") {
     import spark.implicits._
     // 4 cliques of 5 chained by weak bridges of distinct weights (chain,

@@ -516,4 +516,19 @@ class PipelineSpec extends AnyFunSuite {
       assert(ns.max - ns.min <= 1, s"ntile imbalance: ${ns.toSeq}")
     }
   }
+
+  test("pplBuckets: equal-population tertiles with an ordered NLL envelope") {
+    val docs = Tables.documents(spark, sf)
+    val b = TextOps.pplBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(b.map(_._1).toSeq == Seq(0L, 1L, 2L), s"buckets: ${b.toSeq}")
+    val scored = TextOps.bigramNll(docs).count()
+    assert(b.map(_._2).sum == scored, "population partitions the scored docs")
+    assert(b.map(_._2).max - b.map(_._2).min <= 1, s"balance: ${b.map(_._2).toSeq}")
+    // ranking split: bucket envelopes are non-decreasing (ties may touch)
+    assert(b.sliding(2).forall {
+      case Array((_, _, _, hi0), (_, _, lo1, _)) => hi0 <= lo1; case _ => true
+    }, s"envelope order: ${b.toSeq}")
+  }
 }
