@@ -245,6 +245,94 @@ object GraphOps {
     out
   }
 
+  /** Exact t-hop neighborhood function: |B_t(v)| for t = 0..maxT over
+    * the symmetrized simple edge set (closeness-style sums fall out as
+    * Σ_t t·(|B_t|−|B_{t−1}|)). State is the explicit (v, u) membership
+    * pair table —
+    * O(n·ball) rows, each round one adjacency equi-join + distinct —
+    * which is exactly why this is the BOUNDED ORACLE form: it drowns
+    * past a few hops on a real graph. [[hyperBall]] is the scale path
+    * (same interface, HLL registers instead of pair rows). */
+  def neighborhoodFunction(edges: DataFrame, maxT: Int): DataFrame = {
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("m"), col("a").as("x")))
+      .localCheckpoint(true)
+    var ball = adj.select(col("m")).distinct()
+      .select(col("m").as("v"), col("m").as("u"))
+    var sizes = ball.groupBy(col("v")).agg(count(lit(1)).as("size"))
+      .select(col("v").as("node"), lit(0).as("t"), col("size"))
+    for (t <- 1 to maxT) {
+      ball = ball.unionByName(
+          ball.join(adj, ball("u") === adj("m")).select(col("v"), col("x").as("u")))
+        .distinct()
+        .localCheckpoint(true)
+      sizes = sizes.unionByName(
+        ball.groupBy(col("v")).agg(count(lit(1)).as("size"))
+          .select(col("v").as("node"), lit(t).as("t"), col("size")))
+    }
+    sizes
+  }
+
+  /** HyperBall (Boldi & Vigna, 2013): the APPROXIMATE neighborhood
+    * function at 100 TB scale — per-node HyperLogLog registers merged
+    * element-wise along edges each round, so a t-hop ball census costs
+    * t keyed joins over n·m register rows instead of materializing
+    * O(n·ball) memberships. Registers live as (node, reg_idx, rank)
+    * ROWS, not arrays: the merge is a plain groupBy(node, reg).max —
+    * map-side combinable, skew-safe, no custom aggregate needed.
+    *
+    * Register assignment is the usual counter-hash split: node u lands
+    * in register h32(u:seed:"hbj") mod m with rank ρ = 33 − bitlen(w)
+    * of the 32-bit w = h32(u:seed:"hbw") (leading-zero count + 1), so
+    * the sketch — and the estimate — is a pure function of the node
+    * ids, replayable in SQL. Estimate: α_m·m²/Σ2^−M_j with the
+    * standard small-range correction m·ln(m/V) when E ≤ 2.5m and V>0
+    * zero registers remain (Flajolet et al. 2007). Σ2^−M_j sums exact
+    * dyadic rationals — order-independent across engines. */
+  def hyperBall(edges: DataFrame, maxT: Int, m: Int, seed: Long = 42): DataFrame = {
+    import graft.operators.TextOps.h32
+    require(m >= 16 && (m & (m - 1)) == 0, "m: power of two >= 16")
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("m"), col("a").as("x")))
+      .localCheckpoint(true)
+    val nodes = adj.select(col("m").as("u")).distinct()
+    val w = h32(concat_ws(":", col("u"), lit(seed), lit("hbw")))
+    val own = nodes.select(col("u"),
+        pmod(h32(concat_ws(":", col("u"), lit(seed), lit("hbj"))), lit(m)).as("reg"),
+        when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w))).as("rank"))
+      .localCheckpoint(true)
+    // state: one row per node per OCCUPIED register (absent = rank 0)
+    var state = own.select(col("u").as("v"), col("reg"), col("rank"))
+    for (t <- 1 to maxT) {
+      state = state
+        .join(adj, state("v") === adj("m"))
+        .select(col("x").as("v"), col("reg"), col("rank"))
+        .unionByName(state)
+        .groupBy(col("v"), col("reg")).agg(max(col("rank")).as("rank"))
+      if (t % 4 == 0 && t < maxT) state = state.localCheckpoint(true)
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    // Z = Σ_j 2^-M_j with absent registers contributing 2^0 = 1
+    val agg = state.groupBy(col("v"))
+      .agg(sum(pow(lit(2.0), -col("rank"))).as("zOcc"),
+        count(lit(1)).as("occ"))
+      .select(col("v").as("node"),
+        (col("zOcc") + (lit(m) - col("occ"))).as("z"),
+        (lit(m) - col("occ")).cast("double").as("zeros"))
+    val raw = lit(alpha * m * m) / col("z")
+    agg.select(col("node"),
+      round(when(raw <= lit(2.5 * m) && col("zeros") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+        .otherwise(raw), 4).as("est"))
+  }
+
   /** Personalized PageRank: identical synchronous update to [[pageRank]]
     * but the restart mass lands on the SEED set only —
     * r_{t+1}(v) = (1−d)·1[v ∈ S]/|S| + d·Σ_{u→v} r_t(u)/outdeg(u).

@@ -124,6 +124,14 @@ object RandomLabelQueries extends QueryGroup {
     // the oracle replays each step's replica argmin over the same keys
     "graph_node2vec" -> ((s, d) =>
       GraphOps.node2vecWalks(RandomOps.rmat(s, 1000, 8, 42), 6)),
+    // exact 0..3-hop ball sizes — the bounded oracle form of the
+    // neighborhood function (the scale path is graph_hyperball)
+    "graph_ball_exact" -> ((s, d) =>
+      GraphOps.neighborhoodFunction(RandomOps.rmat(s, 1000, 8, 42), 3)),
+    // HyperBall 2-hop census, m=16 HLL registers as (node, reg) ROWS;
+    // the oracle replays registers, merges and the corrected estimate
+    "graph_hyperball" -> ((s, d) =>
+      GraphOps.hyperBall(RandomOps.rmat(s, 1000, 8, 42), 2, 16)),
     // HITS after 5 L1-normalized rounds; unrolled half-step oracle
     "graph_hits" -> ((s, d) =>
       GraphOps.hits(RandomOps.rmat(s, 1000, 8, 42), 256L, 5)
@@ -388,6 +396,47 @@ object RandomLabelQueries extends QueryGroup {
          |s0 AS MATERIALIZED (SELECT DISTINCT m AS walk, m AS prev, m AS node FROM adj),
          |${(1 to 6).map(step).mkString(",\n")}
          |${(0 to 6).map(t => s"SELECT walk, $t AS step, node FROM s$t").mkString("\nUNION ALL ")}""".stripMargin
+    },
+    "graph_ball_exact" -> {
+      def hop(t: Int): String =
+        s"""b$t AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+           |  SELECT v, u FROM b${t - 1}
+           |  UNION ALL
+           |  SELECT b.v, a.x FROM b${t - 1} b JOIN adj a ON a.m = b.u))""".stripMargin
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a AS m, b AS x FROM und UNION ALL SELECT b, a FROM und),
+         |b0 AS MATERIALIZED (SELECT DISTINCT m AS v, m AS u FROM adj),
+         |${(1 to 3).map(hop).mkString(",\n")}
+         |${(0 to 3).map(t =>
+             s"SELECT v AS node, $t AS t, count(*) AS size FROM b$t GROUP BY 1")
+           .mkString("\nUNION ALL ")}""".stripMargin
+    },
+    "graph_hyperball" -> {
+      def merge(t: Int): String =
+        s"""s$t AS MATERIALIZED (SELECT v, reg, max(rank) AS rank FROM (
+           |  SELECT a.x AS v, s.reg, s.rank FROM s${t - 1} s JOIN adj a ON a.m = s.v
+           |  UNION ALL SELECT v, reg, rank FROM s${t - 1}) GROUP BY 1, 2)""".stripMargin
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a AS m, b AS x FROM und UNION ALL SELECT b, a FROM und),
+         |own AS MATERIALIZED (SELECT u,
+         |  ${h("u", "hbj")} % 16 AS reg,
+         |  CASE WHEN ${h("u", "hbw")} = 0 THEN 33
+         |       ELSE 33 - length(bin(${h("u", "hbw")})) END AS rank
+         |  FROM (SELECT DISTINCT m AS u FROM adj)),
+         |s0 AS MATERIALIZED (SELECT u AS v, reg, rank FROM own),
+         |${(1 to 2).map(merge).mkString(",\n")},
+         |agg AS (SELECT v, sum(power(2.0, -rank)) + (16 - count(*)) AS z,
+         |               CAST(16 - count(*) AS DOUBLE) AS zeros
+         |        FROM s2 GROUP BY v)
+         |SELECT v AS node,
+         |  round(CASE WHEN 0.673 * 16 * 16 / z <= 2.5 * 16 AND zeros > 0
+         |             THEN 16 * ln(16 / zeros)
+         |             ELSE 0.673 * 16 * 16 / z END, 4) AS est
+         |FROM agg""".stripMargin
     },
     "graph_hits" -> {
       // every CTE MATERIALIZED: each level references the previous one

@@ -153,6 +153,27 @@ class GraphSpec extends AnyFunSuite {
     assert(w.toSet == w2.toSet, "walks are partition-invariant")
   }
 
+  test("neighborhoodFunction: closed-form ball sizes on a path; hyperBall tracks exact") {
+    import spark.implicits._
+    // path 0-1-2-3-4: |B_1| = 2,3,3,3,2; |B_2| = 3,4,5,4,3
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nf = GraphOps.neighborhoodFunction(path, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert((0L to 4L).forall(v => nf((v, 0)) == 1L), s"t=0 balls are singletons: $nf")
+    assert(Seq(0L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 2L)
+      .forall { case (v, s) => nf((v, 1)) == s }, s"t=1: $nf")
+    assert(Seq(0L -> 3L, 1L -> 4L, 2L -> 5L, 3L -> 4L, 4L -> 3L)
+      .forall { case (v, s) => nf((v, 2)) == s }, s"t=2: $nf")
+    // HLL path: m=64 registers on a 40-clique — every 1-hop ball is the
+    // whole clique, so every estimate is the same and near 40
+    val k40 = (for { i <- 0 until 40; j <- 0 until 40 if i < j }
+      yield (i.toLong, j.toLong)).toDF("src", "dst")
+    val est = GraphOps.hyperBall(k40, 1, 64).collect().map(_.getDouble(1))
+    assert(est.distinct.length == 1, "identical balls estimate identically")
+    assert(math.abs(est.head - 40.0) / 40.0 < 0.35,
+      s"estimate within HLL tolerance of 40: ${est.head}")
+  }
+
   test("spectralPartition recovers a planted weakly-coupled partition") {
     import spark.implicits._
     // 4 cliques of 5 chained by weak bridges of distinct weights (chain,
