@@ -112,6 +112,44 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_h")
   }
 
+  /** Windowed PSI drift monitor — per tumbling window, the population
+    * stability index of the window's value distribution against a
+    * STATIC reference share vector (computed offline — StatsOps.psi's
+    * smoothed shares — and baked in as literals). The whole monitor is
+    * ONE streaming aggregation: the B bins are fixed, so per-bin counts
+    * are B conditional sums inside a single groupBy(window), and the
+    * PSI fold is a pure projection over those B columns — no chained
+    * streaming aggregation, no stream-side join, append-mode safe with
+    * state bounded by the watermark horizon. The same DataFrame code
+    * runs batch (the driver-query twin) and streaming (StreamingSpec).
+    * Alarm convention: <0.1 stable, >0.25 investigate. */
+  def windowedPsi(events: DataFrame, refShares: Seq[Double], lo: Double,
+      width: Double, windowDur: String = "6 hours"): DataFrame = {
+    val bins = refShares.length
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      floor((col("value") - lo) / width).cast("long")))
+    val sums = (0 until bins).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agged = events
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(sums.head, sums.tail: _*)
+    val n = (0 until bins).map(b => col(s"c$b")).reduce(_ + _)
+    val psi = (0 until bins).map { b =>
+      val q = (col(s"c$b") + 1) / (col("n") + lit(bins)).cast("double")
+      (lit(refShares(b)) - q) * log(lit(refShares(b)) / q)
+    }.reduce(_ + _)
+    agged.withColumn("n", n)
+      .select(col("w.start").as("wstart"), col("n"),
+        (round(psi, 6) + 0.0).as("psi"))
+  }
+
+  /** [[windowedPsi]] with the watermark attached — the genuinely
+    * streaming form driven by StreamingSpec. */
+  def streamingWindowedPsi(events: Dataset[Ev], refShares: Seq[Double],
+      lo: Double, width: Double): DataFrame =
+    windowedPsi(events.toDF().withWatermark("ts", "2 hours"),
+      refShares, lo, width, "6 hours")
+
   /** Streaming running top-k — the select_k of a STREAM: a complete-mode
     * global aggregate whose state is the k-entry bounded heap
     * (functions.TopKAgg), so every trigger emits the current

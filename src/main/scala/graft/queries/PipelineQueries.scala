@@ -126,6 +126,20 @@ object PipelineQueries extends QueryGroup {
         .withColumn("sess_end", unix_micros(col("sess_end")))),
     "pipe_stream_session_fn" -> ((s, d) =>
       StreamingOps.sessionWindowCounts(Tables.events(s, d))),
+    // windowed PSI drift monitor (batch twin of the streaming form):
+    // reference shares = the global smoothed distribution, computed in a
+    // bounded B-row collect and baked in as literals — exactly how a
+    // production monitor ships its offline reference to the stream
+    "pipe_stream_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val b = least(lit(9L), greatest(lit(0L),
+        floor(col("value") / 50.0).cast("long")))
+      val cnt = ev.select(b.as("bin")).groupBy(col("bin")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = cnt.values.sum
+      val ref = (0 until 10).map(i => (cnt.getOrElse(i.toLong, 0L) + 1.0) / (n + 10))
+      StreamingOps.windowedPsi(ev, ref, 0.0, 50.0, "6 hours")
+    }),
     "pipe_embed_neardup" -> ((s, d) =>
       DedupOps.embeddingNearDups(Tables.vectors(s, d), 0.45)),
     "pipe_embed_neardup_lsh" -> ((s, d) =>
@@ -1268,6 +1282,26 @@ object PipelineQueries extends QueryGroup {
         |         event_type FROM events)
         |SELECT w0 AS wstart, event_type, count(*) AS cnt
         |FROM assigned GROUP BY 1, 2""".stripMargin,
+    "pipe_stream_psi" ->
+      """WITH bc AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT))) AS bin
+        |            FROM events),
+        |g AS (SELECT bin, count(*) AS c FROM bc GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bc),
+        |ref AS (SELECT s.bin, (COALESCE(g.c, 0) + 1) / CAST(t.n + 10 AS DOUBLE) AS p
+        |        FROM (SELECT unnest(range(10)) AS bin) s
+        |        LEFT JOIN g USING (bin) CROSS JOIN t),
+        |wc AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
+        |              least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT))) AS bin,
+        |              count(*) AS c
+        |       FROM events GROUP BY 1, 2),
+        |wn AS (SELECT wstart, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+        |f AS (SELECT w.wstart, w.n, r.p, COALESCE(wc.c, 0) AS c
+        |      FROM wn w CROSS JOIN ref r
+        |      LEFT JOIN wc ON wc.wstart = w.wstart AND wc.bin = r.bin)
+        |SELECT wstart, max(n) AS n,
+        |  round(sum((p - (c + 1) / CAST(n + 10 AS DOUBLE)) *
+        |            ln(p / ((c + 1) / CAST(n + 10 AS DOUBLE)))), 6) + 0.0 AS psi
+        |FROM f GROUP BY wstart""".stripMargin,
     "pipe_stream_session_fn" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

@@ -59,6 +59,10 @@ object StatsQueries extends QueryGroup {
     // tie-corrected normal approximation, same fixture
     "stat_mwu" -> ((s, d) => StatsOps.mannWhitneyU(
       Tables.documents(s, d), "n_chars", col("lang") === "en")),
+    // PSI drift: first vs second half of event time, 10 clamped
+    // value bins, Laplace-smoothed shares
+    "stat_psi" -> ((s, d) => StatsOps.psi(
+      Tables.events(s, d), "value", "ts", 0.0, 50.0, 10)),
     "stat_dispersion" -> ((s, d) => StatsOps.clusterDispersion(s, d)),
     "stat_silhouette" -> ((s, d) => StatsOps.silhouette(s, d)),
     "stat_silhouette_batched" -> ((s, d) => StatsOps.silhouetteBatched(
@@ -209,6 +213,20 @@ object StatsQueries extends QueryGroup {
         |                                  * (d * sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2))))), 6)
         |    + 0.0 AS p_value
         |FROM dd""".stripMargin,
+    "stat_psi" ->
+      """WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |b AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT))) AS bin,
+        |             CASE WHEN epoch_us(ts) <= mid.mid THEN 1 ELSE 0 END AS ref
+        |      FROM events, mid),
+        |g AS (SELECT bin, sum(ref) AS cr, sum(1 - ref) AS cc FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(cc) AS BIGINT) AS nc FROM g),
+        |f AS (SELECT s.bin, COALESCE(g.cr, 0) AS cr, COALESCE(g.cc, 0) AS cc
+        |      FROM (SELECT unnest(range(10)) AS bin) s LEFT JOIN g USING (bin))
+        |SELECT max(nr) AS n_ref, max(nc) AS n_cur,
+        |  round(sum(((cr + 1) / CAST(nr + 10 AS DOUBLE) - (cc + 1) / CAST(nc + 10 AS DOUBLE)) *
+        |            ln(((cr + 1) / CAST(nr + 10 AS DOUBLE)) /
+        |               ((cc + 1) / CAST(nc + 10 AS DOUBLE)))), 6) + 0.0 AS psi
+        |FROM f, t""".stripMargin,
     // U₁ from the average-rank sum over the per-value count table;
     // every intermediate is a dyadic rational < 2^53, so the float sums
     // are exact and order-independent in both engines

@@ -188,6 +188,24 @@ class EntrySpec extends AnyFunSuite {
       s"identical: D=0, p clamped to 1: $r2")
   }
 
+  test("PSI: 0 on identical halves, ln(3)/3 on a total two-bin shift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    def ev(rows: Seq[(Long, Double)]) = rows.toDF("us", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("value"))
+    // ref (us<=5.5e6): both bins hit once; cur: same -> all shares equal
+    val same = ev(Seq(0L -> 10.0, 1000000L -> 460.0,
+      10000000L -> 10.0, 11000000L -> 460.0))
+    val r0 = graft.operators.StatsOps.psi(same, "value", "ts", 0.0, 50.0, 10).head()
+    assert(r0.getLong(0) == 2L && r0.getLong(1) == 2L && r0.getDouble(2) == 0.0, s"$r0")
+    // ref entirely bin 0, cur entirely bin 9:
+    // psi = 2 * (3/12 - 1/12) * ln 3 = ln(3)/3 = 0.366204
+    val shift = ev(Seq(0L -> 10.0, 1000000L -> 10.0,
+      10000000L -> 460.0, 11000000L -> 460.0))
+    val r1 = graft.operators.StatsOps.psi(shift, "value", "ts", 0.0, 50.0, 10).head()
+    assert(r1.getDouble(2) == 0.366204, s"two-bin shift: $r1")
+  }
+
   test("Mann-Whitney U: hand-computed tie correction and the no-overlap extreme") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

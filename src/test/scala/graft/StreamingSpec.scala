@@ -49,6 +49,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming windowed PSI matches the batch twin and runs in ONE stateful op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (0 until 10).map(b => (b + 1.0) / 55.0) // any positive shares
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.streamingWindowedPsi(input.toDS(), ref, 0.0, 0.5)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("psi_out").start()
+    try {
+      input.addData(mkEvents())
+      query.processAllAvailable()
+      val streamed = spark.table("psi_out").collect().map(_.toString).sorted
+      val batch = StreamingOps.windowedPsi(mkEvents().toDF(), ref, 0.0, 0.5)
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch) && streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming meanvar state matches single-pass batch moments") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
