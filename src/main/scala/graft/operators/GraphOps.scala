@@ -460,6 +460,49 @@ object GraphOps {
     * oriented edge list, both equi-keyed; per-node counts for all three
     * corners via one union. Returns (node, n_tri).
     */
+  /** Graph-level clustering summary: average local clustering
+    * coefficient c̄ = avg_v 2T_v/(d_v(d_v−1)) (degree-<2 nodes count
+    * as 0, the NetworkX convention) and global transitivity
+    * 3·#triangles / #wedges — the two standard "is this a community
+    * graph or a spam farm" cohesion scores. One row out. Triangles
+    * come from [[triangleCounts]] (degree-ordered, hub-safe); wedges
+    * are a closed form of the degree table — no extra join. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val cc = deg.join(triangleCounts(und.select(col("a").as("src"), col("b").as("dst"))),
+        Seq("node"), "left")
+      .select(col("deg"), coalesce(col("n_tri"), lit(0L)).as("t"))
+      .select(col("t"),
+        when(col("deg") >= 2,
+          lit(2.0) * col("t") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("c"),
+        when(col("deg") >= 2, col("deg") * (col("deg") - 1) / 2).otherwise(lit(0L))
+          .as("wedges"))
+    cc.agg(count(lit(1)).as("n_nodes"),
+      (round(avg(col("c")), 6) + 0.0).as("avg_cc"),
+      (round(sum(col("t")).cast("double") / sum(col("wedges")), 6) + 0.0)
+        .as("transitivity"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the directed version of the symmetrized edge set (Newman
+    * 2002) — positive on social-ish graphs (hubs befriend hubs),
+    * negative on web/citation-ish ones. Two broadcast-shaped joins of
+    * the degree table onto the edge list and one corr aggregate. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("m"), col("a").as("x")))
+    val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("d"))
+    adj.join(deg.select(col("m"), col("d").as("dm")), Seq("m"))
+      .join(deg.select(col("m").as("x"), col("d").as("dx")), Seq("x"))
+      .agg((round(corr(col("dm").cast("double"), col("dx").cast("double")), 6) + 0.0)
+        .as("assortativity"), count(lit(1)).as("n_pairs"))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
     val deg = und.select(col("a").as("node"))

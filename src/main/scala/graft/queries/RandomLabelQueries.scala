@@ -124,6 +124,12 @@ object RandomLabelQueries extends QueryGroup {
     // the oracle replays each step's replica argmin over the same keys
     "graph_node2vec" -> ((s, d) =>
       GraphOps.node2vecWalks(RandomOps.rmat(s, 1000, 8, 42), 6)),
+    // average local clustering + global transitivity in one row
+    "graph_clustering" -> ((s, d) =>
+      GraphOps.clusteringCoefficient(RandomOps.rmat(s, 1000, 8, 42))),
+    // degree assortativity (Newman 2002) over endpoint degree pairs
+    "graph_assortativity" -> ((s, d) =>
+      GraphOps.degreeAssortativity(RandomOps.rmat(s, 1000, 8, 42))),
     // exact 0..3-hop ball sizes — the bounded oracle form of the
     // neighborhood function (the scale path is graph_hyperball)
     "graph_ball_exact" -> ((s, d) =>
@@ -397,6 +403,39 @@ object RandomLabelQueries extends QueryGroup {
          |${(1 to 6).map(step).mkString(",\n")}
          |${(0 to 6).map(t => s"SELECT walk, $t AS step, node FROM s$t").mkString("\nUNION ALL ")}""".stripMargin
     },
+    "graph_clustering" ->
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a AS m, b AS x FROM und UNION ALL SELECT b, a FROM und),
+         |dg AS MATERIALIZED (SELECT m, count(*) AS deg FROM adj GROUP BY 1),
+         |t3 AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM und e1
+         |      JOIN und e2 ON e2.a = e1.b
+         |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |trit AS MATERIALIZED (SELECT node, count(*) AS n_tri FROM (
+         |  SELECT x AS node FROM t3
+         |  UNION ALL SELECT y FROM t3
+         |  UNION ALL SELECT z FROM t3) GROUP BY 1),
+         |n AS (SELECT dg.m AS node, dg.deg AS deg, COALESCE(trit.n_tri, 0) AS t
+         |      FROM dg LEFT JOIN trit ON trit.node = dg.m)
+         |SELECT count(*) AS n_nodes,
+         |  round(avg(CASE WHEN deg >= 2 THEN 2.0 * t / (deg * (deg - 1))
+         |                 ELSE 0.0 END), 6) + 0.0 AS avg_cc,
+         |  round(CAST(sum(t) AS DOUBLE) /
+         |        sum(CASE WHEN deg >= 2 THEN deg * (deg - 1) / 2 ELSE 0 END), 6)
+         |    + 0.0 AS transitivity
+         |FROM n""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a AS m, b AS x FROM und UNION ALL SELECT b, a FROM und),
+         |dg AS MATERIALIZED (SELECT m, count(*) AS d FROM adj GROUP BY 1)
+         |SELECT round(corr(CAST(d1.d AS DOUBLE), CAST(d2.d AS DOUBLE)), 6) + 0.0
+         |         AS assortativity,
+         |       count(*) AS n_pairs
+         |FROM adj JOIN dg d1 ON d1.m = adj.m JOIN dg d2 ON d2.m = adj.x""".stripMargin,
     "graph_ball_exact" -> {
       def hop(t: Int): String =
         s"""b$t AS MATERIALIZED (SELECT DISTINCT v, u FROM (

@@ -153,6 +153,20 @@ class GraphSpec extends AnyFunSuite {
     assert(w.toSet == w2.toSet, "walks are partition-invariant")
   }
 
+  test("clustering coefficient and assortativity: closed forms on K4+pendant and a star") {
+    import spark.implicits._
+    // K4 on 0-3 with pendant 4 on 3: c = (1,1,1,0.5,0), avg 0.7;
+    // transitivity = 3*4 / (3+3+3+6+0) = 0.8
+    val k4p = (for { i <- 0 to 3; j <- 0 to 3 if i < j } yield (i.toLong, j.toLong))
+      .++(Seq((3L, 4L))).toDF("src", "dst")
+    val r = GraphOps.clusteringCoefficient(k4p).head()
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 0.7 && r.getDouble(2) == 0.8, s"$r")
+    // star: every edge pairs the hub (deg 4) with a leaf (deg 1) -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val a = GraphOps.degreeAssortativity(star).head()
+    assert(a.getDouble(0) == -1.0 && a.getLong(1) == 8L, s"star assortativity: $a")
+  }
+
   test("neighborhoodFunction: closed-form ball sizes on a path; hyperBall tracks exact") {
     import spark.implicits._
     // path 0-1-2-3-4: |B_1| = 2,3,3,3,2; |B_2| = 3,4,5,4,3
