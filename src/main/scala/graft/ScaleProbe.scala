@@ -194,6 +194,27 @@ object ScaleProbe {
         val bad = comms.where(col("count") =!= 20 || pmod(col("label"), lit(20L)) =!= 0).count()
         require(bad == 0, s"$bad communities with wrong size/label")
         s""""mode":"lpa","n":${nC * 20L},"edges":${nC * 190L + nC - 1},"communities":$nComm"""
+      case "hyperball" =>
+        // HyperBall beyond the 256-node oracle fixture: n/20 DISJOINT
+        // cliques of 20, so every node's t≥1 ball is exactly 20 — the
+        // per-node estimate must sit in the HLL tolerance band around 20
+        // and the mean over n/20 independent register draws must land
+        // within a few percent (linear-counting regime at load 20/64).
+        val nC = (n / 20L).toInt
+        val pairIdx = for (i <- 0 until 20; j <- i + 1 until 20) yield (i, j)
+        val cliques = spark.range(nC)
+          .select(col("id").as("c"), explode(typedLit(pairIdx)).as("p"))
+          .select((col("c") * 20 + col("p._1")).as("src"),
+            (col("c") * 20 + col("p._2")).as("dst"))
+        val est = graft.operators.GraphOps.hyperBall(cliques, 2, 64)
+          .localCheckpoint(true)
+        val nEst = est.count()
+        require(nEst == nC * 20L, s"expected ${nC * 20L} nodes, got $nEst")
+        val st = est.agg(avg(col("est")), min(col("est")), max(col("est"))).head()
+        val (mean, lo, hi) = (st.getDouble(0), st.getDouble(1), st.getDouble(2))
+        require(math.abs(mean - 20.0) / 20.0 < 0.1, s"mean estimate off: $mean")
+        require(lo > 10.0 && hi < 40.0, s"per-node band violated: [$lo, $hi]")
+        f""""mode":"hyperball","n":${nC * 20L},"edges":${nC * 190L},"mean_est":$mean%.3f,"min_est":$lo%.2f,"max_est":$hi%.2f"""
       case "silhouette" =>
         // batched silhouette beyond the n=100 oracle fixture: 10 Gaussian
         // clusters (σ=1) whose centers sit 100·cluster apart in every lane
@@ -330,7 +351,7 @@ object ScaleProbe {
           exact.intersect(pruned)).count()
         require(diff == 0, s"exact != prefix: $diff differing pairs")
         s""""mode":"allpairszipf","n_docs":$n,$pe,$pi,$p1,$p2,"diff":$diff"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | silhouette | lanefold | allpairs | allpairszipf)")
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | hyperball | silhouette | lanefold | allpairs | allpairszipf)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":{$result,"sec":$dt}}""")
