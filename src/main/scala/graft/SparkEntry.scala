@@ -112,6 +112,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_approx_distinct" -> ((s, d) => Relational.approxDistinctParts(s, d)),
     "rel_approx_distinct_union" -> ((s, d) => Relational.approxDistinctUnion(s, d)),
     "rel_event_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
+    "rel_cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
     // connector round-trips: the ORACLE reads the original parquet, so a
     // quoting/escaping/null bug in the CSV/JSON path breaks the hash
     "rel_csv_roundtrip" -> ((s, d) => graft.sources.Connectors.csvRoundTrip(s, d)),
@@ -310,6 +311,14 @@ private object RelationalQueries extends graft.queries.QueryGroup {
         |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
         |       AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM pu""".stripMargin,
+    "rel_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+        |SELECT epoch_us(cohort) AS cohort_us,
+        |  (epoch_us(wk) - epoch_us(cohort)) // 604800000000 AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // connector oracles read the ORIGINAL parquet — the round-trip must
     // reproduce it exactly through the CSV/JSON parse path
     "rel_csv_roundtrip" ->

@@ -346,6 +346,24 @@ object Relational {
         col("t_purchase") > col("t_click"), 1).otherwise(0)).as("n_full_funnel"))
   }
 
+  /** Cohort retention: users grouped by first-seen week (their cohort),
+    * activity counted per (cohort, week offset) — the classic retention
+    * triangle. Two keyed aggregates and one equi-join on user_id; the
+    * week offset is integer-microsecond arithmetic (`div`), never float
+    * division two engines could round apart. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort"),
+        expr("(unix_micros(wk) - unix_micros(cohort)) div 604800000000").as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("cohort")).as("cohort_us"), col("week_offset"),
+        col("n_users"))
+  }
+
   /** Salted join for skewed keys: the fact side salts its hot key into
     * `nSalts` sub-keys; the dimension is replicated once per salt, so each
     * hot key's rows spread over nSalts tasks instead of one straggler.
