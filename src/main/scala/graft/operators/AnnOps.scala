@@ -167,6 +167,27 @@ object AnnOps {
       .agg(round(avg(col("hits").cast("double") / k), 4).as("recall"))
   }
 
+  /** Matryoshka truncation recall (Kusupati et al. 2022): how much of
+    * the full-dimension top-k survives when search uses only the first
+    * `prefixDim` lanes — the eval a pipeline runs before shipping
+    * truncated embeddings to cut index cost d/prefixDim-fold. Both
+    * rankings are the exact [[bruteForceTopK]] (deterministic left-fold
+    * cosine, id tiebreak); recall counts overlap over nQueries·k slots,
+    * so zero-overlap queries count as zero instead of dropping out. */
+  def matryoshkaRecall(vectors: DataFrame, nQueries: Int, k: Int,
+      prefixDim: Int): DataFrame = {
+    val full = bruteForceTopK(vectors, nQueries, k).select(col("qid"), col("nid"))
+    val pre = bruteForceTopK(
+      vectors.select(col("id"), slice(col("vec"), 1, prefixDim).as("vec")),
+      nQueries, k).select(col("qid"), col("nid"))
+    full.join(pre, Seq("qid", "nid"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(prefixDim).as("prefix_dim"), col("hits"),
+        (round(col("hits") / lit(nQueries.toLong * k).cast("double"), 4) + 0.0)
+          .as("recall"))
+  }
+
   /** Graph-search ANN (the CAGRA/HNSW family's search phase, batched):
     * beam search over a prebuilt kNN graph, run as ROUNDS of relational
     * frontier expansion instead of a per-query walk —

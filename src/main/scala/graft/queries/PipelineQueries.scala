@@ -76,6 +76,9 @@ object PipelineQueries extends QueryGroup {
     "pipe_ann_brute" -> ((s, d) => AnnOps.bruteForceTopK(Tables.vectors(s, d), 5, 10)),
     "pipe_ann_lsh" -> ((s, d) => AnnOps.lshTopK(Tables.vectors(s, d), 5, 5)),
     "pipe_ann_recall" -> ((s, d) => AnnOps.recallVsExact(Tables.vectors(s, d), 5, 10)),
+    // matryoshka eval: top-10 by the 32-lane prefix vs the full 64 lanes
+    "pipe_matryoshka_recall" -> ((s, d) =>
+      AnnOps.matryoshkaRecall(Tables.vectors(s, d), 5, 10, 32)),
     "pipe_mm_decode" -> ((s, d) =>
       MultimodalOps.decodeStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()),
     "pipe_mm_frames" -> ((s, d) =>
@@ -1091,6 +1094,27 @@ object PipelineQueries extends QueryGroup {
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
          |  FROM scored)
          |SELECT qid, nid, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    "pipe_matryoshka_recall" ->
+      s"""WITH $vCte,
+         |p AS (SELECT id, vec[1:32] AS vec FROM v),
+         |rf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.id AS qid, c.id AS nid,
+         |           row_number() OVER (PARTITION BY q.id
+         |             ORDER BY ${cosExpr("q.vec", "c.vec")} DESC, c.id) AS rnk
+         |    FROM v q JOIN v c ON q.id < 5 AND q.id <> c.id)
+         |  WHERE rnk <= 10),
+         |rp AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.id AS qid, c.id AS nid,
+         |           row_number() OVER (PARTITION BY q.id
+         |             ORDER BY ${cosExpr("q.vec", "c.vec")} DESC, c.id) AS rnk
+         |    FROM p q JOIN p c ON q.id < 5 AND q.id <> c.id)
+         |  WHERE rnk <= 10)
+         |SELECT 5 AS n_queries, 10 AS k, 32 AS prefix_dim,
+         |  count(*) AS hits,
+         |  round(count(*) / CAST(50 AS DOUBLE), 4) + 0.0 AS recall
+         |FROM rf JOIN rp USING (qid, nid)""".stripMargin,
     "pipe_ann_lsh" ->
       s"""WITH $vCte,
          |$bucketCte,
