@@ -554,6 +554,36 @@ object StatsOps {
           .as("p_value"))
   }
 
+  /** Welch's unequal-variance t-test + Cohen's d effect size — the
+    * parametric mean-shift companion of [[ksTest]]/[[mannWhitneyU]]:
+    *   t = (x̄₁−x̄₂)/√(s₁²/n₁+s₂²/n₂),  ν by Welch–Satterthwaite,
+    *   d = (x̄₁−x̄₂)/s_pooled.
+    * One conditional-moment aggregate (n, Σx, Σx² per side — the same
+    * mergeable partials every meanvar in this file uses), then closed
+    * forms in a projection. */
+  def welchTTest(df: DataFrame, valueCol: String, inG1: Column): DataFrame = {
+    val m = df.select(col(valueCol).cast("double").as("x"),
+        inG1.cast("long").as("g"))
+      .agg(sum(col("g")).as("n1"), sum(lit(1L) - col("g")).as("n2"),
+        sum(col("x") * col("g")).as("s1"),
+        sum(col("x") * (lit(1L) - col("g"))).as("s2"),
+        sum(col("x") * col("x") * col("g")).as("q1"),
+        sum(col("x") * col("x") * (lit(1L) - col("g"))).as("q2"))
+    val mean1 = col("s1") / col("n1")
+    val mean2 = col("s2") / col("n2")
+    val var1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val var2 = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val se1 = var1 / col("n1")
+    val se2 = var2 / col("n2")
+    val pooled = sqrt(((col("n1") - 1) * var1 + (col("n2") - 1) * var2) /
+      (col("n1") + col("n2") - 2))
+    m.select(col("n1"), col("n2"),
+      (round((mean1 - mean2) / sqrt(se1 + se2), 6) + 0.0).as("t"),
+      (round((se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 4) + 0.0).as("df"),
+      (round((mean1 - mean2) / pooled, 6) + 0.0).as("cohens_d"))
+  }
+
   /** Population stability index — the binned drift score a production
     * pipeline alarms on between a reference and a current slice:
     *   PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b)

@@ -63,6 +63,10 @@ object StatsQueries extends QueryGroup {
     // value bins, Laplace-smoothed shares
     "stat_psi" -> ((s, d) => StatsOps.psi(
       Tables.events(s, d), "value", "ts", 0.0, 50.0, 10)),
+    // parametric mean-shift test + effect size on the same en-vs-rest
+    // doc-length fixture as stat_ks / stat_mwu
+    "stat_ttest" -> ((s, d) => StatsOps.welchTTest(
+      Tables.documents(s, d), "n_chars", col("lang") === "en")),
     "stat_dispersion" -> ((s, d) => StatsOps.clusterDispersion(s, d)),
     "stat_silhouette" -> ((s, d) => StatsOps.silhouette(s, d)),
     "stat_silhouette_batched" -> ((s, d) => StatsOps.silhouetteBatched(
@@ -213,6 +217,30 @@ object StatsQueries extends QueryGroup {
         |                                  * (d * sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2))))), 6)
         |    + 0.0 AS p_value
         |FROM dd""".stripMargin,
+    // identical naive-moment formulas on both sides (NOT var_samp —
+    // Welford vs Σx² would differ in the last ulps)
+    "stat_ttest" ->
+      """WITH m AS (SELECT
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |  sum(CAST(n_chars AS DOUBLE) * (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) AS s1,
+        |  sum(CAST(n_chars AS DOUBLE) * (CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS s2,
+        |  sum(CAST(n_chars AS DOUBLE) * n_chars * (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) AS q1,
+        |  sum(CAST(n_chars AS DOUBLE) * n_chars * (CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS q2
+        |  FROM documents),
+        |d AS (SELECT n1, n2,
+        |  s1 / n1 - s2 / n2 AS dm,
+        |  ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 AS se1,
+        |  ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2 AS se2,
+        |  sqrt(((n1 - 1) * ((q1 - s1 * s1 / n1) / (n1 - 1)) +
+        |        (n2 - 1) * ((q2 - s2 * s2 / n2) / (n2 - 1))) / (n1 + n2 - 2)) AS pooled
+        |  FROM m)
+        |SELECT n1, n2,
+        |  round(dm / sqrt(se1 + se2), 6) + 0.0 AS t,
+        |  round((se1 + se2) * (se1 + se2) /
+        |        (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 4) + 0.0 AS df,
+        |  round(dm / pooled, 6) + 0.0 AS cohens_d
+        |FROM d""".stripMargin,
     "stat_psi" ->
       """WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
         |b AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT))) AS bin,

@@ -206,6 +206,20 @@ class EntrySpec extends AnyFunSuite {
     assert(r1.getDouble(2) == 0.366204, s"two-bin shift: $r1")
   }
 
+  test("Welch t-test: hand-computed t, Satterthwaite df and Cohen's d") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // g1={1,2,3}: mean 2, var 1; g2={2,4,6}: mean 4, var 4
+    // t = -2/sqrt(5/3), df = 50/17, d = -2/sqrt(2.5)
+    val df = (Seq(1, 2, 3).map((_, true)) ++ Seq(2, 4, 6).map((_, false)))
+      .toDF("v", "g")
+    val r = graft.operators.StatsOps.welchTTest(df, "v", col("g")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L, s"$r")
+    assert(r.getDouble(2) == -1.549193, s"t: $r")
+    assert(r.getDouble(3) == 2.9412, s"df: $r")
+    assert(r.getDouble(4) == -1.264911, s"cohens_d: $r")
+  }
+
   test("Mann-Whitney U: hand-computed tie correction and the no-overlap extreme") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
