@@ -90,4 +90,41 @@ object GraphProps extends Properties("GraphOps") {
       }.toMap
       Prop(got == want) :| s"got=$got want=$want"
     }
+
+  property("neighborhoodFunction matches driver BFS balls exactly") =
+    forAll(edgeGen) { edges =>
+      import spark.implicits._
+      val got = GraphOps.neighborhoodFunction(edges.toDF("src", "dst"), 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // driver BFS over the same symmetrized simple edge set
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val want = adj.keys.flatMap { v =>
+        var ball = Set(v)
+        (0 to 3).map { t =>
+          if (t > 0) ball = ball ++ ball.flatMap(adj)
+          (v, t) -> ball.size.toLong
+        }
+      }.toMap
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
+  property("node2vec walks follow edges and never leave the start component") =
+    forAll(edgeGen) { edges =>
+      import spark.implicits._
+      val walks = GraphOps.node2vecWalks(edges.toDF("src", "dst"), 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val undSet = und.toSet ++ und.map(_.swap).toSet
+      val ok = walks.groupBy(_._1).values.forall { steps =>
+        val seq = steps.sortBy(_._2).map(_._3)
+        seq.length == 5 && seq.sliding(2).forall {
+          case Array(a, b) => undSet((a, b)); case _ => true
+        }
+      }
+      Prop(ok) :| s"bad walk in ${walks.toSeq.sortBy(w => (w._1, w._2))}"
+    }
 }
