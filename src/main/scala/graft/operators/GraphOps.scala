@@ -369,37 +369,41 @@ object GraphOps {
   }
 
   /** HITS hubs & authorities (Kleinberg '99), `iters` synchronous
-    * rounds over the DISTINCT directed edge set with L1 normalization
-    * each half-step (all-positive scores, so the L1 norm is one global
-    * sum — deterministic and SQL-replayable, unlike an L2 norm whose
-    * summation-order sensitivity the oracle would fight):
-    * a ∝ Σ_{u→v} h(u), h ∝ Σ_{u→v} a(v). Nodes outside the edge set
-    * settle at 0. Each half-step is one keyed join-aggregate plus one
-    * scalar normalizer (broadcast back via crossJoin of a 1-row agg —
-    * never collected). */
+    * rounds over the DISTINCT directed edge set:
+    * a ∝ Σ_{u→v} h(u), h ∝ Σ_{u→v} a(v). The updates are LINEAR and
+    * all-positive, so per-half-step normalization only rescales — the
+    * loop runs unnormalized (2 join-aggregates per iteration, nothing
+    * else) and ONE final L1 normalization recovers the standard unit-
+    * sum scores (an L1 norm is a plain global sum — deterministic and
+    * SQL-replayable, unlike L2's rounding-order fight). Absent keys ARE
+    * the zeros inside the loop (the join drops them, contributing
+    * nothing), so the full node spine attaches only at the end; nodes
+    * outside the edge set report 0. Double range check: growth per
+    * round ≤ Σdeg, so iters·log₂(Σdeg) stays far under the exponent
+    * budget for any sane horizon. Normalizers broadcast as 1-row aggs,
+    * never collected. */
   def hits(edges: DataFrame, n: Long, iters: Int): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    val nodes = spark.range(n).select(col("id").as("node"))
-    def l1norm(df: DataFrame, c: String): DataFrame =
-      df.crossJoin(broadcast(df.agg(sum(col(c)).as("__t"))))
-        .select(col("node"), (col(c) / col("__t")).as(c))
-    var h = nodes.select(col("node"), lit(1.0 / n).as("h"))
-    var a = nodes.select(col("node"), lit(1.0 / n).as("a"))
+    var h = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("h"))
+    var a = h.select(col("node"), col("h").as("a")) // placeholder until iter 1
     for (i <- 1 to iters) {
-      val aRaw = e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
+      a = e.join(h.select(col("node").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
-      a = l1norm(nodes.join(aRaw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a")), "a")
-      val hRaw = e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+      h = e.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
-      h = l1norm(nodes.join(hRaw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h")), "h")
       if (i % 3 == 0 && i < iters) {
         a = a.localCheckpoint(true); h = h.localCheckpoint(true)
       }
     }
-    h.join(a, Seq("node"))
+    val nodes = spark.range(n).select(col("id").as("node"))
+    nodes.join(h, Seq("node"), "left").join(a, Seq("node"), "left")
+      .crossJoin(broadcast(h.agg(sum(col("h")).as("__th"))))
+      .crossJoin(broadcast(a.agg(sum(col("a")).as("__ta"))))
+      .select(col("node"),
+        (coalesce(col("h"), lit(0.0)) / col("__th")).as("h"),
+        (coalesce(col("a"), lit(0.0)) / col("__ta")).as("a"))
   }
 
   /** k-truss peeling: `rounds` SYNCHRONOUS rounds of "drop every edge

@@ -478,28 +478,26 @@ object RandomLabelQueries extends QueryGroup {
          |FROM agg""".stripMargin
     },
     "graph_hits" -> {
-      // every CTE MATERIALIZED: each level references the previous one
-      // ~3× (agg join, scalar-subquery normalizer, left join), so the
-      // unmaterialized plan re-evaluates the chain exponentially (3^10
-      // replays of the R-MAT CTE — a measured multi-hour hang)
+      // unnormalized linear iteration, ONE final L1 normalization —
+      // mirrors GraphOps.hits exactly. MATERIALIZED: each level is
+      // referenced twice (next half-step + final/normalizer), so the
+      // unmaterialized plan re-evaluates the chain exponentially
+      // (a measured multi-hour hang on the earlier 3-ref form)
       def halfSteps(r: Int): String =
-        s"""ar$r AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS a
+        s"""a$r AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS a
            |  FROM e JOIN h${r - 1} h ON h.node = e.src GROUP BY 1),
-           |a$r AS MATERIALIZED (SELECT nd.node,
-           |  COALESCE(ar$r.a, 0.0) / (SELECT sum(a) FROM ar$r) AS a
-           |  FROM nd LEFT JOIN ar$r ON ar$r.node = nd.node),
-           |hr$r AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS h
-           |  FROM e JOIN a$r a ON a.node = e.dst GROUP BY 1),
-           |h$r AS MATERIALIZED (SELECT nd.node,
-           |  COALESCE(hr$r.h, 0.0) / (SELECT sum(h) FROM hr$r) AS h
-           |  FROM nd LEFT JOIN hr$r ON hr$r.node = nd.node)""".stripMargin
+           |h$r AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS h
+           |  FROM e JOIN a$r a ON a.node = e.dst GROUP BY 1)""".stripMargin
       s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
          |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
          |nd AS MATERIALIZED (SELECT id::BIGINT AS node FROM range(256) t(id)),
-         |h0 AS MATERIALIZED (SELECT node, 1.0 / 256 AS h FROM nd),
+         |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS h FROM e),
          |${(1 to 5).map(halfSteps).mkString(",\n")}
-         |SELECT h5.node, round(h5.h, 6) + 0.0 AS h, round(a5.a, 6) + 0.0 AS a
-         |FROM h5 JOIN a5 ON a5.node = h5.node""".stripMargin
+         |SELECT nd.node,
+         |  round(COALESCE(h5.h, 0.0) / (SELECT sum(h) FROM h5), 6) + 0.0 AS h,
+         |  round(COALESCE(a5.a, 0.0) / (SELECT sum(a) FROM a5), 6) + 0.0 AS a
+         |FROM nd LEFT JOIN h5 ON h5.node = nd.node
+         |        LEFT JOIN a5 ON a5.node = nd.node""".stripMargin
     },
     "graph_ktruss" -> {
       // MATERIALIZED for the same reason as graph_hits: each round
