@@ -362,4 +362,37 @@ object ClusterOps {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= topK)
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rnk"))
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal — the 2-approximation diverse-subset pick a curation
+    * pipeline uses to seed balanced fine-tuning sets): start from the
+    * smallest id, then k−1 times take the point farthest from the
+    * selected set and fold its distance into the running min. Per round
+    * ONE TakeOrdered (per-partition heaps, no global sort) and one
+    * projection over the min-distance column; the only driver state is
+    * the current center's d-vector (the k-means centroid convention) —
+    * O(k·n·d) total, embarrassingly parallel per round. Returns
+    * (rnk, id, dist) with dist = the coverage radius the pick closed. */
+  def kCenterSelect(vectors: DataFrame, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col("id"), col("vec")).localCheckpoint(true)
+    val first = v.orderBy(col("id")).limit(1).head()
+    var picks = List((first.getLong(0), 0.0))
+    var center = first.getSeq[Double](1)
+    var md = v.select(col("id"), col("vec"),
+      DistanceOps.l2sq(col("vec"), typedLit(center)).as("d2"))
+    for (r <- 2 to k) {
+      val p = md.orderBy(col("d2").desc, col("id")).limit(1).head()
+      picks ::= (p.getLong(0), p.getDouble(2))
+      center = p.getSeq[Double](1)
+      md = md.select(col("id"), col("vec"),
+        least(col("d2"), DistanceOps.l2sq(col("vec"), typedLit(center))).as("d2"))
+      if (r % 4 == 0 && r < k) md = md.localCheckpoint(true)
+    }
+    picks.reverse.zipWithIndex
+      .map { case ((id, d2), i) => (i + 1, id, math.sqrt(d2)) }
+      .toDF("rnk", "id", "dist")
+      .select(col("rnk"), col("id"), (round(col("dist"), 6) + 0.0).as("dist"))
+  }
 }

@@ -79,6 +79,10 @@ object PipelineQueries extends QueryGroup {
     // matryoshka eval: top-10 by the 32-lane prefix vs the full 64 lanes
     "pipe_matryoshka_recall" -> ((s, d) =>
       AnnOps.matryoshkaRecall(Tables.vectors(s, d), 5, 10, 32)),
+    // greedy farthest-point coreset (Gonzalez 2-approx); oracle unrolls
+    // the same rounds with the identical left-fold distances
+    "pipe_kcenter_select" -> ((s, d) =>
+      ClusterOps.kCenterSelect(Tables.vectors(s, d), 5)),
     "pipe_mm_decode" -> ((s, d) =>
       MultimodalOps.decodeStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()),
     "pipe_mm_frames" -> ((s, d) =>
@@ -1094,6 +1098,23 @@ object PipelineQueries extends QueryGroup {
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
          |  FROM scored)
          |SELECT qid, nid, round(cos, 4) AS cos, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    "pipe_kcenter_select" -> {
+      def roundStep(r: Int): String =
+        s"""p$r AS MATERIALIZED (SELECT id, vec, d2 FROM m${r - 1}
+           |  ORDER BY d2 DESC, id LIMIT 1),
+           |m$r AS MATERIALIZED (SELECT m.id, m.vec,
+           |  least(m.d2, ${pqL2sq("m.vec", "p.vec")}) AS d2
+           |  FROM m${r - 1} m, p$r p)""".stripMargin
+      s"""WITH $vCte,
+         |c1 AS MATERIALIZED (SELECT id, vec FROM v ORDER BY id LIMIT 1),
+         |m1 AS MATERIALIZED (SELECT v.id, v.vec, ${pqL2sq("v.vec", "c.vec")} AS d2
+         |  FROM v, c1 c),
+         |${(2 to 5).map(roundStep).mkString(",\n")}
+         |SELECT 1 AS rnk, id, 0.0 AS dist FROM c1
+         |${(2 to 5).map(r =>
+             s"UNION ALL SELECT $r, id, round(sqrt(d2), 6) + 0.0 FROM p$r")
+           .mkString("\n")}""".stripMargin
+    },
     "pipe_matryoshka_recall" ->
       s"""WITH $vCte,
          |p AS (SELECT id, vec[1:32] AS vec FROM v),

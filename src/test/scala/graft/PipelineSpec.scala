@@ -517,6 +517,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kCenterSelect: covers every separated blob once; radius is non-increasing") {
+    import graft.operators.ClusterOps
+    val blobs = RandomOps.makeBlobs(spark, 500, 8, 5, 42)
+      .select(col("id"), col("vec"))
+    val picks = ClusterOps.kCenterSelect(blobs, 5).collect()
+      .sortBy(_.getInt(0))
+    // 5 well-separated generative blobs (id % 5): farthest-point must
+    // visit each exactly once before any repeat
+    assert(picks.map(_.getLong(1) % 5).toSet.size == 5,
+      s"picks miss a blob: ${picks.toSeq}")
+    val ds = picks.drop(1).map(_.getDouble(2))
+    assert(ds.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
+      s"coverage radius must not increase: ${ds.toSeq}")
+    assert(picks.head.getDouble(2) == 0.0)
+  }
+
   test("pplBuckets: equal-population tertiles with an ordered NLL envelope") {
     val docs = Tables.documents(spark, sf)
     val b = TextOps.pplBuckets(docs).collect()
