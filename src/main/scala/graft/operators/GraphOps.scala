@@ -313,6 +313,12 @@ object GraphOps {
         .groupBy(col("v"), col("reg")).agg(max(col("rank")).as("rank"))
       if (t % 4 == 0 && t < maxT) state = state.localCheckpoint(true)
     }
+    hllEstimate(state, m).select(col("node"), round(col("est"), 4).as("est"))
+  }
+
+  /** Per-node HLL cardinality estimate from (v, reg, rank) register rows
+    * — the corrected Flajolet estimator [[hyperBall]] documents. */
+  private def hllEstimate(state: DataFrame, m: Int): DataFrame = {
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -328,9 +334,43 @@ object GraphOps {
         (lit(m) - col("occ")).cast("double").as("zeros"))
     val raw = lit(alpha * m * m) / col("z")
     agg.select(col("node"),
-      round(when(raw <= lit(2.5 * m) && col("zeros") > 0,
+      when(raw <= lit(2.5 * m) && col("zeros") > 0,
         lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
-        .otherwise(raw), 4).as("est"))
+        .otherwise(raw).as("est"))
+  }
+
+  /** HyperBall NEIGHBORHOOD FUNCTION: N(t) = Σ_v |B_t(v)| estimated for
+    * every t = 0..maxT in one sweep — the curve whose 90% crossing is
+    * the effective diameter (the headline statistic HyperBall was built
+    * to compute on billion-edge graphs). Same register state as
+    * [[hyperBall]]; each round additionally folds the per-node
+    * estimates into one (t, nf) row. */
+  def hyperBallNF(edges: DataFrame, maxT: Int, m: Int, seed: Long = 42): DataFrame = {
+    import graft.operators.TextOps.h32
+    require(m >= 16 && (m & (m - 1)) == 0, "m: power of two >= 16")
+    val und = canonicalUndirected(edges).localCheckpoint(true)
+    val adj = und.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(und.select(col("b").as("m"), col("a").as("x")))
+      .localCheckpoint(true)
+    val nodes = adj.select(col("m").as("u")).distinct()
+    val w = h32(concat_ws(":", col("u"), lit(seed), lit("hbw")))
+    var state = nodes.select(col("u").as("v"),
+        pmod(h32(concat_ws(":", col("u"), lit(seed), lit("hbj"))), lit(m)).as("reg"),
+        when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w))).as("rank"))
+      .localCheckpoint(true)
+    def nfRow(t: Int) = hllEstimate(state, m)
+      .agg(sum(col("est")).as("nf")).select(lit(t).as("t"), col("nf"))
+    var out = nfRow(0)
+    for (t <- 1 to maxT) {
+      state = state
+        .join(adj, state("v") === adj("m"))
+        .select(col("x").as("v"), col("reg"), col("rank"))
+        .unionByName(state)
+        .groupBy(col("v"), col("reg")).agg(max(col("rank")).as("rank"))
+        .localCheckpoint(true)
+      out = out.unionByName(nfRow(t))
+    }
+    out
   }
 
   /** Personalized PageRank: identical synchronous update to [[pageRank]]

@@ -138,6 +138,11 @@ object RandomLabelQueries extends QueryGroup {
     // the oracle replays registers, merges and the corrected estimate
     "graph_hyperball" -> ((s, d) =>
       GraphOps.hyperBall(RandomOps.rmat(s, 1000, 8, 42), 2, 16)),
+    // the neighborhood-function curve N(t), t=0..3 — the effective-
+    // diameter statistic HyperBall exists for
+    "graph_hyperball_nf" -> ((s, d) =>
+      GraphOps.hyperBallNF(RandomOps.rmat(s, 1000, 8, 42), 3, 16)
+        .select(col("t"), (round(col("nf"), 4) + 0.0).as("nf"))),
     // HITS after 5 L1-normalized rounds; unrolled half-step oracle
     "graph_hits" -> ((s, d) =>
       GraphOps.hits(RandomOps.rmat(s, 1000, 8, 42), 256L, 5)
@@ -476,6 +481,34 @@ object RandomLabelQueries extends QueryGroup {
          |             THEN 16 * ln(16 / zeros)
          |             ELSE 0.673 * 16 * 16 / z END, 4) AS est
          |FROM agg""".stripMargin
+    },
+    "graph_hyperball_nf" -> {
+      def merge(t: Int): String =
+        s"""s$t AS MATERIALIZED (SELECT v, reg, max(rank) AS rank FROM (
+           |  SELECT a.x AS v, s.reg, s.rank FROM s${t - 1} s JOIN adj a ON a.m = s.v
+           |  UNION ALL SELECT v, reg, rank FROM s${t - 1}) GROUP BY 1, 2)""".stripMargin
+      def est(t: Int): String =
+        s"""est$t AS (SELECT sum(CASE WHEN 0.673 * 16 * 16 / z <= 2.5 * 16 AND zeros > 0
+           |                    THEN 16 * ln(16 / zeros)
+           |                    ELSE 0.673 * 16 * 16 / z END) AS nf
+           |  FROM (SELECT v, sum(power(2.0, -rank)) + (16 - count(*)) AS z,
+           |               CAST(16 - count(*) AS DOUBLE) AS zeros
+           |        FROM s$t GROUP BY v))""".stripMargin
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a AS m, b AS x FROM und UNION ALL SELECT b, a FROM und),
+         |own AS MATERIALIZED (SELECT u,
+         |  ${h("u", "hbj")} % 16 AS reg,
+         |  CASE WHEN ${h("u", "hbw")} = 0 THEN 33
+         |       ELSE 33 - length(bin(${h("u", "hbw")})) END AS rank
+         |  FROM (SELECT DISTINCT m AS u FROM adj)),
+         |s0 AS MATERIALIZED (SELECT u AS v, reg, rank FROM own),
+         |${(1 to 3).map(merge).mkString(",\n")},
+         |${(0 to 3).map(est).mkString(",\n")}
+         |${(0 to 3).map(t =>
+             s"SELECT $t AS t, round(nf, 4) + 0.0 AS nf FROM est$t")
+           .mkString("\nUNION ALL ")}""".stripMargin
     },
     "graph_hits" -> {
       // unnormalized linear iteration, ONE final L1 normalization —

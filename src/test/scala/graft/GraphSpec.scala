@@ -186,6 +186,13 @@ class GraphSpec extends AnyFunSuite {
     assert(est.distinct.length == 1, "identical balls estimate identically")
     assert(math.abs(est.head - 40.0) / 40.0 < 0.35,
       s"estimate within HLL tolerance of 40: ${est.head}")
+    // the neighborhood-function curve is non-decreasing in t and
+    // saturates at the clique census from t=1 on
+    val nf = GraphOps.hyperBallNF(k40, 2, 64).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    assert(nf.sliding(2).forall { case Array(a, b) => b >= a; case _ => true },
+      s"N(t) monotone: ${nf.toSeq}")
+    assert(nf(1) == nf(2), s"one-hop saturation on a clique: ${nf.toSeq}")
   }
 
   test("spectralPartition recovers a planted weakly-coupled partition") {
