@@ -188,11 +188,11 @@ class GraphSpec extends AnyFunSuite {
       s"estimate within HLL tolerance of 40: ${est.head}")
     // the neighborhood-function curve is non-decreasing in t and
     // saturates at the clique census from t=1 on
-    val nf = GraphOps.hyperBallNF(k40, 2, 64).collect()
+    val curve = GraphOps.hyperBallNF(k40, 2, 64).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
-    assert(nf.sliding(2).forall { case Array(a, b) => b >= a; case _ => true },
-      s"N(t) monotone: ${nf.toSeq}")
-    assert(nf(1) == nf(2), s"one-hop saturation on a clique: ${nf.toSeq}")
+    assert(curve.sliding(2).forall { case Array(a, b) => b >= a; case _ => true },
+      s"N(t) monotone: ${curve.toSeq}")
+    assert(curve(1) == curve(2), s"one-hop saturation on a clique: ${curve.toSeq}")
   }
 
   test("spectralPartition recovers a planted weakly-coupled partition") {
