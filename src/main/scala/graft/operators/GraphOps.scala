@@ -373,6 +373,53 @@ object GraphOps {
     out
   }
 
+  /** Truncated harmonic centrality from the exact ball census:
+    * H(v) = Σ_{t=1..maxT} (|B_t(v)| − |B_{t−1}(v)|)/t — each node at
+    * distance t contributes 1/t, nodes beyond maxT hops contribute 0
+    * (the standard truncated form; HyperBall §6.2 computes exactly this
+    * sum from consecutive ball estimates at scale). This derivation is
+    * a self-join of the (node, t, size) frame on t−1 + one keyed fold;
+    * swap [[hyperBall]] estimates in for the sizes at census scale. */
+  def harmonicCentrality(edges: DataFrame, maxT: Int): DataFrame = {
+    // fold Σ Δt/t as Σ Δt·(L/t) over the integers (L = lcm(1..maxT)),
+    // one final division: the sum is order-independent across engines
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmT = (1 to maxT).foldLeft(1L)((l, t) => l / gcd(l, t) * t)
+    val sizes = neighborhoodFunction(edges, maxT).localCheckpoint(true)
+    val cur = sizes.where(col("t") >= 1)
+      .select(col("node"), col("t"), col("size"))
+    val prev = sizes.select(col("node"), (col("t") + 1).as("t"),
+      col("size").as("psize"))
+    cur.join(prev, Seq("node", "t"))
+      .groupBy(col("node"))
+      .agg((round(sum((col("size") - col("psize")) *
+          (lit(lcmT) / col("t")).cast("long")).cast("double") / lcmT, 6)
+        + 0.0).as("h"))
+  }
+
+  /** Effective diameter (the `frac` quantile of the pairwise-distance
+    * distribution, conventionally 0.9) interpolated from the HyperBall
+    * neighborhood-function curve: the first t with N(t) ≥ frac·N(maxT),
+    * linearly interpolated inside the crossing step (Palmer/ANF,
+    * Boldi & Vigna 2013 §4). Everything downstream of [[hyperBallNF]]
+    * operates on the (maxT+1)-row curve — two tiny joins, no data-sized
+    * work beyond the register sweep itself. */
+  def effectiveDiameter(edges: DataFrame, maxT: Int, m: Int,
+      frac: Double = 0.9, seed: Long = 42): DataFrame = {
+    val nf = hyperBallNF(edges, maxT, m, seed).localCheckpoint(true)
+    val tgt = nf.where(col("t") === maxT)
+      .select((col("nf") * frac).as("target"))
+    val prev = nf.select((col("t") + 1).as("t"), col("nf").as("pnf"))
+    val steps = nf.join(prev, Seq("t"), "left").crossJoin(broadcast(tgt))
+    steps.where(col("nf") >= col("target") &&
+        (col("t") === 0 || col("pnf") < col("target")))
+      .agg(min(when(col("t") === 0, lit(0.0)).otherwise(
+        col("t") - 1.0 + (col("target") - col("pnf")) / (col("nf") - col("pnf"))))
+        .as("d_eff"), max(col("target")).as("target"))
+      .select((round(col("d_eff"), 4) + 0.0).as("d_eff"),
+        (round(col("target"), 4) + 0.0).as("target"))
+  }
+
   /** Personalized PageRank: identical synchronous update to [[pageRank]]
     * but the restart mass lands on the SEED set only —
     * r_{t+1}(v) = (1−d)·1[v ∈ S]/|S| + d·Σ_{u→v} r_t(u)/outdeg(u).

@@ -117,6 +117,31 @@ object RandomOps {
       .limit(k)
       .drop("__key")
 
+  /** Deterministic per-key bottom-k sample — the distributed, MERGEABLE
+    * form of per-group reservoir sampling: keep the k ids with the
+    * smallest 52-bit md5 key within each group. Because "k smallest
+    * hashes" is a commutative idempotent fold, partials combine map-side
+    * and across shards/days exactly like a sketch (this is the KMV
+    * construction — the same k-minimum-values state that estimates
+    * distinct counts), where rand()-reservoirs are order-dependent and
+    * unmergeable. State: k entries per group (TopKAgg bounded heap); the
+    * one shuffle carries #groups × k rows. 52 hash bits keep the
+    * double-typed heap key exact (< 2^53). */
+  def bottomKSample(df: DataFrame, keyCol: String, idCol: String,
+      k: Int, seed: Long): DataFrame = {
+    val h = conv(substring(md5(
+      concat_ws(":", col(idCol), lit(seed), lit("bks"))), 1, 13), 16, 10)
+      .cast("long")
+    df.select(col(keyCol).as("g"), h.as("h"), col(idCol).cast("long").as("id"))
+      .groupBy(col("g"))
+      .agg(graft.functions.TopKAgg.topKMin(col("h").cast("double"), col("id"), k)
+        .as("flat"))
+      .select(col("g"), posexplode(graft.functions.TopKAgg.decodeTopK(col("flat")))
+        .as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.c").cast("long").as("h"), col("e.j").as("id"))
+  }
+
   /** make_blobs: k Gaussian clusters in d dims, deterministic centroids
     * c(cl,j) = ((cl·7+j) mod 5)·10 — reference: random/make_blobs.cuh:58. */
   def makeBlobs(spark: SparkSession, n: Long, d: Int, k: Int, seed: Long): DataFrame = {

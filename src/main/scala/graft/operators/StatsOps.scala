@@ -651,4 +651,186 @@ object StatsOps {
             ((col("n") + 1) - col("ties") / (col("n").cast("double") * (col("n") - 1)))), 6)
           + 0.0).as("z"))
   }
+
+  /** ROC AUC of a score column against a binary condition — the
+    * threshold-free ranking form of the accuracy/confusion metrics above
+    * (stats/accuracy.cuh:38 family). AUC is exactly the rank-sum
+    * statistic: AUC = U₁/(n₊·n₋) with U₁ from the average-rank sum of
+    * the positives, so the whole metric folds from the per-score count
+    * table + one RankUtils distributed prefix sum — identical machinery
+    * to [[mannWhitneyU]]/[[spearman]], tie-exact, no per-row rank
+    * materialization, no global window. Scale: the shuffle carries one
+    * row per DISTINCT score, the prefix sum one boundary row per
+    * partition. Also emits the Gini coefficient 2·AUC−1. */
+  def rocAuc(df: DataFrame, scoreCol: String, isPos: Column): DataFrame = {
+    val counts = df
+      .select(col(scoreCol).as("v"), isPos.cast("long").as("g"))
+      .groupBy(col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val r = RankUtils.globalPrefixSum(counts, Seq(col("v")), col("c"), "cum")
+      .select(col("c1"), col("c2"),
+        (col("cum") - col("c") + (col("c") + 1) / 2.0).as("rank"))
+    r.agg(sum(col("c1")).as("n_pos"), sum(col("c2")).as("n_neg"),
+        sum(col("c1") * col("rank")).as("r1"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("r1") - col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos").cast("double") * col("n_neg"))).as("auc"))
+      .select(col("n_pos"), col("n_neg"),
+        (round(col("auc"), 6) + 0.0).as("auc"),
+        (round(lit(2.0) * col("auc") - 1.0, 6) + 0.0).as("gini"))
+  }
+
+  /** Proper-scoring-rule losses of a probabilistic classifier: log-loss
+    * (cross-entropy) and Brier score over (p, y) pairs — one stateless
+    * map + one aggregate, the canonical model-eval companion to
+    * [[rocAuc]]'s ranking view. Input frame: `p` DOUBLE ∈ (0,1),
+    * `y` LONG ∈ {0,1}. */
+  def classificationLoss(scored: DataFrame): DataFrame =
+    scored.agg(count(lit(1)).as("n"),
+      (round(-avg(col("y") * log(col("p")) +
+        (lit(1L) - col("y")) * log(lit(1.0) - col("p"))), 6) + 0.0).as("logloss"),
+      (round(avg(pow(col("p") - col("y"), 2)), 6) + 0.0).as("brier"))
+
+  /** Reliability diagram + expected calibration error: equal-width bins
+    * over predicted probability, per-bin confidence (mean p) vs accuracy
+    * (mean y), ECE = Σ (n_b/N)·|acc_b − conf_b|. One keyed aggregate over
+    * ≤ `bins` groups + a broadcast of the bin table back under the ECE
+    * fold — the drift-gate shape ([[psi]]) applied to model calibration.
+    * Output: one row per OCCUPIED bin with the shared `ece` repeated. */
+  def calibration(scored: DataFrame, bins: Int = 10): DataFrame = {
+    val b = scored
+      .select(least(lit(bins - 1L),
+          floor(col("p") * bins).cast("long")).as("bin"),
+        col("p"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("p")).as("conf"),
+        avg(col("y").cast("double")).as("acc"))
+    val ece = b.agg((sum(col("n") * abs(col("acc") - col("conf"))) /
+        sum(col("n"))).as("ece"))
+    b.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"),
+        (round(col("conf"), 6) + 0.0).as("conf"),
+        (round(col("acc"), 6) + 0.0).as("acc"),
+        (round(col("ece"), 6) + 0.0).as("ece"))
+  }
+
+  /** Kendall's τ-b rank correlation for DISCRETE value domains: fold the
+    * data to the joint (x, y, cnt) cell table, then count concordant /
+    * discordant pairs by a cell-level self-join — O(m²) in the number of
+    * distinct cells, never O(n²) in rows (50×11 cells here; the row
+    * count only enters through the cnt products). Tie terms n₁/n₂ come
+    * from the marginal count tables. τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)).
+    * For continuous domains [[spearman]] is the scale path (prefix-sum
+    * ranks); Kendall on row-distinct values would need an inversion
+    * count, which this operator deliberately does not attempt. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .localCheckpoint(true)
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"), col("cnt").as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("cnt").as("cb"))
+    val pairs = a.join(broadcast(b), col("xa") < col("xb"))
+      .agg(sum(when(col("ya") < col("yb"), col("ca") * col("cb")).otherwise(0.0)).as("c"),
+        sum(when(col("ya") > col("yb"), col("ca") * col("cb")).otherwise(0.0)).as("d"))
+    val tx = cells.groupBy(col("x")).agg(sum(col("cnt")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) / 2.0).as("n1"))
+    val tyAgg = cells.groupBy(col("y")).agg(sum(col("cnt")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) / 2.0).as("n2"))
+    val n = cells.agg(sum(col("cnt")).as("n"))
+    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(tyAgg))
+      .crossJoin(broadcast(n))
+      .select(col("c").cast("long").as("concordant"),
+        col("d").cast("long").as("discordant"),
+        (round((col("c") - col("d")) /
+          sqrt((col("n") * (col("n") - 1) / 2.0 - col("n1")) *
+               (col("n") * (col("n") - 1) / 2.0 - col("n2"))), 6) + 0.0).as("tau_b"))
+  }
+
+  /** Exact quantiles (linear interpolation on (n−1) positions, the
+    * quantile_cont convention) of an arbitrary double RDD — the
+    * TeraSort-selection core of [[quantiles]] exposed for reuse:
+    * range-partitioned sort + zipWithIndex, boundary rows only to the
+    * driver. */
+  private[operators] def exactQuantilesOf(
+      vals: org.apache.spark.rdd.RDD[Double], qs: Seq[Double]): Seq[Double] = {
+    val n = vals.count()
+    require(n > 0, "exactQuantilesOf: empty input")
+    val sorted = vals.sortBy(identity).zipWithIndex()
+      .map { case (v, i) => (i, v) }
+    val targets = qs.flatMap { q =>
+      val p = q * (n - 1)
+      Seq(math.floor(p).toLong, math.ceil(p).toLong)
+    }.distinct.toSet
+    val bc = vals.sparkContext.broadcast(targets)
+    val picked = sorted.filter { case (i, _) => bc.value.contains(i) }
+      .collect().toMap
+    qs.map { q =>
+      val p = q * (n - 1)
+      val lo = picked(math.floor(p).toLong)
+      val hi = picked(math.ceil(p).toLong)
+      lo + (hi - lo) * (p - math.floor(p))
+    }
+  }
+
+  /** Robust location/scale summary: median, IQR, MAD (median absolute
+    * deviation from the median) and the 5/95-winsorized mean — the
+    * outlier-resistant profile a curation pipeline gates on where
+    * mean/stddev are skew-fragile. Two distributed exact-quantile passes
+    * (the second over |x − median|) + one clamped aggregate; each pass
+    * is the [[quantiles]] TeraSort shape, so only boundary rows ever
+    * reach the driver. */
+  def robustStats(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("double"))
+      .where(col(valueCol).isNotNull)
+      .rdd.map(_.getDouble(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Seq(q05, q25, q50, q75, q95) =
+        exactQuantilesOf(vals, Seq(0.05, 0.25, 0.5, 0.75, 0.95))
+      val mad = exactQuantilesOf(vals.map(v => math.abs(v - q50)), Seq(0.5)).head
+      val wm = df.select(col(valueCol).cast("double").as("x"))
+        .where(col("x").isNotNull)
+        .agg(avg(least(greatest(col("x"), lit(q05)), lit(q95))).as("wmean"),
+          count(lit(1)).as("n"))
+      wm.select(col("n"),
+        (round(lit(q50), 4) + 0.0).as("median"),
+        (round(lit(q75 - q25), 4) + 0.0).as("iqr"),
+        (round(lit(mad), 4) + 0.0).as("mad"),
+        (round(col("wmean"), 4) + 0.0).as("winsor_mean"))
+    } finally vals.unpersist(false)
+  }
+
+  /** Ranking-quality metrics over per-key candidate lists: NDCG@k and
+    * MRR. Relevance arrives as a grade column; ranking is by score
+    * descending with a deterministic id tie-break. All windows are
+    * PARTITIONED by the query key (bounded per-key lists — the allowed
+    * keyed-window shape), DCG/IDCG fold per key, and the final mean is
+    * one aggregate: the metric pipeline is #keys-parallel at any scale.
+    * MRR counts keys with no relevant item as reciprocal rank 0 (the
+    * convention that keeps the denominator = all queries). */
+  def ndcgMrr(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, grade: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("g"), col(scoreCol).as("s"),
+      col(idCol).as("id"), grade.cast("double").as("rel"))
+    val byScore = Window.partitionBy(col("g"))
+      .orderBy(col("s").desc, col("id"))
+    val byRel = Window.partitionBy(col("g"))
+      .orderBy(col("rel").desc, col("id"))
+    val ranked = base
+      .withColumn("r", row_number().over(byScore))
+      .withColumn("ri", row_number().over(byRel))
+    val perKey = ranked.groupBy(col("g")).agg(
+      sum(when(col("r") <= k,
+        (pow(lit(2.0), col("rel")) - 1.0) / log2(col("r") + 1.0)).otherwise(0.0)).as("dcg"),
+      sum(when(col("ri") <= k,
+        (pow(lit(2.0), col("rel")) - 1.0) / log2(col("ri") + 1.0)).otherwise(0.0)).as("idcg"),
+      min(when(col("rel") >= 3.0, col("r"))).as("first_rel"))
+    perKey.agg(count(lit(1)).as("n_keys"),
+      (round(avg(when(col("idcg") > 0.0, col("dcg") / col("idcg"))
+        .otherwise(0.0)), 6) + 0.0).as("mean_ndcg"),
+      (round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 6) + 0.0).as("mrr"))
+  }
 }

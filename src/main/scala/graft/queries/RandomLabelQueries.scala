@@ -153,6 +153,19 @@ object RandomLabelQueries extends QueryGroup {
     // independent of the degree-ordered enumeration the op uses
     "graph_ktruss" -> ((s, d) =>
       GraphOps.kTruss(RandomOps.rmat(s, 1000, 8, 42), 4L, 3)),
+    // truncated harmonic centrality from the exact 0..3-hop ball census;
+    // H = (6·Δ1 + 3·Δ2 + 2·Δ3)/6 keeps the fold all-integer until one
+    // final division (order-independent across engines)
+    "graph_harmonic" -> ((s, d) =>
+      GraphOps.harmonicCentrality(RandomOps.rmat(s, 1000, 8, 42), 3)),
+    // 90%-effective diameter interpolated from the HyperBall N(t) curve
+    "graph_eff_diameter" -> ((s, d) =>
+      GraphOps.effectiveDiameter(RandomOps.rmat(s, 1000, 8, 42), 3, 16, 0.9)),
+    // mergeable KMV bottom-k sample: 5 smallest 52-bit md5 keys per
+    // market segment — the distributed reservoir-sampling analog
+    "rng_bottomk_sample" -> ((s, d) =>
+      RandomOps.bottomKSample(Tables.customer(s, d), "c_mktsegment",
+        "c_custkey", 5, 7)),
   )
 
   private def rmatSql(nEdges: Int, scale: Int, seed: Long,
@@ -510,6 +523,70 @@ object RandomLabelQueries extends QueryGroup {
              s"SELECT $t AS t, round(nf, 4) + 0.0 AS nf FROM est$t")
            .mkString("\nUNION ALL ")}""".stripMargin
     },
+    "graph_harmonic" -> {
+      def hop(t: Int): String =
+        s"""b$t AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+           |  SELECT v, u FROM b${t - 1}
+           |  UNION ALL
+           |  SELECT b.v, a.x FROM b${t - 1} b JOIN adj a ON a.m = b.u))""".stripMargin
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a AS m, b AS x FROM und UNION ALL SELECT b, a FROM und),
+         |b0 AS MATERIALIZED (SELECT DISTINCT m AS v, m AS u FROM adj),
+         |${(1 to 3).map(hop).mkString(",\n")},
+         |${(0 to 3).map(t =>
+             s"s$t AS (SELECT v, count(*) AS c FROM b$t GROUP BY 1)").mkString(",\n")}
+         |SELECT s0.v AS node,
+         |  round((6 * (s1.c - s0.c) + 3 * (s2.c - s1.c) + 2 * (s3.c - s2.c)) / 6.0, 6)
+         |    + 0.0 AS h
+         |FROM s0 JOIN s1 USING (v) JOIN s2 USING (v) JOIN s3 USING (v)""".stripMargin
+    },
+    "graph_eff_diameter" -> {
+      def merge(t: Int): String =
+        s"""s$t AS MATERIALIZED (SELECT v, reg, max(rank) AS rank FROM (
+           |  SELECT a.x AS v, s.reg, s.rank FROM s${t - 1} s JOIN adj a ON a.m = s.v
+           |  UNION ALL SELECT v, reg, rank FROM s${t - 1}) GROUP BY 1, 2)""".stripMargin
+      def est(t: Int): String =
+        s"""est$t AS (SELECT sum(CASE WHEN 0.673 * 16 * 16 / z <= 2.5 * 16 AND zeros > 0
+           |                    THEN 16 * ln(16 / zeros)
+           |                    ELSE 0.673 * 16 * 16 / z END) AS nf
+           |  FROM (SELECT v, sum(power(2.0, -rank)) + (16 - count(*)) AS z,
+           |               CAST(16 - count(*) AS DOUBLE) AS zeros
+           |        FROM s$t GROUP BY v))""".stripMargin
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM raw WHERE src <> dst),
+         |adj AS MATERIALIZED (SELECT a AS m, b AS x FROM und UNION ALL SELECT b, a FROM und),
+         |own AS MATERIALIZED (SELECT u,
+         |  ${h("u", "hbj")} % 16 AS reg,
+         |  CASE WHEN ${h("u", "hbw")} = 0 THEN 33
+         |       ELSE 33 - length(bin(${h("u", "hbw")})) END AS rank
+         |  FROM (SELECT DISTINCT m AS u FROM adj)),
+         |s0 AS MATERIALIZED (SELECT u AS v, reg, rank FROM own),
+         |${(1 to 3).map(merge).mkString(",\n")},
+         |${(0 to 3).map(est).mkString(",\n")},
+         |nf AS (${(0 to 3).map(t => s"SELECT $t AS t, nf FROM est$t")
+             .mkString(" UNION ALL ")}),
+         |tgt AS (SELECT nf * 0.9 AS target FROM est3),
+         |stp AS (SELECT a.t, a.nf, b.nf AS pnf
+         |        FROM nf a LEFT JOIN nf b ON b.t = a.t - 1)
+         |SELECT round(min(CASE WHEN t = 0 THEN 0.0
+         |                 ELSE t - 1 + (target - pnf) / (nf - pnf) END), 4) + 0.0 AS d_eff,
+         |  round(max(target), 4) + 0.0 AS target
+         |FROM stp, tgt WHERE nf >= target AND (t = 0 OR pnf < target)""".stripMargin
+    },
+    "rng_bottomk_sample" ->
+      """WITH hh AS (
+        |  SELECT c_mktsegment AS g,
+        |    CAST(('0x' || substr(md5(concat_ws(':', c_custkey, 7, 'bks')), 1, 13))
+        |      AS BIGINT) AS h,
+        |    CAST(c_custkey AS BIGINT) AS id
+        |  FROM customer),
+        |r AS (SELECT g, h, id,
+        |        row_number() OVER (PARTITION BY g ORDER BY h, id) AS rk
+        |      FROM hh)
+        |SELECT g, rk, h, id FROM r WHERE rk <= 5""".stripMargin,
     "graph_hits" -> {
       // unnormalized linear iteration, ONE final L1 normalization —
       // mirrors GraphOps.hits exactly. MATERIALIZED: each level is

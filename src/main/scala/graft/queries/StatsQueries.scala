@@ -97,7 +97,41 @@ object StatsQueries extends QueryGroup {
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")))),
     "stat_info_criterion" -> ((s, d) => StatsOps.informationCriterion(s, d)),
     "stat_trustworthiness" -> ((s, d) => graft.operators.SpectralOps.trustworthiness(s, d)),
+    // threshold-free ranking metric: AUC from the tie-exact rank-sum
+    // (the MWU machinery), score=value vs purchase-or-not
+    "stat_auc" -> ((s, d) => StatsOps.rocAuc(
+      Tables.events(s, d), "value", col("event_type") === "purchase")),
+    // proper scoring rules of a deterministic sigmoid "model" on the
+    // same fixture: cross-entropy + Brier
+    "stat_logloss" -> ((s, d) =>
+      StatsOps.classificationLoss(scoredEvents(s, d))),
+    // reliability diagram + ECE, 10 equal-width probability bins
+    "stat_calibration" -> ((s, d) =>
+      StatsOps.calibration(scoredEvents(s, d), 10)),
+    // Kendall τ-b over the discrete (quantity, discount) joint cells —
+    // O(cells²), never O(rows²); spearman is the continuous-domain path
+    "stat_kendall" -> ((s, d) => StatsOps.kendallTau(
+      Tables.lineitem(s, d), "l_quantity", "l_discount")),
+    // robust location/scale: median, IQR, MAD, 5/95-winsorized mean —
+    // two TeraSort-shape exact-quantile passes + one clamped aggregate
+    "stat_robust" -> ((s, d) => StatsOps.robustStats(
+      Tables.lineitem(s, d), "l_extendedprice")),
+    // ranking quality per user: NDCG@10 + MRR, graded relevance from
+    // event_type, keyed windows only
+    "stat_ndcg" -> ((s, d) => StatsOps.ndcgMrr(
+      Tables.events(s, d), "user_id", "value", "event_id",
+      when(col("event_type") === "purchase", 3.0)
+        .when(col("event_type") === "click", 2.0)
+        .when(col("event_type") === "view", 1.0).otherwise(0.0), 10)),
   )
+
+  /** Deterministic sigmoid scores over events: p = σ((value−50)/25),
+    * y = 1[purchase] — the shared fixture of stat_logloss /
+    * stat_calibration. */
+  private def scoredEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      (lit(1.0) / (lit(1.0) + exp(-(col("value") - 50.0) / 25.0))).as("p"),
+      (col("event_type") === "purchase").cast("long").as("y"))
 
   val sql: Map[String, String] = Map(
     "stat_accuracy" ->
@@ -420,7 +454,101 @@ object StatsQueries extends QueryGroup {
     // the plain form IS the batched form's oracle (same semantics, tiled
     // execution) — identical SQL on the same n=100 fixture
     "stat_silhouette_batched" -> silhouetteSql,
+    // AUC = U1/(n+·n−) from the average-rank sum over per-score counts
+    // (same tie-exact replay as stat_mwu); gini from the unrounded auc
+    "stat_auc" ->
+      """WITH c AS (
+        |  SELECT value AS v,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS c2
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT c1, c2,
+        |             sum(c1 + c2) OVER (ORDER BY v) - (c1 + c2) + (c1 + c2 + 1) / 2.0 AS rank
+        |      FROM c),
+        |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             sum(c1 * rank) AS r1 FROM r),
+        |u AS (SELECT n1, n2,
+        |             (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0) /
+        |             (CAST(n1 AS DOUBLE) * n2) AS auc FROM a)
+        |SELECT n1 AS n_pos, n2 AS n_neg,
+        |  round(auc, 6) + 0.0 AS auc,
+        |  round(2.0 * auc - 1.0, 6) + 0.0 AS gini
+        |FROM u""".stripMargin,
+    "stat_logloss" ->
+      s"""WITH s AS ($scoredSql)
+         |SELECT count(*) AS n,
+         |  round(-avg(y * ln(p) + (1 - y) * ln(1.0 - p)), 6) + 0.0 AS logloss,
+         |  round(avg((p - y) * (p - y)), 6) + 0.0 AS brier
+         |FROM s""".stripMargin,
+    "stat_calibration" ->
+      s"""WITH s AS ($scoredSql),
+         |b AS (SELECT least(9, CAST(floor(p * 10) AS BIGINT)) AS bin,
+         |             count(*) AS n, avg(p) AS conf, avg(CAST(y AS DOUBLE)) AS acc
+         |      FROM s GROUP BY 1),
+         |e AS (SELECT sum(n * abs(acc - conf)) / sum(n) AS ece FROM b)
+         |SELECT bin, n, round(conf, 6) + 0.0 AS conf, round(acc, 6) + 0.0 AS acc,
+         |  round(ece, 6) + 0.0 AS ece
+         |FROM b, e""".stripMargin,
+    // τ-b from the joint-cell self-join; all pair products are exact
+    // integer-valued doubles, so the sums are order-independent
+    "stat_kendall" ->
+      """WITH cells AS (
+        |  SELECT l_quantity AS x, l_discount AS y, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT sum(CASE WHEN a.y < b.y THEN a.cnt * b.cnt ELSE 0 END) AS c,
+        |             sum(CASE WHEN a.y > b.y THEN a.cnt * b.cnt ELSE 0 END) AS d
+        |      FROM cells a JOIN cells b ON a.x < b.x),
+        |tx AS (SELECT sum(t * (t - 1) / 2.0) AS n1
+        |       FROM (SELECT sum(cnt) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT sum(t * (t - 1) / 2.0) AS n2
+        |       FROM (SELECT sum(cnt) AS t FROM cells GROUP BY y)),
+        |n AS (SELECT sum(cnt) AS n FROM cells)
+        |SELECT CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+        |  round((c - d) / sqrt((n.n * (n.n - 1) / 2.0 - n1) *
+        |                       (n.n * (n.n - 1) / 2.0 - n2)), 6) + 0.0 AS tau_b
+        |FROM p, tx, ty, n""".stripMargin,
+    "stat_robust" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |q AS (SELECT quantile_cont(x, 0.05) AS q05, quantile_cont(x, 0.25) AS q25,
+        |             quantile_cont(x, 0.5) AS q50, quantile_cont(x, 0.75) AS q75,
+        |             quantile_cont(x, 0.95) AS q95 FROM v),
+        |m AS (SELECT quantile_cont(abs(x - (SELECT q50 FROM q)), 0.5) AS mad FROM v)
+        |SELECT count(*) AS n,
+        |  round((SELECT q50 FROM q), 4) + 0.0 AS median,
+        |  round((SELECT q75 - q25 FROM q), 4) + 0.0 AS iqr,
+        |  round((SELECT mad FROM m), 4) + 0.0 AS mad,
+        |  round(avg(least(greatest(x, (SELECT q05 FROM q)), (SELECT q95 FROM q))), 4)
+        |    + 0.0 AS winsor_mean
+        |FROM v""".stripMargin,
+    "stat_ndcg" ->
+      """WITH e AS (
+        |  SELECT user_id AS g, value AS s, event_id AS id,
+        |    CASE event_type WHEN 'purchase' THEN 3.0 WHEN 'click' THEN 2.0
+        |                    WHEN 'view' THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM events),
+        |r AS (SELECT g, rel,
+        |        row_number() OVER (PARTITION BY g ORDER BY s DESC, id) AS r,
+        |        row_number() OVER (PARTITION BY g ORDER BY rel DESC, id) AS ri
+        |      FROM e),
+        |pk AS (SELECT g,
+        |    sum(CASE WHEN r <= 10 THEN (power(2.0, rel) - 1) / log2(r + 1.0)
+        |             ELSE 0 END) AS dcg,
+        |    sum(CASE WHEN ri <= 10 THEN (power(2.0, rel) - 1) / log2(ri + 1.0)
+        |             ELSE 0 END) AS idcg,
+        |    min(CASE WHEN rel >= 3.0 THEN r END) AS fr
+        |  FROM r GROUP BY 1)
+        |SELECT count(*) AS n_keys,
+        |  round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END), 6) + 0.0 AS mean_ndcg,
+        |  round(avg(coalesce(1.0 / fr, 0.0)), 6) + 0.0 AS mrr
+        |FROM pk""".stripMargin,
   )
+
+  /** SQL twin of [[scoredEvents]] (lazy: referenced during `sql` init). */
+  private lazy val scoredSql: String =
+    """SELECT 1.0 / (1.0 + exp(-((value - 50.0) / 25.0))) AS p,
+      |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |FROM events""".stripMargin
 
   private lazy val silhouetteSql: String =
       """WITH v AS (
