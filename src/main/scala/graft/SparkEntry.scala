@@ -113,6 +113,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_approx_distinct_union" -> ((s, d) => Relational.approxDistinctUnion(s, d)),
     "rel_event_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
     "rel_cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
+    "rel_event_transitions" -> ((s, d) => Relational.eventTransitions(s, d)),
     // connector round-trips: the ORACLE reads the original parquet, so a
     // quoting/escaping/null bug in the CSV/JSON path breaks the hash
     "rel_csv_roundtrip" -> ((s, d) => graft.sources.Connectors.csvRoundTrip(s, d)),
@@ -319,6 +320,19 @@ private object RelationalQueries extends graft.queries.QueryGroup {
         |  count(DISTINCT user_id) AS n_users
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // per-user lag ordered by epoch-micros (the Spark ts convention) —
+    // keyed window; p is a ratio of exact integer counts
+    "rel_event_transitions" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS next, count(*) AS n
+        |      FROM r WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev, c.next, c.n,
+        |  round(c.n / CAST(t.tot AS DOUBLE), 6) + 0.0 AS p
+        |FROM c JOIN t USING (prev)""".stripMargin,
     // connector oracles read the ORIGINAL parquet — the round-trip must
     // reproduce it exactly through the CSV/JSON parse path
     "rel_csv_roundtrip" ->

@@ -484,6 +484,9 @@ object GraphOps {
         a = a.localCheckpoint(true); h = h.localCheckpoint(true)
       }
     }
+    // each of h/a feeds TWO consumers below (spine join + L1 normalizer
+    // agg) — cut the lineage once so the tail iterations don't replay
+    a = a.localCheckpoint(true); h = h.localCheckpoint(true)
     val nodes = spark.range(n).select(col("id").as("node"))
     nodes.join(h, Seq("node"), "left").join(a, Seq("node"), "left")
       .crossJoin(broadcast(h.agg(sum(col("h")).as("__th"))))

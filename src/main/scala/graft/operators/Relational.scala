@@ -364,6 +364,29 @@ object Relational {
         col("n_users"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * order each user's events by (ts, event_id), lag one step within the
+    * user, count (prev_type → type) transitions, and row-normalize into
+    * transition probabilities. The window is PARTITIONED by user (bounded
+    * per-key sequences — the allowed keyed-window shape); the count table
+    * is ≤ |types|² rows, so the normalizing row-sum join is a broadcast.
+    * This is the sequence-model summary a curation pipeline derives from
+    * interaction logs (session flow, next-event prediction priors). */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy(col("prev")).agg(sum(col("n")).as("tot"))
+    steps.join(broadcast(totals), Seq("prev"))
+      .select(col("prev"), col("next"), col("n"),
+        (round(col("n") / col("tot").cast("double"), 6) + 0.0).as("p"))
+  }
+
   /** Salted join for skewed keys: the fact side salts its hot key into
     * `nSalts` sub-keys; the dimension is replicated once per salt, so each
     * hot key's rows spread over nSalts tasks instead of one straggler.

@@ -1094,4 +1094,55 @@ object SolverOps {
     }
     chosen.select(col("src"), col("dst"), round(col("value"), 4).as("value"))
   }
+
+  /** Logistic regression fit by Newton/IRLS — the GLM companion to
+    * [[lstsq]] (same normal-equation machinery per iteration; reference:
+    * linalg/lstsq.cuh:72 is the identity-link special case). Input
+    * `data`: (vec ARRAY&lt;DOUBLE&gt; including any intercept column as a
+    * leading 1.0, y DOUBLE ∈ {0,1}). Each iteration is ONE treeAggregate
+    * accumulating the d×d weighted Hessian XᵀQX (q = p(1−p)) and the
+    * d-gradient Xᵀ(p−y) with the current weights broadcast, then a local
+    * d×d solve — the k-means driver-state shape: per-iteration driver
+    * traffic is d²+d doubles, independent of row count, and the data pass
+    * is map-side-combined and embarrassingly parallel. No regularization
+    * (the reference lstsq is unregularized too); callers wanting ridge
+    * add λ to the Hessian diagonal. */
+  def logisticRegression(data: DataFrame, iters: Int): Array[Double] = {
+    val rdd = data.select(col("vec"), col("y")).rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = rdd.first()._1.length
+      val w = new Array[Double](d)
+      for (_ <- 1 to iters) {
+        val bw = rdd.sparkContext.broadcast(w.clone())
+        val acc = rdd.treeAggregate(new Array[Double](d * d + d))(
+          seqOp = (a, xy) => {
+            val x = xy._1; val y = xy._2
+            var z = 0.0; var i = 0
+            while (i < d) { z += bw.value(i) * x(i); i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-z))
+            val q = p * (1.0 - p)
+            i = 0
+            while (i < d) {
+              val qxi = q * x(i); var j = 0
+              while (j < d) { a(i * d + j) += qxi * x(j); j += 1 }
+              a(d * d + i) += (p - y) * x(i)
+              i += 1
+            }
+            a
+          },
+          combOp = (a, b) => {
+            var k = 0; while (k < a.length) { a(k) += b(k); k += 1 }; a
+          })
+        val h = new breeze.linalg.DenseMatrix(d, d, acc.take(d * d))
+        val g = breeze.linalg.DenseVector(acc.drop(d * d))
+        val delta = h \ g
+        var i = 0
+        while (i < d) { w(i) -= delta(i); i += 1 }
+        bw.destroy()
+      }
+      w
+    } finally rdd.unpersist(false)
+  }
 }

@@ -833,4 +833,46 @@ object StatsOps {
         .otherwise(0.0)), 6) + 0.0).as("mean_ndcg"),
       (round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 6) + 0.0).as("mrr"))
   }
+
+  /** Isotonic (monotone non-decreasing) calibration of predicted
+    * probabilities over `bins` equal-width score bins — the
+    * pool-adjacent-violators fit via its MINIMAX closed form:
+    * fit(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k), the weighted
+    * PAV solution without any sequential pooling loop (Robertson/Wright/
+    * Dykstra, Order Restricted Statistical Inference, Thm 1.4.4). The
+    * data-sized pass is ONE keyed aggregate to the ≤bins bin table;
+    * everything after (prefix sums, the bins² interval means, the
+    * max-of-min fold) runs on that bounded table, so the windows below
+    * sit over aggregated input — the allowed bounded-window shape. The
+    * isotonic fit is the monotone counterpart of [[calibration]]'s raw
+    * reliability diagram. */
+  def isotonicCalibration(scored: DataFrame, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = scored
+      .select(least(lit(bins - 1L), floor(col("p") * bins).cast("long")).as("bin"),
+        col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("double").as("w"),
+        sum(col("y").cast("double")).as("s"))
+    // prefix sums over the ≤bins-row aggregate (bounded window)
+    val pre = b
+      .withColumn("cw", sum(col("w")).over(Window.orderBy(col("bin"))))
+      .withColumn("cs", sum(col("s")).over(Window.orderBy(col("bin"))))
+      .localCheckpoint(true)
+    val lo = pre.select(col("bin").as("j"), (col("cw") - col("w")).as("cw0"),
+      (col("cs") - col("s")).as("cs0"))
+    val hi = pre.select(col("bin").as("k"), col("cw").as("cw1"), col("cs").as("cs1"))
+    val ivl = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cs1") - col("cs0")) / (col("cw1") - col("cw0"))).as("m"))
+    val bad = pre.select(col("bin").as("i"), col("w"), (col("s") / col("w")).as("raw"))
+    val inner = bad.join(ivl, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("w"), col("raw"), col("j"))
+      .agg(min(col("m")).as("mn"))
+    inner.groupBy(col("i"), col("w"), col("raw"))
+      .agg(max(col("mn")).as("iso"))
+      .select(col("i").as("bin"), col("w").cast("long").as("n"),
+        (round(col("raw"), 6) + 0.0).as("raw"),
+        (round(col("iso"), 6) + 0.0).as("iso"))
+  }
 }

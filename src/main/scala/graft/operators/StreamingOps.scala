@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -149,6 +149,35 @@ object StreamingOps {
       lo: Double, width: Double): DataFrame =
     windowedPsi(events.toDF().withWatermark("ts", "2 hours"),
       refShares, lo, width, "6 hours")
+
+  /** Windowed count-min sketch of a keyed stream: each event contributes
+    * one increment per hash row (a stateless explode over `depth`), then
+    * ONE streaming aggregation on the composite key (window, d, bucket)
+    * builds the grid incrementally — no chained aggregates, so the same
+    * code runs as a Structured Streaming query with the watermark
+    * attached ([[streamingCms]]). State is bounded by
+    * open-windows × depth × width cells regardless of stream length or
+    * key cardinality — the CMS trade the stream twin of
+    * TextOps.heavyHittersCms makes: pay a fixed grid, answer any point
+    * query with min over depth cells (an overestimate, never under). */
+  def windowedCms(events: DataFrame, keyCol: Column, depth: Int = 4,
+      width: Int = 256, windowDur: String = "6 hours"): DataFrame = {
+    val rows = events
+      .select(col("ts"), keyCol.cast("string").as("k"))
+      .select(col("ts"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"), col("k"))
+      .select(col("ts"), col("d"),
+        pmod(TextOps.h32(concat_ws(":", col("d"), col("k"))), lit(width)).as("b"))
+    rows.groupBy(window(col("ts"), windowDur).as("w"), col("d"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("wstart"), col("d"), col("b"), col("cnt"))
+  }
+
+  /** [[windowedCms]] with the watermark attached — the genuinely
+    * streaming form driven by StreamingSpec. */
+  def streamingCms(events: Dataset[Ev], depth: Int = 4, width: Int = 256): DataFrame =
+    windowedCms(events.toDF().withWatermark("ts", "2 hours"),
+      col("user_id"), depth, width)
 
   /** Streaming running top-k — the select_k of a STREAM: a complete-mode
     * global aggregate whose state is the k-entry bounded heap

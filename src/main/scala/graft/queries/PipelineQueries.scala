@@ -147,6 +147,27 @@ object PipelineQueries extends QueryGroup {
       val ref = (0 until 10).map(i => (cnt.getOrElse(i.toLong, 0L) + 1.0) / (n + 10))
       StreamingOps.windowedPsi(ev, ref, 0.0, 50.0, "6 hours")
     }),
+    // windowed count-min sketch (batch twin of the streaming grid) +
+    // point query: per (window, user) the min-over-depth estimate vs the
+    // exact count — CMS overestimates, never under
+    "pipe_stream_cms" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val grid = StreamingOps.windowedCms(ev, col("user_id"), 4, 256, "6 hours")
+      val exact = ev.groupBy(window(col("ts"), "6 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("exact"))
+        .select(col("w.start").as("wstart"), col("user_id"), col("exact"))
+      val est = (0 until 4).foldLeft(exact) { (acc, dd) =>
+        val g = grid.where(col("d") === dd)
+          .select(col("wstart").as(s"w$dd"), col("b").as(s"b$dd"),
+            col("cnt").as(s"c$dd"))
+        acc.join(g, col("wstart") === col(s"w$dd") &&
+            pmod(graft.operators.TextOps.h32(concat_ws(":", lit(dd),
+              col("user_id").cast("string"))), lit(256)) === col(s"b$dd"))
+          .drop(s"w$dd", s"b$dd")
+      }
+      est.select(col("wstart"), col("user_id"), col("exact"),
+        least((0 until 4).map(dd => col(s"c$dd")): _*).as("est"))
+    }),
     "pipe_embed_neardup" -> ((s, d) =>
       DedupOps.embeddingNearDups(Tables.vectors(s, d), 0.45)),
     "pipe_embed_neardup_lsh" -> ((s, d) =>
@@ -1327,6 +1348,21 @@ object PipelineQueries extends QueryGroup {
         |         event_type FROM events)
         |SELECT w0 AS wstart, event_type, count(*) AS cnt
         |FROM assigned GROUP BY 1, 2""".stripMargin,
+    "pipe_stream_cms" ->
+      """WITH ev AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
+        |                   CAST(user_id AS VARCHAR) AS k FROM events),
+        |ex AS (SELECT wstart, k, count(*) AS exact FROM ev GROUP BY 1, 2),
+        |cells AS (SELECT wstart, t.d AS d,
+        |    CAST(('0x' || substr(md5(concat_ws(':', t.d, k)), 1, 8)) AS BIGINT) % 256 AS b,
+        |    count(*) AS cnt
+        |  FROM ev CROSS JOIN range(4) t(d) GROUP BY 1, 2, 3),
+        |est AS (SELECT e.wstart, e.k, e.exact, min(c.cnt) AS est
+        |  FROM ex e CROSS JOIN range(4) t(d)
+        |  JOIN cells c ON c.wstart = e.wstart AND c.d = t.d
+        |    AND c.b = CAST(('0x' || substr(md5(concat_ws(':', t.d, e.k)), 1, 8))
+        |                 AS BIGINT) % 256
+        |  GROUP BY 1, 2, 3)
+        |SELECT wstart, CAST(k AS BIGINT) AS user_id, exact, est FROM est""".stripMargin,
     "pipe_stream_psi" ->
       """WITH bc AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT))) AS bin
         |            FROM events),

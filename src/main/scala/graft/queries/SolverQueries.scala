@@ -85,6 +85,18 @@ object SolverQueries extends QueryGroup {
       .toDF("i", "eig")
 
   val q: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Newton/IRLS logistic fit on real table data: y = 1[lang='en'],
+    // x = ln(n_chars), intercept folded in as the leading 1.0 lane;
+    // 3 iterations from w=0 (the oracle unrolls the same 3 steps)
+    "solver_logreg" -> ((s, d) => {
+      val data = graft.Tables.documents(s, d).select(
+        array(lit(1.0), log(col("n_chars").cast("double"))).as("vec"),
+        (col("lang") === "en").cast("double").as("y"))
+      val w = SolverOps.logisticRegression(data, 3)
+      s.createDataFrame(w.toSeq.zipWithIndex.map { case (wi, j) => (j.toLong, wi) })
+        .toDF("j", "wraw")
+        .select(col("j"), (round(col("wraw"), 6) + 0.0).as("w"))
+    }),
     "solver_svd" -> ((s, d) => SolverOps.singularValues(walshFixture(s), 5)),
     "solver_pca_var" -> ((s, d) => SolverOps.pcaExplainedVariance(walshFixture(s), 5)),
     "solver_pca_transform" -> ((s, d) => SolverOps.pcaTransform(walshFixture(s), 5)),
@@ -307,6 +319,26 @@ object SolverQueries extends QueryGroup {
   /** Walsh-fixture closed forms (see header): σ_j = 16(j+1) desc,
     * explained-variance proportions (j+1)²/204 desc. */
   val sql: Map[String, String] = Map(
+    // 3 unrolled Newton steps with the 2×2 Hessian inverted in closed
+    // form; w diffs between engines are O(ulp)-amplified only, well
+    // inside the 6-decimal round
+    "solver_logreg" -> {
+      def iter(t: Int): String =
+        s"""s$t AS (SELECT sum(q) AS h00, sum(q * x) AS h01, sum(q * x * x) AS h11,
+           |    sum(p - y) AS g0, sum((p - y) * x) AS g1 FROM (
+           |  SELECT x, y, p, p * (1.0 - p) AS q FROM (
+           |    SELECT x, y, 1.0 / (1.0 + exp(-(w.a + w.b * x))) AS p
+           |    FROM d, w${t - 1} w))),
+           |w$t AS (SELECT w.a - (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS a,
+           |    w.b - (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b
+           |  FROM s$t, w${t - 1} w)""".stripMargin
+      s"""WITH d AS MATERIALIZED (SELECT ln(CAST(n_chars AS DOUBLE)) AS x,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+         |w0 AS (SELECT 0.0 AS a, 0.0 AS b),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT CAST(0 AS BIGINT) AS j, round(a, 6) + 0.0 AS w FROM w3
+         |UNION ALL SELECT CAST(1 AS BIGINT), round(b, 6) + 0.0 FROM w3""".stripMargin
+    },
     // Constant = the Hungarian optimum of the deterministic md5-hash cost
     // fixture (n=500, costs = h32(i:j:lap) mod 1e6) — independently
     // computable from the fixture alone; Solver2Spec cross-checks the

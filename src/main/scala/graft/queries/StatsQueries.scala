@@ -116,6 +116,11 @@ object StatsQueries extends QueryGroup {
     // two TeraSort-shape exact-quantile passes + one clamped aggregate
     "stat_robust" -> ((s, d) => StatsOps.robustStats(
       Tables.lineitem(s, d), "l_extendedprice")),
+    // isotonic (PAV) calibration via the minimax closed form on 10 score
+    // bins — all ratios of exact integer sums, so both engines agree
+    // bit-for-bit before the final round
+    "stat_isotonic" -> ((s, d) =>
+      StatsOps.isotonicCalibration(scoredEvents(s, d), 10)),
     // ranking quality per user: NDCG@10 + MRR, graded relevance from
     // event_type, keyed windows only
     "stat_ndcg" -> ((s, d) => StatsOps.ndcgMrr(
@@ -521,6 +526,27 @@ object StatsQueries extends QueryGroup {
         |  round(avg(least(greatest(x, (SELECT q05 FROM q)), (SELECT q95 FROM q))), 4)
         |    + 0.0 AS winsor_mean
         |FROM v""".stripMargin,
+    // fit(i) = max_{j<=i} min_{k>=i} mean(y over bins j..k): interval
+    // means from cumulative sums over the <=10-row bin table; every mean
+    // is a ratio of exact integers, so no float-order risk anywhere
+    "stat_isotonic" ->
+      s"""WITH sc AS ($scoredSql),
+         |b AS (SELECT least(9, CAST(floor(p * 10) AS BIGINT)) AS bin,
+         |             CAST(count(*) AS DOUBLE) AS w, sum(CAST(y AS DOUBLE)) AS sy
+         |      FROM sc GROUP BY 1),
+         |pre AS (SELECT bin, w, sy,
+         |               sum(w) OVER (ORDER BY bin) AS cw,
+         |               sum(sy) OVER (ORDER BY bin) AS cs
+         |        FROM b),
+         |ivl AS (SELECT l.bin AS j, h.bin AS k,
+         |               (h.cs - (l.cs - l.sy)) / (h.cw - (l.cw - l.w)) AS m
+         |        FROM pre l JOIN pre h ON l.bin <= h.bin),
+         |mn AS (SELECT p.bin AS i, p.w, p.sy / p.w AS raw, v.j, min(v.m) AS mn
+         |       FROM pre p JOIN ivl v ON v.j <= p.bin AND p.bin <= v.k
+         |       GROUP BY 1, 2, 3, 4)
+         |SELECT i AS bin, CAST(w AS BIGINT) AS n, round(raw, 6) + 0.0 AS raw,
+         |       round(max(mn), 6) + 0.0 AS iso
+         |FROM mn GROUP BY 1, 2, 3""".stripMargin,
     "stat_ndcg" ->
       """WITH e AS (
         |  SELECT user_id AS g, value AS s, event_id AS id,
