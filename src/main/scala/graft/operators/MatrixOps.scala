@@ -77,6 +77,25 @@ object MatrixOps {
       .select(col("id"),
         col("sorted.v").as("vals"), col("sorted.k").as("keys"))
 
+  /** Column-wise rank transform: the rank of every entry WITHIN its lane
+    * across all n rows — the transpose-orientation counterpart of
+    * [[sortLanes]] (reference col_wise_sort.cuh:66 sorts within a row;
+    * this orders each feature column over the whole matrix), and the
+    * building block of quantile normalization / per-feature Spearman.
+    * ONE TeraSort-shape pass over the exploded lanes: a global
+    * row_number under the total order (pos, v, id) via
+    * [[RankUtils.globalRowNumber]] (range partition + broadcast boundary
+    * offsets — never an unpartitioned window), then
+    * rank-within-column = global_rn − pos·n, exact because every column
+    * holds n entries. All-integer output, hash-stable by construction. */
+  def colRanks(m: DataFrame, n: Long): DataFrame = {
+    val lanes = m.select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
+    RankUtils.globalRowNumber(lanes,
+        Seq(col("pos").cast("long"), col("v"), col("id")), "rn")
+      .select(col("id"), col("pos"),
+        (col("rn") - col("pos").cast("long") * n).as("rnk"))
+  }
+
   /** gather_if: gather rows by map with a predicate on map entries —
     * reference: cpp/include/raft/matrix/gather.cuh:123 (gather_if). */
   def gatherIf(m: DataFrame, idxMap: DataFrame, pred: Column): DataFrame =

@@ -1145,4 +1145,91 @@ object SolverOps {
       w
     } finally rdd.unpersist(false)
   }
+
+  /** Ridge regression (Tikhonov-regularized lstsq) by the normal
+    * equations: solve (XᵀX + λI)w = Xᵀy with ONE treeAggregate
+    * accumulating the d×d Gram and the d-vector Xᵀy (map-side combined,
+    * driver traffic d²+d doubles independent of row count), then a local
+    * d×d solve — the λ&gt;0 extension of [[lstsq]]'s normal-equation
+    * method (reference linalg/lstsq.cuh:72 is λ=0). λ is NOT applied to
+    * the intercept lane if the caller passes `freeIntercept=true` (lane 0
+    * assumed to be the 1.0 intercept column, the usual convention). */
+  def ridgeRegression(data: DataFrame, lambda: Double,
+      freeIntercept: Boolean = true): Array[Double] = {
+    val rdd = data.select(col("vec"), col("y")).rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val d = rdd.first()._1.length
+    val acc = rdd.treeAggregate(new Array[Double](d * d + d))(
+      seqOp = (a, xy) => {
+        val x = xy._1; val y = xy._2
+        var i = 0
+        while (i < d) {
+          val xi = x(i); var j = 0
+          while (j < d) { a(i * d + j) += xi * x(j); j += 1 }
+          a(d * d + i) += xi * y
+          i += 1
+        }
+        a
+      },
+      combOp = (a, b) => {
+        var k = 0; while (k < a.length) { a(k) += b(k); k += 1 }; a
+      })
+    var i = if (freeIntercept) 1 else 0
+    while (i < d) { acc(i * d + i) += lambda; i += 1 }
+    val h = new breeze.linalg.DenseMatrix(d, d, acc.take(d * d))
+    val g = breeze.linalg.DenseVector(acc.drop(d * d))
+    (h \ g).toArray
+  }
+
+  /** Conjugate gradient on the SPD operator A = L + I (graph Laplacian
+    * of the symmetrized simple edge set plus identity — strictly
+    * positive-definite), solving A x = b. The Krylov companion of the
+    * Lanczos eigensolver above, with the SAME distribution contract:
+    * the state (x, r, p per node) lives in ONE keyed DataFrame that
+    * never leaves the executors; each iteration is one join-aggregate
+    * SpMV (neighbor sum keyed by node) plus two scalar dot-product
+    * aggregates, so driver traffic per iteration is exactly two doubles
+    * (α's numerator/denominator) + one (β's) regardless of n. Lineage is
+    * cut per iteration (localCheckpoint) — swap for reliable checkpoint
+    * on a real cluster. b is the counter-hash vector h32(i:cg)/1000 so
+    * the fixture is replayable anywhere. */
+  def conjugateGradient(edges: DataFrame, n: Long, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val und = e0.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e0.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("u").as("i")).agg(count(lit(1)).as("dg"))
+    val bv = (pmod(TextOps.h32(concat_ws(":", col("i"), lit("cg"))),
+      lit(1000L)).cast("double") / 1000.0).as("bv")
+    var st = spark.range(n).select(col("id").as("i"))
+      .join(deg, Seq("i"), "left")
+      .select(col("i"), coalesce(col("dg"), lit(0L)).as("dg"), bv)
+      .select(col("i"), col("dg"), lit(0.0).as("x"),
+        col("bv").as("r"), col("bv").as("p"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val nb = und.join(st.select(col("i").as("v"), col("p").as("pv")), Seq("v"))
+        .groupBy(col("u").as("i")).agg(sum(col("pv")).as("sp"))
+      val withAp = st.join(nb, Seq("i"), "left")
+        .withColumn("ap", (col("dg") + 1L).cast("double") * col("p")
+          - coalesce(col("sp"), lit(0.0)))
+        .drop("sp").localCheckpoint(true)
+      val s = withAp.agg(sum(col("r") * col("r")).as("rr"),
+        sum(col("p") * col("ap")).as("pap")).head()
+      val rr = s.getDouble(0)
+      val alpha = rr / s.getDouble(1)
+      val upd = withAp
+        .withColumn("x", col("x") + lit(alpha) * col("p"))
+        .withColumn("r", col("r") - lit(alpha) * col("ap"))
+        .drop("ap").localCheckpoint(true)
+      val rr2 = upd.agg(sum(col("r") * col("r"))).head().getDouble(0)
+      val beta = rr2 / rr
+      st = upd.withColumn("p", col("r") + lit(beta) * col("p"))
+        .localCheckpoint(true)
+    }
+    st.select(col("i"), (round(col("x"), 6) + 0.0).as("x"))
+  }
 }

@@ -834,6 +834,51 @@ object StatsOps {
       (round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 6) + 0.0).as("mrr"))
   }
 
+  /** Poisson bootstrap confidence interval for the mean of an integer
+    * column — the STREAMING-friendly bootstrap (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams"): instead of
+    * resampling n rows with replacement (which needs global coordination),
+    * row i's multiplicity in replicate b is an independent Poisson(1)
+    * draw, here the deterministic counter-hash inverse-CDF on
+    * u = h32(id:b:boot)/1e6, so any engine replays the same resample.
+    * ONE pass: explode ×B inside the map stage, aggregate per replicate —
+    * map-side combine collapses each task to B partial (Σcnt·x, Σcnt)
+    * rows, so the shuffle is tasks×B rows, never rows×B. Both sums are
+    * exact integers, every replicate mean is an exact integer ratio, and
+    * the CI is the nearest-rank percentile over the B-row replicate-mean
+    * table (a bounded window over aggregated input). */
+  def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+      reps: Int, loRank: Int, hiRank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cumulative Poisson(1): P(0)=e^-1, P(<=1)=2e^-1, P(<=2)=2.5e^-1...
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563)
+    val x = df.select(col(idCol).cast("long").as("id"),
+      col(valueCol).cast("long").as("x"))
+    val u = (pmod(TextOps.h32(concat_ws(":", col("id"), col("b"), lit("boot"))),
+      lit(1000000L)).cast("double") / 1000000.0)
+    val cnt = cdf.zipWithIndex.foldRight(lit(5L): Column) {
+      case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
+    }
+    val means = x
+      .select(col("id"), col("x"), explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .select(col("x"), col("b"), cnt.as("c"))
+      .groupBy(col("b"))
+      .agg(sum(col("c") * col("x")).as("sx"), sum(col("c")).as("sc"))
+      .select(col("b"), (col("sx").cast("double") / col("sc")).as("m"))
+    val ranked = means
+      .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("b"))))
+    val bounds = ranked.agg(
+      sum(when(col("rk") === loRank, col("m"))).as("lo"),
+      sum(when(col("rk") === hiRank, col("m"))).as("hi"))
+    val est = x.agg((sum(col("x")).cast("double") / count(lit(1))).as("est"))
+    est.crossJoin(broadcast(bounds))
+      .select((round(col("est"), 6) + 0.0).as("est"),
+        (round(col("lo"), 6) + 0.0).as("lo"),
+        (round(col("hi"), 6) + 0.0).as("hi"),
+        lit(reps.toLong).as("reps"))
+  }
+
   /** Isotonic (monotone non-decreasing) calibration of predicted
     * probabilities over `bins` equal-width score bins — the
     * pool-adjacent-violators fit via its MINIMAX closed form:

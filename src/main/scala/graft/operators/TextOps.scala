@@ -419,6 +419,42 @@ object TextOps {
           .as("top_2gram_frac"))
   }
 
+  /** PMI collocation extraction: pointwise mutual information of adjacent
+    * token pairs, pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with P estimated
+    * from corpus bigram/unigram counts — THE classical collocation /
+    * multi-word-expression detector (Church &amp; Hanks 1990), and a
+    * tokenizer-merge signal cousin of [[bpePairs]]. Two corpus
+    * aggregations (bigram counts keyed by the pair, unigram counts keyed
+    * by the word) + two equi-joins of the pair table against the unigram
+    * table (the pair table is already ≤ V² and minCount-pruned BEFORE
+    * the joins; AQE broadcasts the unigram side when small). Counts stay
+    * integers end-to-end; each factor is cast to double and the ratio
+    * takes ONE ln at the end — the multiply order is fixed by the
+    * expression tree, so both engines evaluate bit-identically. */
+  def pmiCollocations(docs: DataFrame, minCount: Long): DataFrame = {
+    val toks = tokenize(docs)
+    val bi = toks.where(size(col("tokens")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("tokens")) - 2),
+        i => struct(element_at(col("tokens"), i + 1).as("a"),
+          element_at(col("tokens"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    val uni = toks.select(explode(col("tokens")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = toks.select((size(col("tokens"))).cast("long").as("nt"))
+      .agg(sum(col("nt")).as("tu"),
+        sum(greatest(col("nt") - 1L, lit(0L))).as("tb"))
+    bi.join(uni.select(col("w").as("a"), col("cw").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n"),
+        (round(log(col("n").cast("double") * col("tu").cast("double") *
+            col("tu").cast("double") /
+            (col("tb").cast("double") * col("ca").cast("double") *
+              col("cb").cast("double"))), 6) + 0.0).as("pmi"))
+  }
+
   /** Composed quality gate (the C4/Gopher-style keep/drop decision a
     * training pipeline applies before tokenization): a document is kept
     * iff token count, mean token length, distinct-token ratio, and

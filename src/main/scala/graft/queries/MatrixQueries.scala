@@ -60,6 +60,12 @@ object MatrixQueries extends QueryGroup {
     }),
     "mat_sort_lanes" -> ((s, d) =>
       lanes(MatrixOps.sortLanes(graft.Tables.vectors(s, d).where(col("id") < 30)), 4)),
+    // per-column rank transform over the WHOLE matrix: one TeraSort-shape
+    // global row_number (RankUtils), rank-in-column = rn - pos*n
+    "mat_col_ranks" -> ((s, d) => {
+      val v = graft.Tables.vectors(s, d).select(col("id"), col("vec"))
+      MatrixOps.colRanks(v, v.count())
+    }),
     "mat_col_reverse" -> ((s, d) =>
       lanes(MatrixOps.colReverse(graft.Tables.vectors(s, d).where(col("id") < 30)), 4)),
     "mat_row_reverse" -> ((s, d) =>
@@ -240,6 +246,15 @@ object MatrixQueries extends QueryGroup {
          |  generate_subscripts(embedding, 1) - 1 AS pos,
          |  round(unnest(list_sort($castLanes)), 4) + 0.0 AS v
          |FROM embeddings WHERE vec_id < 30""".stripMargin,
+    // independent per-column order statistics; (v, vec_id) is the same
+    // total order the Spark TeraSort rank uses
+    "mat_col_ranks" ->
+      s"""SELECT id, pos, rnk FROM (
+         |  SELECT vec_id AS id, pos,
+         |         row_number() OVER (PARTITION BY pos ORDER BY v, vec_id) AS rnk
+         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |               unnest($castLanes) AS v
+         |        FROM embeddings))""".stripMargin,
     "mat_col_reverse" ->
       s"""SELECT vec_id AS id,
          |  generate_subscripts(embedding, 1) - 1 AS pos,

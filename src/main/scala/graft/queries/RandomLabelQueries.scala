@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{GraphOps, LabelOps, RandomOps}
+import graft.operators.{GraphOps, LabelOps, RandomOps, SolverOps}
 import graft.Tables
 
 /** RNG / generator / label-op queries (SURVEY.md §2.11, §2.1, §2.7).
@@ -166,6 +166,11 @@ object RandomLabelQueries extends QueryGroup {
     "rng_bottomk_sample" -> ((s, d) =>
       RandomOps.bottomKSample(Tables.customer(s, d), "c_mktsegment",
         "c_custkey", 5, 7)),
+    // conjugate gradient on A = L + I of the rmat graph (SPD), 3
+    // iterations from x=0; the oracle unrolls the same 3 steps with
+    // MATERIALIZED state CTEs (each level has 3 consumers)
+    "solver_cg" -> ((s, d) =>
+      SolverOps.conjugateGradient(RandomOps.rmat(s, 1000, 8, 42), 256L, 3)),
   )
 
   private def rmatSql(nEdges: Int, scale: Int, seed: Long,
@@ -630,6 +635,45 @@ object RandomLabelQueries extends QueryGroup {
          |       FROM raw WHERE src <> dst),
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT a, b FROM e3""".stripMargin
+    },
+    // CG unrolled: per iteration SpMV (neighbor-sum join), rr/pap scalar
+    // dots, x/r update with α = rr/pap, then β = rr'/rr and the new p.
+    // Each state level feeds 3+ consumers → MATERIALIZED throughout
+    // (the graph_hits lesson). A = L + I: Ax = (deg+1)x − Σ_{j∈N} x_j.
+    "solver_cg" -> {
+      def iter(t: Int): String = {
+        val prev = s"st${t - 1}"
+        s"""nb$t AS MATERIALIZED (SELECT u.u AS i, sum(s2.p) AS sp
+           |  FROM und u JOIN $prev s2 ON s2.i = u.v GROUP BY 1),
+           |ap$t AS MATERIALIZED (SELECT s.i,
+           |    (s.dg + 1) * s.p - coalesce(nb.sp, 0.0) AS ap
+           |  FROM $prev s LEFT JOIN nb$t nb ON nb.i = s.i),
+           |sc$t AS MATERIALIZED (SELECT sum(s.r * s.r) AS rr,
+           |    sum(s.p * a.ap) AS pap
+           |  FROM $prev s JOIN ap$t a ON a.i = s.i),
+           |up$t AS MATERIALIZED (SELECT s.i, s.dg,
+           |    s.x + (c.rr / c.pap) * s.p AS x,
+           |    s.r - (c.rr / c.pap) * a.ap AS r, s.p AS p0
+           |  FROM $prev s JOIN ap$t a ON a.i = s.i CROSS JOIN sc$t c),
+           |sc2$t AS MATERIALIZED (SELECT sum(r * r) AS rr2 FROM up$t),
+           |st$t AS MATERIALIZED (SELECT u.i, u.dg, u.x, u.r,
+           |    u.r + (c2.rr2 / c.rr) * u.p0 AS p
+           |  FROM up$t u CROSS JOIN sc$t c CROSS JOIN sc2$t c2)""".stripMargin
+      }
+      val b = "(CAST(('0x' || substr(md5(concat_ws(':', n.i, 'cg')), 1, 8)) " +
+        "AS BIGINT) % 1000) / 1000.0"
+      s"""WITH raw AS MATERIALIZED (${rmatSql(1000, 8, 42, 0.57, 0.19, 0.19)}),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM raw WHERE src <> dst),
+         |und AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+         |       UNION ALL SELECT b, a FROM e0),
+         |dgt AS (SELECT u, count(*) AS dg FROM und GROUP BY 1),
+         |st0 AS MATERIALIZED (SELECT n.i, coalesce(dgt.dg, 0) AS dg,
+         |    0.0 AS x, $b AS r, $b AS p
+         |  FROM (SELECT id::BIGINT AS i FROM range(256) t(id)) n
+         |  LEFT JOIN dgt ON dgt.u = n.i),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT i, round(x, 6) + 0.0 AS x FROM st3""".stripMargin
     },
   )
 }

@@ -97,6 +97,18 @@ object SolverQueries extends QueryGroup {
         .toDF("j", "wraw")
         .select(col("j"), (round(col("wraw"), 6) + 0.0).as("w"))
     }),
+    // ridge on lineitem (price ~ quantity, λ=100 off the intercept):
+    // one treeAggregate Gram pass + a local 2×2 solve; the oracle is the
+    // closed-form normal-equation solution
+    "solver_ridge" -> ((s, d) => {
+      val data = graft.Tables.lineitem(s, d).select(
+        array(lit(1.0), col("l_quantity").cast("double")).as("vec"),
+        col("l_extendedprice").cast("double").as("y"))
+      val w = SolverOps.ridgeRegression(data, 100.0)
+      s.createDataFrame(w.toSeq.zipWithIndex.map { case (wi, j) => (j.toLong, wi) })
+        .toDF("j", "wraw")
+        .select(col("j"), (round(col("wraw"), 4) + 0.0).as("w"))
+    }),
     "solver_svd" -> ((s, d) => SolverOps.singularValues(walshFixture(s), 5)),
     "solver_pca_var" -> ((s, d) => SolverOps.pcaExplainedVariance(walshFixture(s), 5)),
     "solver_pca_transform" -> ((s, d) => SolverOps.pcaTransform(walshFixture(s), 5)),
@@ -319,6 +331,21 @@ object SolverQueries extends QueryGroup {
   /** Walsh-fixture closed forms (see header): σ_j = 16(j+1) desc,
     * explained-variance proportions (j+1)²/204 desc. */
   val sql: Map[String, String] = Map(
+    // closed-form (XᵀX + λI)w = Xᵀy with λ off the intercept lane; the
+    // 4-decimal round absorbs the LU-vs-adjugate ulp gap
+    "solver_ridge" ->
+      """WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS h00,
+        |    sum(l_quantity) AS h01,
+        |    sum(l_quantity * l_quantity) + 100.0 AS h11,
+        |    sum(l_extendedprice) AS g0,
+        |    sum(l_quantity * l_extendedprice) AS g1
+        |  FROM lineitem)
+        |SELECT CAST(0 AS BIGINT) AS j,
+        |  round((h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 4) + 0.0 AS w
+        |FROM s
+        |UNION ALL SELECT CAST(1 AS BIGINT),
+        |  round((h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 4) + 0.0
+        |FROM s""".stripMargin,
     // 3 unrolled Newton steps with the 2×2 Hessian inverted in closed
     // form; w diffs between engines are O(ulp)-amplified only, well
     // inside the 6-decimal round

@@ -254,6 +254,10 @@ object SparseTextQueries extends QueryGroup {
     "txt_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "txt_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHittersCms(Tables.documents(s, d))),
+    // PMI collocations of adjacent token pairs, min bigram count 25;
+    // counts stay integers, one ln at the end
+    "txt_pmi" -> ((s, d) =>
+      TextOps.pmiCollocations(Tables.documents(s, d), 25L)),
     // word-soup corpus has no organic PII, so the query plants
     // deterministic emails/IPs/phones on a doc_id schedule (same CASE on
     // both engines) — the redaction then does real work and the hash
@@ -569,5 +573,26 @@ object SparseTextQueries extends QueryGroup {
         |SELECT token, exact, est,
         |  row_number() OVER (ORDER BY exact DESC, token) AS rnk
         |FROM est QUALIFY rnk <= 20""".stripMargin,
+    // pmi = ln(n·TU² / (TB·ca·cb)) with every factor cast to double
+    // BEFORE the multiply so both engines evaluate the same expression
+    // tree; TU/TB = total unigrams/bigrams
+    "txt_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS tokens
+        |  FROM documents),
+        |bi AS (SELECT tokens[i+1] AS a, tokens[i+2] AS b, count(*) AS n
+        |       FROM toks, unnest(range(len(tokens) - 1)) AS t(i)
+        |       WHERE len(tokens) >= 2 GROUP BY 1, 2 HAVING count(*) >= 25),
+        |cu AS (SELECT w, count(*) AS cw FROM
+        |       (SELECT unnest(tokens) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len(tokens)) AS DOUBLE) AS tu,
+        |               CAST(sum(greatest(len(tokens) - 1, 0)) AS DOUBLE) AS tb
+        |        FROM toks)
+        |SELECT bi.a, bi.b, bi.n,
+        |  round(ln(CAST(bi.n AS DOUBLE) * tu * tu /
+        |    (tb * CAST(ca.cw AS DOUBLE) * CAST(cb.cw AS DOUBLE))), 6) + 0.0 AS pmi
+        |FROM bi JOIN cu ca ON ca.w = bi.a JOIN cu cb ON cb.w = bi.b
+        |CROSS JOIN tot""".stripMargin,
   )
 }

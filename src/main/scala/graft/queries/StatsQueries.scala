@@ -121,6 +121,11 @@ object StatsQueries extends QueryGroup {
     // bit-for-bit before the final round
     "stat_isotonic" -> ((s, d) =>
       StatsOps.isotonicCalibration(scoredEvents(s, d), 10)),
+    // Poisson bootstrap CI of mean(n_chars): 200 counter-hash replicates,
+    // nearest-rank 2.5%/97.5% — every replicate mean is an exact integer
+    // ratio, so the whole row is bit-exact across engines
+    "stat_bootstrap" -> ((s, d) => StatsOps.bootstrapCI(
+      Tables.documents(s, d), "doc_id", "n_chars", 200, 5, 195)),
     // ranking quality per user: NDCG@10 + MRR, graded relevance from
     // event_type, keyed windows only
     "stat_ndcg" -> ((s, d) => StatsOps.ndcgMrr(
@@ -526,6 +531,30 @@ object StatsQueries extends QueryGroup {
         |  round(avg(least(greatest(x, (SELECT q05 FROM q)), (SELECT q95 FROM q))), 4)
         |    + 0.0 AS winsor_mean
         |FROM v""".stripMargin,
+    // same Poisson(1) inverse-CDF on u = h32(id:b:boot)/1e6; integer
+    // Σc·x / Σc per replicate, nearest-rank order (m, b)
+    "stat_bootstrap" ->
+      """WITH x AS (SELECT doc_id AS id, n_chars AS x FROM documents),
+        |r AS (SELECT id, x, t.b AS b,
+        |    (CAST(('0x' || substr(md5(concat_ws(':', id, t.b, 'boot')), 1, 8))
+        |      AS BIGINT) % 1000000) / 1000000.0 AS u
+        |  FROM x CROSS JOIN range(200) t(b)),
+        |c AS (SELECT b, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END AS c
+        |  FROM r),
+        |m AS (SELECT b, CAST(sum(c * x) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS m
+        |      FROM c GROUP BY 1),
+        |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+        |bd AS (SELECT sum(CASE WHEN rk = 5 THEN m END) AS lo,
+        |              sum(CASE WHEN rk = 195 THEN m END) AS hi FROM rk),
+        |e AS (SELECT CAST(sum(x) AS DOUBLE) / count(*) AS est FROM x)
+        |SELECT round(est, 6) + 0.0 AS est, round(lo, 6) + 0.0 AS lo,
+        |  round(hi, 6) + 0.0 AS hi, CAST(200 AS BIGINT) AS reps
+        |FROM e CROSS JOIN bd""".stripMargin,
     // fit(i) = max_{j<=i} min_{k>=i} mean(y over bins j..k): interval
     // means from cumulative sums over the <=10-row bin table; every mean
     // is a ratio of exact integers, so no float-order risk anywhere

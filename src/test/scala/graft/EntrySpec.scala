@@ -15,6 +15,14 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Local mirror of TextOps.h32 (first 8 md5 hex chars as a long) for
+    * golden-value fixtures that must replay the counter-hash off-Spark. */
+  def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
 }
 
 /** Smoke-level contract tests: every declared query runs and returns a
