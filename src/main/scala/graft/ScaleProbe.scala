@@ -215,6 +215,39 @@ object ScaleProbe {
         require(math.abs(mean - 20.0) / 20.0 < 0.1, s"mean estimate off: $mean")
         require(lo > 10.0 && hi < 40.0, s"per-node band violated: [$lo, $hi]")
         f""""mode":"hyperball","n":${nC * 20L},"edges":${nC * 190L},"mean_est":$mean%.3f,"min_est":$lo%.2f,"max_est":$hi%.2f"""
+      case "cg" =>
+        // conjugate gradient beyond the 256-node oracle fixture, with a
+        // spectral closed form as the oracle: on n/20 DISJOINT 20-cliques,
+        // A = L + I has exactly TWO distinct eigenvalues {1, 21}, so CG
+        // must converge EXACTLY in 2 iterations (Krylov polynomial of
+        // degree 2 annihilates the residual). We run 3 and require the
+        // relative residual ≤ 1e-4 (slack only for the 6-decimal output
+        // rounding of x) — a loud failure if the distributed SpMV, the
+        // scalar dots, or the update algebra are wrong at scale.
+        val nC2 = (n / 20L).toInt
+        val pairs2 = for (i <- 0 until 20; j <- i + 1 until 20) yield (i, j)
+        val cl = spark.range(nC2)
+          .select(col("id").as("c"), explode(typedLit(pairs2)).as("p"))
+          .select((col("c") * 20 + col("p._1")).as("src"),
+            (col("c") * 20 + col("p._2")).as("dst"))
+          .localCheckpoint(true)
+        val x = graft.operators.SolverOps.conjugateGradient(cl, n, 3)
+          .localCheckpoint(true)
+        // residual check: r = b − (L+I)x with one more SpMV
+        val und = cl.select(col("src").as("u"), col("dst").as("v"))
+          .unionByName(cl.select(col("dst").as("u"), col("src").as("v")))
+        val nbx = und.join(x.select(col("i").as("v"), col("x").as("xv")), Seq("v"))
+          .groupBy(col("u").as("i")).agg(sum(col("xv")).as("sx"))
+        val bcol = pmod(graft.operators.TextOps.h32(
+          concat_ws(":", col("i"), lit("cg"))), lit(1000L)).cast("double") / 1000.0
+        val res = x.join(nbx, Seq("i"), "left")
+          .select(col("i"), (bcol - (lit(19.0) + 1.0) * col("x")
+            + coalesce(col("sx"), lit(0.0))).as("r"), bcol.as("b"))
+          .agg(sqrt(sum(col("r") * col("r"))).as("rn"),
+            sqrt(sum(col("b") * col("b"))).as("bn")).head()
+        val relres = res.getDouble(0) / res.getDouble(1)
+        require(relres < 1e-4, s"CG did not converge in 2 steps: relres=$relres")
+        f""""mode":"cg","n":$n,"edges":${nC2 * 190L},"iters":3,"relres":$relres%.2e"""
       case "silhouette" =>
         // batched silhouette beyond the n=100 oracle fixture: 10 Gaussian
         // clusters (σ=1) whose centers sit 100·cluster apart in every lane

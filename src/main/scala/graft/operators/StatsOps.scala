@@ -834,6 +834,56 @@ object StatsOps {
       (round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 6) + 0.0).as("mrr"))
   }
 
+  /** Benjamini–Hochberg FDR control over a family of per-group mean
+    * tests — the multiple-comparison step every drift/quality monitor
+    * needs once it fans out over segments (the m-hypotheses sequel to
+    * the single-test [[ttest]]/[[ksTest]] rows). Per group: a z-score of
+    * the group mean against the global mean (population σ from the same
+    * pass), two-sided p via the LOGISTIC approximation of Φ
+    * (p = 2/(1+exp(1.702·|z|)), max |err| &lt; 0.0095 — the procedure
+    * under test is BH, not the tail model; both engines evaluate it
+    * identically). Then the BH machinery: rank p ascending, reject all
+    * ranks ≤ argmax{k : p(k) ≤ α·k/m}, and adjusted
+    * p(i) = min_{j≥i}(p(j)·m/j) ∧ 1 as a suffix-min window. The
+    * data-sized work is ONE keyed aggregate; every window below runs on
+    * the m-row hypothesis table (bounded, aggregated input). */
+  def bhFdr(df: DataFrame, key1: Column, key2: Column, valueCol: Column,
+      alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(key1.as("k1"), key2.as("k2"), valueCol.as("v"))
+      .groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("s2"))
+    val tot = df.select(valueCol.as("v"))
+      .agg(count(lit(1)).as("tn"), sum(col("v")).as("ts"),
+        sum(col("v") * col("v")).as("ts2"))
+    val withP = g.crossJoin(broadcast(tot))
+      .withColumn("mu", col("ts") / col("tn"))
+      .withColumn("sd", sqrt(col("ts2") / col("tn") - col("mu") * col("mu")))
+      .withColumn("z",
+        (col("s") / col("n") - col("mu")) / (col("sd") / sqrt(col("n"))))
+      .withColumn("p", lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))))
+      .select(col("k1"), col("k2"), col("n"), col("p"))
+    // everything below operates on the m-row hypothesis table
+    val m = Window.partitionBy()
+    val ranked = withP
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("p"), col("k1"), col("k2"))))
+      .withColumn("m", count(lit(1)).over(m))
+    val k = ranked
+      .withColumn("kmax", max(when(
+        col("p") <= lit(alpha) * col("rn") / col("m"), col("rn"))
+        .otherwise(lit(0L))).over(m))
+    k.withColumn("padj", least(lit(1.0),
+        min(col("p") * col("m") / col("rn")).over(
+          Window.orderBy(col("rn").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .select(col("k1"), col("k2"), col("n"),
+        (round(col("p"), 6) + 0.0).as("p"),
+        (round(col("padj"), 6) + 0.0).as("padj"),
+        (col("rn") <= col("kmax")).as("rejected"))
+  }
+
   /** Poisson bootstrap confidence interval for the mean of an integer
     * column — the STREAMING-friendly bootstrap (Chamandy et al. 2012,
     * "Estimating uncertainty for massive data streams"): instead of

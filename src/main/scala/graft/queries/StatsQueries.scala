@@ -126,6 +126,12 @@ object StatsQueries extends QueryGroup {
     // ratio, so the whole row is bit-exact across engines
     "stat_bootstrap" -> ((s, d) => StatsOps.bootstrapCI(
       Tables.documents(s, d), "doc_id", "n_chars", 200, 5, 195)),
+    // BH-FDR over the (event_type × epoch-day-of-week) mean-value family;
+    // one keyed aggregate, then all windows on the ~70-row table
+    "stat_bh_fdr" -> ((s, d) => StatsOps.bhFdr(Tables.events(s, d),
+      col("event_type"),
+      pmod((col("ts").cast("long") / lit(86400)).cast("long"), lit(7L)),
+      col("value"), 0.05)),
     // ranking quality per user: NDCG@10 + MRR, graded relevance from
     // event_type, keyed windows only
     "stat_ndcg" -> ((s, d) => StatsOps.ndcgMrr(
@@ -531,6 +537,27 @@ object StatsQueries extends QueryGroup {
         |  round(avg(least(greatest(x, (SELECT q05 FROM q)), (SELECT q95 FROM q))), 4)
         |    + 0.0 AS winsor_mean
         |FROM v""".stripMargin,
+    // same logistic-Φ pseudo-p per (type, dow) z-score, then the BH
+    // rank/threshold/suffix-min machinery on the bounded family
+    "stat_bh_fdr" ->
+      """WITH e AS (SELECT event_type AS k1,
+        |    (epoch_us(ts) // 86400000000) % 7 AS k2, value AS v FROM events),
+        |g AS (SELECT k1, k2, count(*) AS n, sum(v) AS s, sum(v * v) AS s2
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS tn, sum(v) AS ts, sum(v * v) AS ts2 FROM e),
+        |p0 AS (SELECT k1, k2, n,
+        |    2.0 / (1.0 + exp(1.702 * abs((s / n - ts / tn) /
+        |      (sqrt(ts2 / tn - (ts / tn) * (ts / tn)) / sqrt(n))))) AS p
+        |  FROM g CROSS JOIN t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY p, k1, k2) AS rn,
+        |             count(*) OVER () AS m FROM p0),
+        |k AS (SELECT *, max(CASE WHEN p <= 0.05 * rn / m THEN rn ELSE 0 END)
+        |             OVER () AS kmax FROM r),
+        |a AS (SELECT *, least(1.0, min(p * m / rn) OVER (ORDER BY rn DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS padj FROM k)
+        |SELECT k1, k2, n, round(p, 6) + 0.0 AS p, round(padj, 6) + 0.0 AS padj,
+        |       rn <= kmax AS rejected
+        |FROM a""".stripMargin,
     // same Poisson(1) inverse-CDF on u = h32(id:b:boot)/1e6; integer
     // Σc·x / Σc per replicate, nearest-rank order (m, b)
     "stat_bootstrap" ->

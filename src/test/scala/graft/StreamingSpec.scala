@@ -67,6 +67,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming count-min grid matches the batch twin and never underestimates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.streamingCms(input.toDS(), 4, 64)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try {
+      input.addData(mkEvents())
+      query.processAllAvailable()
+      val streamed = spark.table("cms_out").collect().map(_.toString).sorted
+      val batch = StreamingOps.windowedCms(mkEvents().toDF(), col("user_id"),
+        4, 64, "6 hours").collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch) && streamed.nonEmpty)
+      // point-query property on the batch grid: est >= exact per user
+      val grid = StreamingOps.windowedCms(mkEvents().toDF(), col("user_id"),
+        4, 64, "6 hours")
+      val cells = grid.collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val exact = mkEvents().toDF()
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("w.start"), col("user_id").cast("string"), col("c")).collect()
+      exact.foreach { r =>
+        val est = (0 until 4).map { dd =>
+          val b = java.lang.Long.parseLong(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$dd:${r.getString(1)}".getBytes("UTF-8"))
+              .take(4).map(x => f"$x%02x").mkString, 16) % 64
+          cells((r.getTimestamp(0), dd, b))
+        }.min
+        assert(est >= r.getLong(2), s"CMS underestimated ${r.getString(1)}")
+      }
+    } finally query.stop()
+  }
+
   test("streaming meanvar state matches single-pass batch moments") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
