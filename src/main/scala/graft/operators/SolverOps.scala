@@ -164,6 +164,25 @@ object SolverOps {
     spark.createDataFrame(rows).toDF("i", "j", "r")
   }
 
+  /** Q factor of the tall-skinny QR: Q = A·R⁻¹ with the d×d R sign-
+    * normalized (positive diagonal, so Q is unique), inverted locally and
+    * folded into per-row projection EXPRESSIONS — one map-side pass, no
+    * shuffle, nothing driver-sized but the d×d triangle. The `qr_get_q`
+    * companion of [[qrR]] — reference: linalg/qr.cuh:34 (qr_get_q). */
+  def qrQ(vectors: DataFrame): DataFrame = {
+    val r = toRowMatrix(vectors).tallSkinnyQR(computeQ = false).R
+    val d = r.numCols
+    val signs = Array.tabulate(d)(i => if (r(i, i) < 0) -1.0 else 1.0)
+    val rm = new breeze.linalg.DenseMatrix(d, d,
+      Array.tabulate(d * d)(k => signs(k % d) * r(k % d, k / d)))
+    val rinv = breeze.linalg.inv(rm)
+    val qCols = (0 until d).map { j =>
+      (0 until d).map(k => element_at(col("vec"), k + 1) * lit(rinv(k, j)))
+        .reduce(_ + _).as(s"q$j")
+    }
+    vectors.select(col("id") +: qCols: _*)
+  }
+
   /** Least squares x̂ = (AᵀA)⁻¹Aᵀy: one treeAggregate pass accumulates the
     * d×d normal matrix + d-vector partials; local solve on the driver —
     * reference: linalg/lstsq.cuh:72 (lstsqEig path). */

@@ -226,6 +226,24 @@ object SparseOps {
       .groupBy(col("row"), col("e.col").as("col"))
       .agg(sum(col("e.value")).as("value"))
 
+  /** Symmetric-normalized Laplacian L̂ = D^{-1/2} L D^{-1/2}
+    * (= I − D^{-1/2} A D^{-1/2}): the [[laplacian]] entries scaled by
+    * 1/√(dᵢ·dⱼ) with d the weighted degree — the spectral-clustering
+    * form. Reference: sparse/linalg/laplacian.cuh
+    * (laplacian_normalized). Two equi-joins of the Laplacian COO
+    * against the node-sized degree table (AQE broadcasts when small);
+    * zero-degree rows pass through unscaled (their L row is all-zero). */
+  def laplacianNormalized(symEdges: DataFrame): DataFrame = {
+    val deg = symEdges.groupBy(col("row").as("i")).agg(sum(col("value")).as("d"))
+    laplacian(symEdges)
+      .join(deg.select(col("i").as("row"), col("d").as("dr")), Seq("row"))
+      .join(deg.select(col("i").as("col"), col("d").as("dc")), Seq("col"))
+      .select(col("row"), col("col"),
+        when(col("dr") > 0.0 && col("dc") > 0.0,
+          col("value") / sqrt(col("dr") * col("dc")))
+          .otherwise(col("value")).as("value"))
+  }
+
   /** spmm: C = A·B with A a COO sparse matrix and B a *materialized* dense
     * row-matrix table `(id, vec ARRAY<DOUBLE>)` keyed by A's column index —
     * reference: cpp/include/raft/sparse/linalg/spmm.hpp:42.

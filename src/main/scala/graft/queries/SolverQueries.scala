@@ -160,6 +160,15 @@ object SolverQueries extends QueryGroup {
     }),
     "solver_modularity" -> ((s, d) => graft.operators.SpectralOps.modularity(s, d)),
     "solver_qr" -> ((s, d) => SolverOps.qrR(walshFixture(s))),
+    // Q factor via A·R⁻¹ (positive-diagonal sign convention): the Walsh
+    // columns are orthogonal with norm 16(j+1), so Q = walsh_j(id)/16
+    // exactly — the oracle replays that closed form
+    "solver_qr_q" -> ((s, d) => {
+      val q = SolverOps.qrQ(walshFixture(s))
+      q.select(col("id"), posexplode(
+          array((0 until 8).map(j => col(s"q$j")): _*)).as(Seq("pos", "q")))
+        .select(col("id"), col("pos"), (round(col("q"), 6) + 0.0).as("q"))
+    }),
     "solver_lstsq" -> ((s, d) => {
       val x = SolverOps.lstsq(lstsqFixture(s))
       s.createDataFrame(x.toSeq.zipWithIndex.map { case (v, i) =>
@@ -429,6 +438,13 @@ object SolverQueries extends QueryGroup {
       """SELECT a.i, b.j,
         |  CAST(CASE WHEN a.i = b.j THEN 16 * (a.i + 1) ELSE 0 END AS DOUBLE) AS r
         |FROM range(8) a(i), range(8) b(j) WHERE b.j >= a.i""".stripMargin,
+    // Q(id, j) = walsh_j(id)/16: the fixture's columns are orthogonal, so
+    // A·R⁻¹ collapses to the sign pattern over the column norm
+    "solver_qr_q" ->
+      """SELECT t.id, s.j AS pos,
+        |  round((1.0 - 2.0 * (bit_count(t.id & (s.j + 1)) % 2)) / 16.0, 6)
+        |    + 0.0 AS q
+        |FROM range(256) t(id) CROSS JOIN range(8) s(j)""".stripMargin,
     "solver_lstsq" ->
       "SELECT i AS j, CAST(i + 1 AS DOUBLE) AS coef FROM range(8) t(i)",
     "solver_pca_var" ->

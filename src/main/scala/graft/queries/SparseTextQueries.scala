@@ -112,6 +112,26 @@ object SparseTextQueries extends QueryGroup {
       SparseOps.laplacian(SparseOps.symmetrize(edges)).where(col("row") < 200)
         .select(col("row"), col("col"), round(col("value"), 2).as("value"))
     }),
+    // symmetric-normalized Laplacian of the same co-occurrence graph:
+    // L̂(i,j) = L(i,j)/√(dᵢdⱼ), the spectral-clustering form
+    "sp_laplacian_norm" -> ((s, d) => {
+      val coo = Tables.cooOrdersParts(s, d)
+      val a = coo.select(col("row"), col("col").as("c1"))
+      val b = coo.select(col("row"), col("col").as("c2"))
+      val edges = a.join(b, Seq("row")).where(col("c1") < col("c2"))
+        .groupBy(col("c1"), col("c2")).agg(count(lit(1)).cast("double").as("value"))
+        .select(col("c1").as("row"), col("c2").as("col"), col("value"))
+      SparseOps.laplacianNormalized(SparseOps.symmetrize(edges))
+        .where(col("row") < 200)
+        .select(col("row"), col("col"), (round(col("value"), 6) + 0.0).as("value"))
+    }),
+    // csr_row_normalize_max: divide each row by its max |value| (the L∞
+    // cousin of the L2 form above)
+    "sp_row_normalize_max" -> ((s, d) => {
+      SparseOps.rowNormalize(
+          Tables.cooOrdersParts(s, d).where(col("row") < 1000), "linf")
+        .select(col("row"), col("col"), (round(col("value"), 6) + 0.0).as("value"))
+    }),
     "sp_max_dup" -> ((s, d) => {
       // plant duplicates: the COO unioned with a half-valued copy;
       // max_duplicates must recover exactly the original entries
@@ -385,6 +405,33 @@ object SparseTextQueries extends QueryGroup {
          |  SELECT row, row AS col, sum(value) AS value FROM sym GROUP BY row
          |  UNION ALL SELECT row, col, -value FROM sym)
          |SELECT row, col, round(value, 2) AS value FROM lap WHERE row < 200""".stripMargin,
+    "sp_laplacian_norm" ->
+      s"""$cooCte,
+         |edges AS (
+         |  SELECT a.col AS row, b.col AS col, CAST(count(*) AS DOUBLE) AS value
+         |  FROM coo a JOIN coo b ON a.row = b.row AND a.col < b.col
+         |  GROUP BY 1, 2),
+         |sym AS (
+         |  SELECT row, col, sum(value) AS value FROM (
+         |    SELECT row, col, value FROM edges
+         |    UNION ALL SELECT col AS row, row AS col, value FROM edges)
+         |  GROUP BY 1, 2),
+         |deg AS (SELECT row AS i, sum(value) AS d FROM sym GROUP BY 1),
+         |lap AS (
+         |  SELECT row, row AS col, sum(value) AS value FROM sym GROUP BY row
+         |  UNION ALL SELECT row, col, -value FROM sym)
+         |SELECT lap.row, lap.col,
+         |  round(CASE WHEN dr.d > 0 AND dc.d > 0
+         |    THEN lap.value / sqrt(dr.d * dc.d) ELSE lap.value END, 6)
+         |    + 0.0 AS value
+         |FROM lap JOIN deg dr ON dr.i = lap.row JOIN deg dc ON dc.i = lap.col
+         |WHERE lap.row < 200""".stripMargin,
+    "sp_row_normalize_max" ->
+      s"""$cooCte
+         |SELECT row, col,
+         |  round(value / max(abs(value)) OVER (PARTITION BY row), 6)
+         |    + 0.0 AS value
+         |FROM coo WHERE row < 1000""".stripMargin,
     "sp_max_dup" ->
       s"""$cooCte
          |SELECT row, col, round(value, 2) AS value FROM coo WHERE row < 500""".stripMargin,
