@@ -114,6 +114,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_event_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
     "rel_cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
     "rel_event_transitions" -> ((s, d) => Relational.eventTransitions(s, d)),
+    "rel_sessionize" -> ((s, d) => Relational.sessionize(s, d, 30)),
     // connector round-trips: the ORACLE reads the original parquet, so a
     // quoting/escaping/null bug in the CSV/JSON path breaks the hash
     "rel_csv_roundtrip" -> ((s, d) => graft.sources.Connectors.csvRoundTrip(s, d)),
@@ -333,6 +334,23 @@ private object RelationalQueries extends graft.queries.QueryGroup {
         |SELECT c.prev, c.next, c.n,
         |  round(c.n / CAST(t.tot AS DOUBLE), 6) + 0.0 AS p
         |FROM c JOIN t USING (prev)""".stripMargin,
+    // 30-min-gap sessions per user: running count of gap breaks, then an
+    // all-integer per-session summary (epoch-microsecond arithmetic)
+    "rel_sessionize" ->
+      """WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM r),
+        |s AS (SELECT user_id, us,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM f)
+        |SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us,
+        |  max(us) - min(us) AS dur_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
     // connector oracles read the ORIGINAL parquet — the round-trip must
     // reproduce it exactly through the CSV/JSON parse path
     "rel_csv_roundtrip" ->

@@ -88,12 +88,30 @@ object MatrixOps {
     * offsets — never an unpartitioned window), then
     * rank-within-column = global_rn − pos·n, exact because every column
     * holds n entries. All-integer output, hash-stable by construction. */
-  def colRanks(m: DataFrame, n: Long): DataFrame = {
+  def colRanks(m: DataFrame, n: Long): DataFrame =
+    colRanked(m, n).select(col("id"), col("pos"), col("rnk"))
+
+  /** [[colRanks]] with the value carried through — the shared pass behind
+    * the rank transform and [[quantileNormalize]]. */
+  private def colRanked(m: DataFrame, n: Long): DataFrame = {
     val lanes = m.select(col("id"), posexplode(col("vec")).as(Seq("pos", "v")))
     RankUtils.globalRowNumber(lanes,
         Seq(col("pos").cast("long"), col("v"), col("id")), "rn")
-      .select(col("id"), col("pos"),
+      .select(col("id"), col("pos"), col("v"),
         (col("rn") - col("pos").cast("long") * n).as("rnk"))
+  }
+
+  /** Quantile normalization (the microarray-era feature equalizer, still
+    * the standard per-feature distribution aligner): every entry is
+    * replaced by the MEAN of the rank-matched entries across all columns,
+    * so every column ends up with the identical empirical distribution.
+    * One [[colRanked]] TeraSort pass, one n-row rank-keyed aggregate for
+    * the reference distribution, one equi-join back on rank. */
+  def quantileNormalize(m: DataFrame, n: Long): DataFrame = {
+    val ranked = colRanked(m, n).localCheckpoint(true) // feeds agg + join
+    val ref = ranked.groupBy(col("rnk")).agg(avg(col("v")).as("qv"))
+    ranked.join(ref, Seq("rnk"))
+      .select(col("id"), col("pos"), col("qv"))
   }
 
   /** gather_if: gather rows by map with a predicate on map entries —

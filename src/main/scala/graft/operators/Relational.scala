@@ -387,6 +387,32 @@ object Relational {
         (round(col("n") / col("tot").cast("double"), 6) + 0.0).as("p"))
   }
 
+  /** Gap-based sessionization SUMMARY: a new session starts when the gap
+    * to the user's previous event exceeds `gapMinutes`; the session id is
+    * the running count of session starts within the user. This is the
+    * row-LABELING counterpart of the session_window AGGREGATE
+    * (StreamingOps.sessionTotals) — labels let later stages join
+    * arbitrary per-event data back to its session. Both windows are
+    * keyed by user (bounded per-key sequences); the arithmetic is
+    * epoch-microsecond integers end-to-end, so the summary hashes
+    * identically on any engine. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+  }
+
   /** Salted join for skewed keys: the fact side salts its hot key into
     * `nSalts` sub-keys; the dimension is replicated once per salt, so each
     * hot key's rows spread over nSalts tasks instead of one straggler.

@@ -66,6 +66,13 @@ object MatrixQueries extends QueryGroup {
       val v = graft.Tables.vectors(s, d).select(col("id"), col("vec"))
       MatrixOps.colRanks(v, v.count())
     }),
+    // quantile normalization: every column forced to the rank-mean
+    // reference distribution (one colRanked pass + rank-keyed avg)
+    "mat_quantile_norm" -> ((s, d) => {
+      val v = graft.Tables.vectors(s, d).select(col("id"), col("vec"))
+      MatrixOps.quantileNormalize(v, v.count())
+        .select(col("id"), col("pos"), (round(col("qv"), 6) + 0.0).as("qv"))
+    }),
     "mat_col_reverse" -> ((s, d) =>
       lanes(MatrixOps.colReverse(graft.Tables.vectors(s, d).where(col("id") < 30)), 4)),
     "mat_row_reverse" -> ((s, d) =>
@@ -255,6 +262,17 @@ object MatrixQueries extends QueryGroup {
          |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
          |               unnest($castLanes) AS v
          |        FROM embeddings))""".stripMargin,
+    // rank-mean reference distribution joined back on rank-in-column
+    "mat_quantile_norm" ->
+      s"""WITH l AS (
+         |  SELECT vec_id AS id, pos, v,
+         |         row_number() OVER (PARTITION BY pos ORDER BY v, vec_id) AS rnk
+         |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |               unnest($castLanes) AS v
+         |        FROM embeddings)),
+         |ref AS (SELECT rnk, avg(v) AS qv FROM l GROUP BY 1)
+         |SELECT l.id, l.pos, round(ref.qv, 6) + 0.0 AS qv
+         |FROM l JOIN ref USING (rnk)""".stripMargin,
     "mat_col_reverse" ->
       s"""SELECT vec_id AS id,
          |  generate_subscripts(embedding, 1) - 1 AS pos,
