@@ -834,6 +834,32 @@ object StatsOps {
       (round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 6) + 0.0).as("mrr"))
   }
 
+  /** Autocorrelation function of a GLOBALLY ordered series at lags
+    * 1..maxLag: r(k) = Σ(vₜ−μ)(vₜ₊ₖ−μ) / Σ(vₜ−μ)² — the standard
+    * time-series drift/seasonality diagnostic. The global order comes
+    * from ONE RankUtils TeraSort rank (never a bare window); each lag is
+    * then a rank-shifted EQUI-join (the probe side exploded ×maxLag), so
+    * the whole ACF is rank + join + one keyed aggregate, shuffle-bounded
+    * by n·maxLag rows. μ is a broadcast 1-row aggregate. */
+  def acf(series: DataFrame, sortCols: Seq[Column], valueCol: Column,
+      maxLag: Int): DataFrame = {
+    val ranked = RankUtils.globalRowNumber(
+        series.select(sortCols :+ valueCol.as("v"): _*), sortCols, "rn")
+      .select(col("rn"), col("v")).localCheckpoint(true)
+    val mu = broadcast(ranked.agg(avg(col("v")).as("mu")))
+    val den = ranked.crossJoin(mu)
+      .agg(sum((col("v") - col("mu")) * (col("v") - col("mu"))).as("den"))
+    val probe = ranked.select(
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"),
+        col("rn"), col("v").as("vl"))
+      .select(col("lag"), (col("rn") + col("lag")).as("rn"), col("vl"))
+    ranked.join(probe, Seq("rn")).crossJoin(mu)
+      .groupBy(col("lag"))
+      .agg(sum((col("v") - col("mu")) * (col("vl") - col("mu"))).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), (round(col("num") / col("den"), 6) + 0.0).as("acf"))
+  }
+
   /** Benjamini–Hochberg FDR control over a family of per-group mean
     * tests — the multiple-comparison step every drift/quality monitor
     * needs once it fans out over segments (the m-hypotheses sequel to

@@ -126,6 +126,12 @@ object StatsQueries extends QueryGroup {
     // ratio, so the whole row is bit-exact across engines
     "stat_bootstrap" -> ((s, d) => StatsOps.bootstrapCI(
       Tables.documents(s, d), "doc_id", "n_chars", 200, 5, 195)),
+    // ACF of the value series in (ts, event_id) order, lags 1..5:
+    // TeraSort rank + rank-shifted equi-join, no global window
+    "stat_acf" -> ((s, d) => StatsOps.acf(
+      Tables.events(s, d).select(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")),
+      Seq(col("us"), col("event_id")), col("value"), 5)),
     // BH-FDR over the (event_type × epoch-day-of-week) mean-value family;
     // one keyed aggregate, then all windows on the ~70-row table
     "stat_bh_fdr" -> ((s, d) => StatsOps.bhFdr(Tables.events(s, d),
@@ -537,6 +543,20 @@ object StatsQueries extends QueryGroup {
         |  round(avg(least(greatest(x, (SELECT q05 FROM q)), (SELECT q95 FROM q))), 4)
         |    + 0.0 AS winsor_mean
         |FROM v""".stripMargin,
+    // global-order lags replayed with a plain window (single-node engine);
+    // r(k) = Σ(v_t−μ)(v_{t+k}−μ) / Σ(v_t−μ)²
+    "stat_acf" ->
+      """WITH r AS (SELECT value AS v,
+        |    row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |m AS (SELECT avg(v) AS mu FROM r),
+        |d AS (SELECT sum((v - mu) * (v - mu)) AS den FROM r CROSS JOIN m),
+        |n AS (SELECT t.lag, sum((a.v - mu) * (b.v - mu)) AS num
+        |      FROM r a CROSS JOIN range(1, 6) t(lag)
+        |      JOIN r b ON b.rn = a.rn - t.lag CROSS JOIN m
+        |      GROUP BY 1)
+        |SELECT lag, round(num / den, 6) + 0.0 AS acf
+        |FROM n CROSS JOIN d""".stripMargin,
     // same logistic-Φ pseudo-p per (type, dow) z-score, then the BH
     // rank/threshold/suffix-min machinery on the bounded family
     "stat_bh_fdr" ->
