@@ -248,6 +248,32 @@ object ScaleProbe {
         val relres = res.getDouble(0) / res.getDouble(1)
         require(relres < 1e-4, s"CG did not converge in 2 steps: relres=$relres")
         f""""mode":"cg","n":$n,"edges":${nC2 * 190L},"iters":3,"relres":$relres%.2e"""
+      case "colranks" =>
+        // column ranks + quantile normalization beyond the embeddings
+        // fixture: n rows × 8 lanes of xxhash noise (no oracle replay
+        // needed — the checks are structural theorems). (1) every column's
+        // rank set is exactly 1..n (min/max/count pinned); (2) after
+        // quantile normalization every column carries the IDENTICAL
+        // reference distribution, so per-column sums agree to float
+        // tolerance. Both run off the ONE RankUtils TeraSort pass.
+        val dL = 8
+        val m = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(dL - 1)), j =>
+            pmod(xxhash64(col("id"), j, lit("qn")), lit(1000000L))
+              .cast("double")).as("vec"))
+          .localCheckpoint(true)
+        val r3 = graft.operators.MatrixOps.colRanks(m, n)
+          .where(col("pos") === 3)
+          .agg(min(col("rnk")), max(col("rnk")), count(lit(1))).head()
+        require(r3.getLong(0) == 1L && r3.getLong(1) == n && r3.getLong(2) == n,
+          s"rank set broken: ${r3.toSeq}")
+        val sums = graft.operators.MatrixOps.quantileNormalize(m, n)
+          .groupBy(col("pos")).agg(sum(col("qv")).as("s"))
+          .collect().map(_.getDouble(1))
+        require(sums.length == dL &&
+          sums.forall(s => math.abs(s - sums(0)) <= 1e-9 * math.abs(sums(0))),
+          s"column distributions diverged: ${sums.toSeq}")
+        f""""mode":"colranks","n":$n,"lanes":${n * dL},"col_sum":${sums(0)}%.3f"""
       case "silhouette" =>
         // batched silhouette beyond the n=100 oracle fixture: 10 Gaussian
         // clusters (σ=1) whose centers sit 100·cluster apart in every lane
