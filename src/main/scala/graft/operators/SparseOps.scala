@@ -87,6 +87,44 @@ object SparseOps {
   def rowSlice(coo: DataFrame, r1: Long, r2: Long): DataFrame =
     coo.where(col("row") >= r1 && col("row") < r2)
 
+  /** csr_row_op: apply a caller-supplied operation over each row's
+    * CONTIGUOUS entry slice — reference: sparse/op/row_op.cuh:29 (the
+    * functor there receives (row, start, stop) into the nnz array; the
+    * Spark-first equivalent hands the op the row's ordered (cols, values)
+    * lane arrays and re-explodes its result). One keyed aggregate builds
+    * the slice (bounded by the row width, like the reference's per-row
+    * thread block), the op is pure column expressions (codegen'd HOFs),
+    * and the result returns to COO form — no driver state, shuffle keyed
+    * by row only. Ops that are expressible as plain per-row aggregates
+    * should use groupBy directly ([[rowNorms]]); rowOp exists for
+    * POSITION-DEPENDENT slice semantics (prefix scans, per-row softmax,
+    * head/tail masking) that need the whole ordered slice at once.
+    *
+    * @param op (cols, values) ⇒ new values array, same length/order.
+    */
+  def rowOp(coo: DataFrame,
+      op: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
+    val es = array_sort(collect_list(struct(col("col"), col("value"))))
+    coo.groupBy(col("row")).agg(es.as("es"))
+      .select(col("row"),
+        transform(col("es"), e => e.getField("col")).as("cs"),
+        transform(col("es"), e => e.getField("value")).as("vs"))
+      .select(col("row"),
+        posexplode(zip_with(col("cs"), op(col("cs"), col("vs")),
+          (c, v) => struct(c.as("col"), v.as("value")))).as(Seq("pos", "e")))
+      .select(col("row"), col("e.col").as("col"), col("e.value").as("value"))
+  }
+
+  /** Per-row prefix sum in column order — the canonical position-dependent
+    * [[rowOp]] instance (equivalent to a row-partitioned running-sum
+    * window, but computed inside the row slice like the reference functor
+    * would). */
+  def rowPrefixSum(coo: DataFrame): DataFrame =
+    rowOp(coo, (_, vs) =>
+      // running sum via a transform over positions: scan_t = Σ_{u ≤ t} v_u
+      transform(vs, (_, i) =>
+        aggregate(slice(vs, lit(1), i + lit(1)), lit(0.0), (acc, x) => acc + x)))
+
   /** spmv y = A·w with w a deterministic function of the column index —
     * reference: cpp/include/raft/sparse/linalg/spmm.hpp:42 (vector case).
     * No join needed when w is an expression; with a materialized w table

@@ -100,6 +100,13 @@ object SparseTextQueries extends QueryGroup {
       SparseOps.rowSlice(Tables.cooOrdersParts(s, d), 100L, 300L)
         .select(col("row"), col("col"), round(col("value"), 2).as("value"))
     }),
+    // csr_row_op (reference sparse/op/row_op.cuh:29): position-dependent
+    // per-row-slice functor — prefix sum in column order; the oracle is
+    // the equivalent running-sum window
+    "sp_row_op" -> ((s, d) => {
+      SparseOps.rowPrefixSum(Tables.cooOrdersParts(s, d))
+        .select(col("row"), col("col"), round(col("value"), 2).as("value"))
+    }),
     "sp_laplacian" -> ((s, d) => {
       // co-occurrence graph on parts: edge (c1,c2) with weight = #orders
       // containing both; symmetrized; Laplacian rows for col-keys < 200.
@@ -390,6 +397,11 @@ object SparseTextQueries extends QueryGroup {
       s"""$cooCte
          |SELECT row, col, round(value, 2) AS value FROM coo
          |WHERE row >= 100 AND row < 300""".stripMargin,
+    "sp_row_op" ->
+      s"""$cooCte
+         |SELECT row, col,
+         |  round(sum(value) OVER (PARTITION BY row ORDER BY col), 2) AS value
+         |FROM coo""".stripMargin,
     "sp_laplacian" ->
       s"""$cooCte,
          |edges AS (
