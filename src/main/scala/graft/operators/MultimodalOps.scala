@@ -1,93 +1,175 @@
 package graft.operators
 
 import java.security.MessageDigest
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: opaque `BINARY` payloads with typed
-  * metadata, decoded/feature-extracted per partition in batches — the
-  * Spark-side shape an image/audio pipeline needs (schema, partitioning,
-  * batch iteration). The actual media decode is a clearly-marked
-  * deterministic STUB (no codec libraries in this environment); everything
-  * around it — binary column, case-class schema, mapPartitions batch loop,
-  * frame explosion — is real and tested.
+/** Multimodal columns: opaque `BINARY` payloads with typed metadata,
+  * decoded and feature-extracted per partition in batches.
+  *
+  * The payloads are REAL media containers — 24-bit BMP images and 16-bit
+  * PCM RIFF/WAVE audio, built and parsed by [[MediaCodec]] (pure JVM, no
+  * native codec libraries; MediaCodecSpec cross-validates both against
+  * the JDK's independent `ImageIO`/`AudioSystem` decoders). The corpus
+  * has no binary media column, so [[packImage]]/[[packAudio]] synthesize
+  * the containers deterministically from each document's bytes: pixel
+  * buffer byte i = text byte (i mod len), PCM sample t = (text byte t −
+  * 128)·256. That construction is what gives every decode query an exact
+  * DuckDB oracle — the oracle replays the CONSTRUCTION arithmetic in SQL
+  * while the Spark side must genuinely parse the container (offsets, row
+  * padding, BGR order, RIFF chunk walk) to recover the same values.
+  *
+  * Everything downstream of the parse — area-pooled features, perceptual
+  * hash, frame/fingerprint dedup — runs on genuinely decoded pixels/PCM.
+  * Execution shape: one `mapPartitions` batch loop for encode+decode
+  * (codec context per partition, the Arrow-batch shape), pure column
+  * expressions after.
   */
 object MultimodalOps {
 
   case class BinaryDoc(doc_id: Long, payload: Array[Byte], source: String)
-  case class DecodedMeta(doc_id: Long, n_bytes: Long, width: Long,
-      height: Long, channels: Long, content_md5: String)
 
-  /** Pack text documents as binary payloads (stand-in for image/audio bytes). */
-  def toBinary(docs: DataFrame): Dataset[BinaryDoc] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("source"))
-      .as[BinaryDoc]
-  }
+  /** Decoded image metadata + the logical RGB pixel buffer. */
+  case class ImageMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
+      channels: Long, pixel_md5: String, pixels: Array[Byte])
 
-  /** STUB decoder: a real decoder (JPEG/PNG/audio) would parse `payload`
-    * here; this fake derives dimensions deterministically from the byte
-    * length so the pipeline is testable end-to-end. Runs as a per-partition
-    * batch loop — the same execution shape as an Arrow-batched decode.
-    */
-  def decodeStub(docs: Dataset[BinaryDoc]): Dataset[DecodedMeta] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.mapPartitions { it =>
-      val md = MessageDigest.getInstance("MD5") // one per batch, like a codec ctx
-      it.map { d =>
-        md.reset()
-        val digest = md.digest(d.payload).map("%02x".format(_)).mkString
-        val n = d.payload.length.toLong
-        // ??? real decode goes here; deterministic fake below
-        DecodedMeta(d.doc_id, n, 64L + n % 577L, 64L + (n * 7L) % 419L, 3L, digest)
-      }
-    }
-  }
+  /** Decoded audio metadata + PCM re-quantized to byte symbols. */
+  case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Long,
+      channels: Long, bit_depth: Long, n_samples: Long, duration_ms: Long,
+      amp_mean: Double, amp_min: Long, amp_max: Long, pcm_bytes: Array[Byte])
 
   case class Features(doc_id: Long, resized_w: Long, resized_h: Long,
       feat: Array[Double])
 
-  /** STUB feature extraction + resize: a real pipeline would decode, resize
-    * to (targetW, targetH) and run a vision/audio encoder here. The fake
-    * derives a deterministic d-dim feature vector by hashing fixed-stride
-    * byte windows — so the Spark-side contract (binary in, fixed-length
-    * ARRAY<DOUBLE> embedding + resize metadata out, per-partition batches)
-    * is real and oracle-testable while the math is honestly stubbed.
-    */
-  def featureStub(docs: Dataset[BinaryDoc], targetW: Int = 224,
-      targetH: Int = 224, d: Int = 8): Dataset[Features] = {
+  private def hex(md: MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  /** Deterministic image dimensions for a payload of `len` bytes: the
+    * fixture spread (8..64 × 8..48, coprime moduli) every image oracle
+    * replays. */
+  private[operators] def imageDims(len: Int): (Int, Int) =
+    (8 + len % 57, 8 + (len.toLong * 7 % 41).toInt)
+
+  private def withSource(docs: DataFrame): DataFrame =
+    if (docs.columns.contains("source")) docs
+    else docs.withColumn("source", lit(""))
+
+  /** Pack each document as a REAL 24-bit BMP: dimensions from
+    * [[imageDims]], RGB buffer = the document's bytes cycled. */
+  def packImage(docs: DataFrame): Dataset[BinaryDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withSource(docs).select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val b = text.getBytes("US-ASCII")
+        val (w, h) = imageDims(b.length)
+        val rgb = Array.tabulate(w * h * 3)(i => b(i % b.length))
+        BinaryDoc(id, MediaCodec.encodeBmp(w, h, rgb), source)
+      })
+  }
+
+  /** Pack each document as a REAL 16-bit mono PCM WAV at 8 kHz: sample t
+    * = (byte t − 128)·256, one sample per document byte. The container
+    * includes a LIST chunk so the decode's RIFF walk is always
+    * exercised. */
+  def packAudio(docs: DataFrame): Dataset[BinaryDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withSource(docs).select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val b = text.getBytes("US-ASCII")
+        val samples = Array.tabulate(b.length)(t => (((b(t) & 0xff) - 128) * 256).toShort)
+        BinaryDoc(id, MediaCodec.encodeWav(8000, samples), source)
+      })
+  }
+
+  /** Decode real BMP payloads: parse the container, emit dimensions +
+    * the md5 of the recovered row-major RGB buffer (the value that
+    * proves the parse — offsets, stride padding, BGR swap — recovered
+    * the exact logical pixels). Per-partition batch loop, one digest
+    * context per batch. */
+  def decodeImage(docs: Dataset[BinaryDoc]): Dataset[ImageMeta] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
-      it.map { doc =>
-        // ??? real resize + encoder forward pass goes here; fake below:
-        // feature t = first-4-bytes of md5(payload-window t) scaled to [0,1)
-        val n = doc.payload.length
-        val feat = Array.tabulate(d) { t =>
-          val from = if (n == 0) 0 else (n.toLong * t / d).toInt
-          val until = if (n == 0) 0 else (n.toLong * (t + 1) / d).toInt
-          md.reset()
-          val h = md.digest(java.util.Arrays.copyOfRange(doc.payload, from, until))
-          val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
-          v.toDouble / 4294967296.0
-        }
-        Features(doc.doc_id, targetW.toLong, targetH.toLong, feat)
+      it.map { d =>
+        val img = MediaCodec.decodeBmp(d.payload)
+        ImageMeta(d.doc_id, d.payload.length.toLong, img.width.toLong,
+          img.height.toLong, 3L, hex(md, img.rgb), img.rgb)
       }
     }
   }
 
-  /** Perceptual hash (the pHash rule) over the stubbed decode lanes:
-    * 64 "DCT coefficient" stand-ins per payload ([[featureStub]] with
-    * d = 64 — a real pipeline feeds the low-frequency DCT of the decoded
-    * grayscale image here), bit b = 1 iff lane_b > median(lanes). The
-    * hash is kept as FOUR 16-bit band values (b0..b3) rather than one
-    * packed 64-bit word — bands are what the near-dup join buckets on,
-    * and band-wise popcounts avoid signed-overflow ambiguity at bit 63.
-    * Pure column expressions after the per-partition feature batch.
+  /** Decode real WAV payloads: RIFF chunk walk + PCM extraction, emit
+    * the format descriptor, duration, amplitude stats over the decoded
+    * samples, and the samples re-quantized to byte symbols
+    * (sample >> 8 + 128 — the exact inverse of [[packAudio]]'s mapping,
+    * which is what makes the fingerprint windows byte-replayable). */
+  def decodeAudio(docs: Dataset[BinaryDoc]): Dataset[AudioMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.map { d =>
+      val a = MediaCodec.decodeWav(d.payload)
+      val n = a.samples.length
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var i = 0
+      while (i < n) {
+        val s = a.samples(i).toLong
+        sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+        i += 1
+      }
+      val bytes = Array.tabulate(n)(t => ((a.samples(t) >> 8) + 128).toByte)
+      AudioMeta(d.doc_id, d.payload.length.toLong, a.sampleRate.toLong,
+        a.channels.toLong, a.bitsPerSample.toLong, n.toLong,
+        n.toLong * 1000L / a.sampleRate, sum.toDouble / n, mn, mx, bytes)
+    })
+  }
+
+  /** Real resize: decode each BMP and area-pool the 3-channel luma
+    * (r+g+b per pixel) onto an outW×outH grid — pixel (x,y) pools into
+    * bin (x·outW/w, y·outH/h), feature = mean luma of the bin (exact:
+    * integer sum / count), row-major. This is the honest "decode →
+    * resize → feature vector" pipeline stage: the features are functions
+    * of genuinely decoded pixels, not of the payload bytes. */
+  def imageFeatures(docs: Dataset[BinaryDoc], outW: Int = 4, outH: Int = 2): Dataset[Features] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.map { d =>
+      val img = MediaCodec.decodeBmp(d.payload)
+      val (w, h) = (img.width, img.height)
+      val sums = new Array[Long](outW * outH)
+      val cnts = new Array[Long](outW * outH)
+      var y = 0
+      while (y < h) {
+        val oy = y * outH / h
+        var x = 0
+        while (x < w) {
+          val bin = oy * outW + x * outW / w
+          val p = (y * w + x) * 3
+          sums(bin) += (img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) + (img.rgb(p + 2) & 0xff)
+          cnts(bin) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      Features(d.doc_id, outW.toLong, outH.toLong,
+        Array.tabulate(outW * outH)(i => sums(i).toDouble / cnts(i)))
+    })
+  }
+
+  /** Perceptual hash over REAL decoded pixels: 64 lanes = the 8×8
+    * area-pooled luma grid of [[imageFeatures]] (the low-resolution
+    * thumbnail a pHash thresholds; a DCT variant drops into the same
+    * lane slot), bit b = 1 iff lane_b > median(lanes). The hash is kept
+    * as FOUR 16-bit band values (b0..b3) rather than one packed 64-bit
+    * word — bands are what the near-dup join buckets on, and band-wise
+    * popcounts avoid signed-overflow ambiguity at bit 63. Pure column
+    * expressions after the per-partition decode batch.
     */
   def phash64(features: DataFrame): DataFrame = {
     val sorted = array_sort(col("feat"))
@@ -104,15 +186,15 @@ object MultimodalOps {
 
   /** Hamming near-dup pairs over the perceptual hash: docs sharing ANY
     * 16-bit band are candidates (4 equi-join buckets — the LSH structure
-    * of pHash dedup: a pair within Hamming distance 6 of 64 bits must
-    * match at least one band exactly... pigeonhole gives τ ≤ 3 a
-    * GUARANTEE; τ = 6 keeps the same candidate join as a high-recall
-    * heuristic), then exact band-wise popcount distance ≤ τ confirms.
-    * The candidate join is distributable by (band, value) at 100 TB;
-    * random 16-bit band collisions are ~n²/65536 per band — rare and
-    * benign. Returns (a, b, hamming), a < b. */
+    * of pHash dedup: a pair within Hamming distance 3 of 64 bits must
+    * match at least one band exactly by pigeonhole; larger τ keeps the
+    * same candidate join as a high-recall heuristic), then exact
+    * band-wise popcount distance ≤ τ confirms. The candidate join is
+    * distributable by (band, value) at 100 TB; random 16-bit band
+    * collisions are ~n²/65536 per band — rare and benign.
+    * Returns (a, b, hamming), a < b. */
   def phashNearDups(docs: DataFrame, tau: Int = 6): DataFrame = {
-    val ph = phash64(featureStub(toBinary(docs), d = 64).toDF()
+    val ph = phash64(imageFeatures(packImage(docs), 8, 8).toDF()
         .select(col("doc_id"), col("feat")))
       .localCheckpoint(true)
     val bands = ph.select(col("doc_id"), explode(array((0 until 4).map(k =>
@@ -133,41 +215,59 @@ object MultimodalOps {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Frame-level dedup — the video near-dup signal: frames (fixed-size
-    * payload windows, digested by [[frameSample]]) that appear in MORE
-    * THAN ONE document, with how many docs/occurrences share them. Two
-    * videos sharing a scene collide on its frames even when the
-    * surrounding content differs — the frame digest table is the join
-    * key, one keyed aggregate over the exploded frames (same shuffle
-    * shape as boilerplate-shingle detection, one modality over).
+  /** Frame-level dedup — the video near-dup signal, over REAL decoded
+    * pixel buffers: fixed-size windows of the recovered RGB stream,
+    * digested; frames appearing in MORE THAN ONE document, with how many
+    * docs/occurrences share them. Two videos sharing a scene collide on
+    * its frames even when the surrounding content differs — the frame
+    * digest table is the join key, one keyed aggregate over the exploded
+    * frames (same shuffle shape as boilerplate-shingle detection, one
+    * modality over). Frames are column expressions (binary substring +
+    * md5) over the decoded buffer.
     */
   def frameDups(docs: DataFrame, frameBytes: Int = 200): DataFrame =
-    frameSample(docs, frameBytes)
+    pixelFrames(decodeImage(packImage(docs)).toDF(), frameBytes)
       .groupBy(col("frame_md5"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= 2)
 
-  /** Overlapping-window fingerprints — the AUDIO shape (an STFT hop):
-    * a window of `win` bytes every `hop` bytes (hop < win ⇒ overlap),
-    * each digested. Unlike the contiguous [[frameSample]] frames, a copy
-    * SHIFTED by any multiple of `hop` still collides on every interior
-    * window — the alignment robustness an audio fingerprinter
-    * (chromaprint family) exists for. The md5 digest is the
-    * deterministic stand-in for a band-energy/chroma vector (no codecs
-    * in this sandbox — see [[decodeStub]]); pure column expressions,
-    * one explode, no shuffle. */
-  def audioFingerprint(docs: DataFrame, win: Int = 200, hop: Int = 100): DataFrame =
-    docs.select(col("doc_id"), col("text"),
-        greatest(lit(0L),
-          ((length(col("text")) - win) / hop).cast("long")).as("n_win"))
+  /** Explode a decoded image table into per-frame digests of the RGB
+    * buffer (one row per frame, offset metadata carried along). */
+  def pixelFrames(decoded: DataFrame, frameBytes: Int = 200): DataFrame = {
+    val total = col("width") * col("height") * lit(3L)
+    decoded.select(col("doc_id"), col("pixels"), total.as("total"),
+        ((total + frameBytes - 1) / frameBytes).cast("long").as("n_frames"))
       .select(col("doc_id"),
-        explode(sequence(lit(0), col("n_win"))).as("win_idx"), col("text"))
-      .where(col("win_idx") * hop + win <= length(col("text")))
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"),
+        col("pixels"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("offset"),
+        md5(expr(s"substring(pixels, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
+          .as("frame_md5"))
+  }
+
+  /** Overlapping-window fingerprints over REAL decoded PCM — the audio
+    * shape (an STFT hop): a window of `win` byte-symbols every `hop`
+    * symbols (hop < win ⇒ overlap), each digested. Unlike contiguous
+    * frames, a copy SHIFTED by any multiple of `hop` still collides on
+    * every interior window — the alignment robustness an audio
+    * fingerprinter (chromaprint family) exists for. The md5 digest over
+    * the re-quantized sample symbols is the deterministic stand-in for a
+    * band-energy/chroma vector; the WAV encode→parse round trip is real
+    * ([[packAudio]]/[[decodeAudio]]). */
+  def audioFingerprint(docs: DataFrame, win: Int = 200, hop: Int = 100): DataFrame =
+    decodeAudio(packAudio(docs)).toDF()
+      .select(col("doc_id"), col("pcm_bytes"), col("n_samples"),
+        greatest(lit(0L), ((col("n_samples") - win) / hop).cast("long")).as("n_win"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_win"))).as("win_idx"),
+        col("pcm_bytes"), col("n_samples"))
+      .where(col("win_idx") * hop + win <= col("n_samples"))
       .select(col("doc_id"), col("win_idx"),
         (col("win_idx") * hop).as("offset"),
-        md5(col("text").substr((col("win_idx") * hop + 1).cast("int"),
-          lit(win))).as("fp"))
+        md5(expr(s"substring(pcm_bytes, cast(win_idx * $hop + 1 as int), $win)"))
+          .as("fp"))
 
   /** Audio-style near-dup pairs: docs sharing ≥ minShared distinct
     * window fingerprints. The fingerprint table is the join key — same
@@ -185,9 +285,11 @@ object MultimodalOps {
       .where(col("shared") >= minShared)
   }
 
-  /** Frame sampling: explode each payload into fixed-size "frames" with a
-    * per-frame digest — the video-frame-sample shape (one output row per
-    * frame, offset metadata carried along). Pure column expressions.
+  /** Frame sampling over the RAW payload bytes (container-level, before
+    * any decode): explode each document into fixed-size byte frames with
+    * a per-frame digest — the cheap first-pass signal over opaque blobs
+    * (exact container dupes), distinct from [[frameDups]]' decoded-pixel
+    * frames. Pure column expressions.
     */
   def frameSample(docs: DataFrame, frameBytes: Int = 200): DataFrame =
     docs.select(col("doc_id"), col("text"),

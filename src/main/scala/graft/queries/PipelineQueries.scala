@@ -83,8 +83,20 @@ object PipelineQueries extends QueryGroup {
     // the same rounds with the identical left-fold distances
     "pipe_kcenter_select" -> ((s, d) =>
       ClusterOps.kCenterSelect(Tables.vectors(s, d), 5)),
+    // REAL image decode: documents packed as actual 24-bit BMP containers
+    // (pixels = doc bytes cycled), then genuinely parsed back — header
+    // offsets, stride padding, BGR swap. The oracle replays the
+    // CONSTRUCTION arithmetic; the parse must recover it exactly, and
+    // pixel_md5 pins the full recovered buffer byte-for-byte.
     "pipe_mm_decode" -> ((s, d) =>
-      MultimodalOps.decodeStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()),
+      MultimodalOps.decodeImage(MultimodalOps.packImage(Tables.documents(s, d)))
+        .toDF().drop("pixels")),
+    // REAL audio decode: RIFF/WAVE 16-bit PCM encode → chunk-walk parse;
+    // format descriptor + duration + amplitude stats over decoded samples
+    "pipe_mm_wav_decode" -> ((s, d) =>
+      MultimodalOps.decodeAudio(MultimodalOps.packAudio(Tables.documents(s, d)))
+        .toDF().drop("pcm_bytes")
+        .withColumn("amp_mean", round(col("amp_mean"), 4) + 0.0)),
     "pipe_mm_frames" -> ((s, d) =>
       MultimodalOps.frameSample(Tables.documents(s, d).where(col("doc_id") < 200))),
     // perceptual-hash near-dup over the multimodal path: stub decode →
@@ -116,8 +128,12 @@ object PipelineQueries extends QueryGroup {
           concat(lit("z" * 100), col("text")).as("text"))
       MultimodalOps.audioDups(docs.unionByName(planted))
     }),
+    // REAL decode → resize → features: BMP parse, then area-pool the
+    // decoded 3-channel luma onto a 4×2 grid (bin mean = exact integer
+    // sum / count, so the pixel-level SQL replay is bit-identical)
     "pipe_mm_features" -> ((s, d) =>
-      MultimodalOps.featureStub(MultimodalOps.toBinary(Tables.documents(s, d))).toDF()
+      MultimodalOps.imageFeatures(MultimodalOps.packImage(Tables.documents(s, d)), 4, 2)
+        .toDF()
         .select(col("doc_id"), col("resized_w"), col("resized_h"),
           posexplode(col("feat")).as(Seq("pos", "v")))
         .select(col("doc_id"), col("resized_w"), col("resized_h"), col("pos"),
@@ -1240,20 +1256,57 @@ object PipelineQueries extends QueryGroup {
          |FROM cand c
          |JOIN un ua ON ua.id = c.a JOIN un ub ON ub.id = c.b
          |WHERE ${foldDot("ua.uv", "ub.uv")} >= 0.45""".stripMargin,
+    // Real-BMP decode replay: w/h from the pack arithmetic, n_bytes from
+    // the BMP layout (54-byte headers + 4-byte-aligned rows), pixel_md5
+    // over the cycled document bytes the parse must recover exactly
     "pipe_mm_decode" ->
-      """SELECT doc_id, length(text) AS n_bytes,
-        |  64 + length(text) % 577 AS width,
-        |  64 + (length(text) * 7) % 419 AS height,
-        |  3 AS channels, md5(text) AS content_md5
-        |FROM documents""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    8 + length(text) % 57 AS w, 8 + (length(text) * 7) % 41 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS n_bytes,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  md5(substr(repeat(text, (w * h * 3 + len - 1) // len), 1, w * h * 3)) AS pixel_md5
+        |FROM dims""".stripMargin,
+    // Real-WAV decode replay: 62-byte container overhead (RIFF + fmt +
+    // LIST + data headers), sample t = (byte t − 128)·256
+    "pipe_mm_wav_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    sum((ascii(substr(text, t + 1, 1)) - 128) * 256) AS ssum,
+        |    min((ascii(substr(text, t + 1, 1)) - 128) * 256) AS smin,
+        |    max((ascii(substr(text, t + 1, 1)) - 128) * 256) AS smax
+        |  FROM documents, unnest(range(length(text))) AS r(t)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(62 + 2 * len AS BIGINT) AS n_bytes,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bit_depth, CAST(len AS BIGINT) AS n_samples,
+        |  CAST(len * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  round(CAST(ssum AS DOUBLE) / len, 4) + 0.0 AS amp_mean,
+        |  CAST(smin AS BIGINT) AS amp_min, CAST(smax AS BIGINT) AS amp_max
+        |FROM s""".stripMargin,
+    // Decode → 4×2 area-pool replay at pixel level: gray3 = r+g+b with
+    // byte p of the pixel buffer = doc byte (p mod len); bin mean as
+    // exact integer sum / count
     "pipe_mm_features" ->
-      """SELECT doc_id, CAST(224 AS BIGINT) AS resized_w, CAST(224 AS BIGINT) AS resized_h,
-        |  t AS pos,
-        |  round(CAST(('0x' || substr(md5(substr(text,
-        |          CAST(length(text)*t//8 AS INT) + 1,
-        |          CAST(length(text)*(t+1)//8 - length(text)*t//8 AS INT))), 1, 8)) AS BIGINT)
-        |        / 4294967296.0, 6) + 0.0 AS v
-        |FROM documents, range(8) r(t)""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    8 + length(text) % 57 AS w, 8 + (length(text) * 7) % 41 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    ((i % w) * 4) // w AS ox, ((i // w) * 2) // h AS oy,
+        |    ascii(substr(text, (3 * i) % len + 1, 1))
+        |      + ascii(substr(text, (3 * i + 1) % len + 1, 1))
+        |      + ascii(substr(text, (3 * i + 2) % len + 1, 1)) AS g
+        |  FROM dims, unnest(range(w * h)) AS t(i))
+        |SELECT doc_id, CAST(4 AS BIGINT) AS resized_w, CAST(2 AS BIGINT) AS resized_h,
+        |  CAST(oy * 4 + ox AS INT) AS pos,
+        |  round(CAST(sum(g) AS DOUBLE) / count(*), 6) + 0.0 AS v
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
     // deterministic shuffle replay: identical md5 key and fixed-range
     // shard arithmetic
     "pipe_global_shuffle" ->
@@ -1265,21 +1318,30 @@ object PipelineQueries extends QueryGroup {
         |  min(sk) AS min_sk, max(sk) AS max_sk,
         |  count(DISTINCT source) AS n_sources
         |FROM k GROUP BY 1""".stripMargin,
-    // pHash near-dup replay: same 64 md5-window lanes as pipe_mm_features,
-    // median via the two middle order statistics, 16-bit bands, candidate
-    // = shared band, confirm = band-wise popcount of XOR <= 6
+    // pHash near-dup replay over REAL decoded pixels: lanes = the 8×8
+    // area-pooled luma grid (same pixel-level arithmetic as the
+    // pipe_mm_features replay), median via the two middle order
+    // statistics, 16-bit bands, candidate = shared band, confirm =
+    // band-wise popcount of XOR <= 6
     "pipe_mm_phash_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+        |dims AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    8 + length(text) % 57 AS w, 8 + (length(text) * 7) % 41 AS h
+        |  FROM corpus),
+        |px AS (
+        |  SELECT doc_id,
+        |    ((i // w) * 8) // h * 8 + ((i % w) * 8) // w AS t,
+        |    ascii(substr(text, (3 * i) % len + 1, 1))
+        |      + ascii(substr(text, (3 * i + 1) % len + 1, 1))
+        |      + ascii(substr(text, (3 * i + 2) % len + 1, 1)) AS g
+        |  FROM dims, unnest(range(w * h)) AS r(i)),
         |lanes AS (
-        |  SELECT doc_id, t,
-        |    CAST(('0x' || substr(md5(substr(text,
-        |          CAST(length(text)*t//64 AS INT) + 1,
-        |          CAST(length(text)*(t+1)//64 - length(text)*t//64 AS INT))), 1, 8)) AS BIGINT)
-        |      / 4294967296.0 AS v
-        |  FROM corpus, range(64) r(t)),
+        |  SELECT doc_id, t, CAST(sum(g) AS DOUBLE) / count(*) AS v
+        |  FROM px GROUP BY 1, 2),
         |med AS (
         |  SELECT doc_id,
         |    (min(CASE WHEN rn = 32 THEN v END) + min(CASE WHEN rn = 33 THEN v END)) / 2.0 AS med
@@ -1306,15 +1368,24 @@ object PipelineQueries extends QueryGroup {
         |    bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS hamming
         |  FROM cand JOIN w wa ON wa.doc_id = a JOIN w wb ON wb.doc_id = b)
         |WHERE hamming <= 6""".stripMargin,
-    // frame dedup replay: identical frame digests over the planted corpus
+    // frame dedup replay over REAL decoded pixel buffers: frames are
+    // 200-byte windows of the recovered RGB stream (= doc bytes cycled
+    // to w·h·3), identical digests over the planted corpus
     "pipe_mm_frame_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+        |buf AS (
+        |  SELECT doc_id,
+        |    substr(repeat(text, (w * h * 3 + len - 1) // len), 1, w * h * 3) AS ps,
+        |    w * h * 3 AS total
+        |  FROM (SELECT doc_id, text, length(text) AS len,
+        |          8 + length(text) % 57 AS w, 8 + (length(text) * 7) % 41 AS h
+        |        FROM corpus)),
         |fr AS (
-        |  SELECT doc_id, md5(substr(text, i * 200 + 1, 200)) AS frame_md5
-        |  FROM corpus, unnest(range((length(text) + 199) // 200)) AS t(i))
+        |  SELECT doc_id, md5(substr(ps, i * 200 + 1, 200)) AS frame_md5
+        |  FROM buf, unnest(range((total + 199) // 200)) AS t(i))
         |SELECT frame_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "pipe_mm_audio_dup" ->

@@ -1,0 +1,117 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MediaCodec
+
+/** The media codecs must be REAL container implementations, not a private
+  * round-trip convention — so every direction is cross-validated against
+  * the JDK's independent decoders/encoders (`javax.imageio.ImageIO` for
+  * BMP, `javax.sound.sampled.AudioSystem` for WAV), which share no code
+  * with [[MediaCodec]].
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def sampleRgb(w: Int, h: Int, seed: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i * 31 + seed * 17 + i / 7) % 256).toByte)
+
+  test("our BMP encode is readable by ImageIO with identical pixels") {
+    for ((w, h, seed) <- Seq((1, 1, 0), (3, 2, 1), (8, 8, 2), (31, 48, 3), (64, 9, 4))) {
+      val rgb = sampleRgb(w, h, seed)
+      val bytes = MediaCodec.encodeBmp(w, h, rgb)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO could not parse our ${w}x$h BMP")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val p = (y * w + x) * 3
+        assert(((argb >> 16) & 0xff) == (rgb(p) & 0xff), s"R mismatch at ($x,$y)")
+        assert(((argb >> 8) & 0xff) == (rgb(p + 1) & 0xff), s"G mismatch at ($x,$y)")
+        assert((argb & 0xff) == (rgb(p + 2) & 0xff), s"B mismatch at ($x,$y)")
+      }
+    }
+  }
+
+  test("our BMP decode reads ImageIO-written (bottom-up) BMPs with identical pixels") {
+    for ((w, h, seed) <- Seq((1, 1, 5), (5, 3, 6), (22, 48, 7), (64, 48, 8))) {
+      val rgb = sampleRgb(w, h, seed)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", baos), "ImageIO has no BMP writer")
+      // ImageIO writes bottom-up (positive height) — the orientation our
+      // own encoder does NOT produce, so this leg proves the parser's
+      // row-order handling rather than replaying our own layout
+      val dec = MediaCodec.decodeBmp(baos.toByteArray)
+      assert(dec.width == w && dec.height == h)
+      assert(dec.rgb.sameElements(rgb), s"pixel mismatch on ImageIO-written ${w}x$h BMP")
+    }
+  }
+
+  test("BMP round-trip is exact across a dimension sweep (incl. every stride-pad case)") {
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 0 until 60) {
+      val (w, h, seed) = (1 + rnd.nextInt(40), 1 + rnd.nextInt(30), rnd.nextInt(1000))
+      val rgb = sampleRgb(w, h, seed)
+      val dec = MediaCodec.decodeBmp(MediaCodec.encodeBmp(w, h, rgb))
+      assert(dec.width == w && dec.height == h && dec.rgb.sameElements(rgb),
+        s"round-trip broke at ${w}x$h seed=$seed")
+    }
+  }
+
+  test("our WAV encode is readable by AudioSystem with identical format and PCM") {
+    val samples = Array.tabulate(1234)(t => ((t * 7919 + 13) % 65536 - 32768).toShort)
+    val bytes = MediaCodec.encodeWav(8000, samples)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+    val pcm = in.readAllBytes()
+    assert(pcm.length == samples.length * 2, s"AudioSystem read ${pcm.length} PCM bytes")
+    for (t <- samples.indices) {
+      val v = ((pcm(2 * t) & 0xff) | (pcm(2 * t + 1) << 8)).toShort
+      assert(v == samples(t), s"sample $t: $v != ${samples(t)}")
+    }
+  }
+
+  test("our WAV decode reads AudioSystem-written WAVs with identical samples") {
+    val samples = Array.tabulate(777)(t => ((t * 257 - 5000) % 32768).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (t <- samples.indices) {
+      pcm(2 * t) = (samples(t) & 0xff).toByte
+      pcm(2 * t + 1) = ((samples(t) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val dec = MediaCodec.decodeWav(baos.toByteArray)
+    assert(dec.sampleRate == 8000 && dec.channels == 1 && dec.bitsPerSample == 16)
+    assert(dec.samples.sameElements(samples), "PCM mismatch on AudioSystem-written WAV")
+  }
+
+  test("WAV chunk walk skips unknown chunks (LIST present in every payload)") {
+    val samples = Array.tabulate(50)(t => (t * 100).toShort)
+    val bytes = MediaCodec.encodeWav(8000, samples)
+    // the LIST chunk sits between fmt and data; a byte-44 assumption
+    // would misread — verify data is NOT at offset 44
+    assert(new String(bytes, 36, 4, "US-ASCII") == "LIST")
+    val dec = MediaCodec.decodeWav(bytes)
+    assert(dec.samples.sameElements(samples))
+  }
+
+  test("WAV round-trip is exact across a length sweep (odd and even)") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 40) {
+      val (n, seed) = (1 + rnd.nextInt(3000), rnd.nextInt(1 << 20))
+      val samples = Array.tabulate(n)(t => (((t * 31 + seed) % 65536) - 32768).toShort)
+      val dec = MediaCodec.decodeWav(MediaCodec.encodeWav(8000, samples))
+      assert(dec.sampleRate == 8000 && dec.samples.sameElements(samples),
+        s"round-trip broke at n=$n seed=$seed")
+    }
+  }
+}

@@ -221,7 +221,12 @@ class PipelineSpec extends AnyFunSuite {
 
   test("overlapping audio windows catch hop-shifted copies that frames miss") {
     import spark.implicits._
-    val base = ('a' to 'z').mkString * 40 // 1040 chars
+    // NON-periodic base (a periodic one makes the decoded pixel stream
+    // periodic too, and contiguous pixel frames then collide legitimately)
+    val base = {
+      val rnd = new scala.util.Random(7)
+      Array.fill(1040)(('a' + rnd.nextInt(26)).toChar).mkString
+    }
     // shift by exactly one hop (100 chars): frames (stride 200) see no
     // shared frame; overlapping windows realign from window 1 onward
     val shifted = ("z" * 100) + base
