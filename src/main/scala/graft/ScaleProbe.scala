@@ -341,6 +341,53 @@ object ScaleProbe {
           f""""$nm":{"hof_sec":$tH%.3f,"fused_sec":$tF%.3f,"speedup":${tH / tF}%.2f}"""
         }
         s""""mode":"lanefold","n":$n,"d":$d,${rows.mkString(",")}"""
+      case "trust" =>
+        // batched (kNN + τ-ball rank-count) trustworthiness vs the n²
+        // full-pairwise baseline, on a clustered 64-d fixture whose first
+        // 8 lanes carry the cluster geometry (so emb = slice(vec,1,8) is
+        // a locality-preserving but lossy projection — penalty nonzero).
+        // Oracle: exact equality of the two forms' rounded scores — the
+        // batched path's prune/rank machinery has to reproduce every
+        // window-rank of the baseline to match.
+        import graft.operators.SpectralOps
+        val d = 64
+        def lane(l: Int) = {
+          val c = pmod(col("id"), lit(97L)) // cluster id
+          val center = pmod(c * 31 + lit(l * 17), lit(97L)).cast("double") / 97.0 * 10.0
+          val noise = (pmod(xxhash64(col("id"), lit(l), lit("trust")),
+            lit(1000000L)).cast("double") + 0.5) / 1000000.0
+          center + noise
+        }
+        val v = spark.range(n)
+          .select(col("id"), array((0 until d).map(lane): _*).as("vec"))
+          .select(col("id"), col("vec"), expr("slice(vec, 1, 8)").as("emb"))
+          .localCheckpoint(true)
+        val tB0 = System.nanoTime()
+        val tb = SpectralOps.trustworthinessBatchedOn(v).head().getDouble(0)
+        val tBatched = (System.nanoTime() - tB0) / 1e9
+        val tF0 = System.nanoTime()
+        val tf = SpectralOps.trustworthinessFullOn(v).head().getDouble(0)
+        val tFull = (System.nanoTime() - tF0) / 1e9
+        require(tb == tf, s"batched trustworthiness $tb != full-pairwise $tf")
+        f""""mode":"trust","n":$n,"score":$tb,"batched_sec":$tBatched%.1f,"full_sec":$tFull%.1f"""
+      case "lapkeyed" =>
+        // distributed-state (DataFrame prices/assignments) final auction
+        // phase at n: same planted dual certificate as the `lap` mode, so
+        // the closed-form Σu+Σv optimum verifies the keyed path exactly
+        val u = pmod(col("i") * 13, lit(500L))
+        val v = pmod(col("j") * 7, lit(300L))
+        val noise = pmod(xxhash64(col("i"), col("j"), lit("lapPB")), lit(1000000L)) + 1
+        val c = when(col("j") === pmod(col("i") * 2001L, lit(n)), u + v)
+          .otherwise(u + v + noise)
+        require(BigInt(2001).gcd(BigInt(n)) == 1, s"2001 must be coprime to $n")
+        val row = graft.operators.SolverOps.lapAuctionDistributed(
+          spark, n.toInt, priceJoinThreshold = 0, costExpr = Some(c),
+          keyedFinal = true).head()
+        val expect = (0L until n).map(i => (i * 13) % 500).sum +
+          (0L until n).map(j => (j * 7) % 300).sum
+        require(row.getLong(0) == n && row.getLong(1) == expect,
+          s"keyed LAP wrong: got (${row.getLong(0)}, ${row.getLong(1)}), want ($n, $expect)")
+        s""""mode":"lapkeyed","n":$n,"total_cost":${row.getLong(1)}"""
       case "allpairs" =>
         // phase timing for the sparse all-pairs cosine join: where do the
         // seconds go on the bounded 600-doc bench slice (and at larger

@@ -132,4 +132,121 @@ object SpectralOps {
     val norm = 2.0 / (n.toDouble * k * (2 * n - 3 * k - 1))
     penalty.select(round(lit(1.0) - lit(norm) * col("pen"), 6).as("trustworthiness"))
   }
+
+  /** Batched/kNN-form trustworthiness — the SCALE path for the full-
+    * pairwise [[trustworthiness]] (which broadcasts the n² pair table and
+    * is pinned to n=100). Mirrors the reference's batched formulation
+    * (stats/trustworthiness_score.cuh:63: precomputed kNN indices +
+    * blockwise rank counting) with distributed primitives; never
+    * materializes n² pairs:
+    *
+    *  1. kNN_emb(i): exact k nearest in EMBEDDED space via the
+    *     landmark-cell (ball-cover) prune — n·k pairs out.
+    *  2. d_orig(i,j) for exactly those n·k pairs (two hash joins).
+    *  3. τ_i = max_j d_orig(i,j): every original-space rank the score
+    *     needs is witnessed inside the radius-τ_i ball around i — points
+    *     beyond τ_i can only rank BELOW the farthest needed neighbor and
+    *     cannot change any count.
+    *  4. Ball membership by the same triangle-inequality cell prune
+    *     (cell l can intersect ball(i, τ_i) only if d(i,l) − r_l ≤ τ_i),
+    *     so the pair generation is Σ_i |ball(i, τ_i)| — for an embedding
+    *     that preserves ANY locality, ≪ n²; a 1000-executor cluster
+    *     partitions it by cell.
+    *  5. rank_orig(i,j) = 1 + #{l : (d²_il, l) <lex (d²_ij, j)} — exact,
+    *     computed per kNN pair from the ball members (squared distances
+    *     in the same fold arithmetic as the oracle, so tie order is
+    *     bit-identical; sqrt only ever feeds the prune bounds).
+    *
+    * Output and normalization identical to the pinned form, but n is the
+    * WHOLE table — the pinned form stays as the small-n oracle twin.
+    */
+  def trustworthinessBatched(spark: SparkSession, dir: String, k: Int = 5,
+      numLandmarks: Int = 16): DataFrame =
+    trustworthinessBatchedOn(
+      Tables.vectors(spark, dir)
+        .select(col("id"), col("vec"), expr("slice(vec, 1, 8)").as("emb")),
+      k, numLandmarks)
+
+  /** [[trustworthinessBatched]] over any (id, vec, emb) table — the form
+    * ScaleProbe drives at n ≥ 1e4 against the full-pairwise twin. */
+  def trustworthinessBatchedOn(vIn: DataFrame, k: Int = 5,
+      numLandmarks: Int = 16): DataFrame = {
+    val spark = vIn.sparkSession
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ArrayMath.foldSum(ArrayMath.sub(a, b), x => x * x)
+    val v = vIn.localCheckpoint(true)
+    val n = v.count()
+    // 1. exact embedded-space kNN (ball-cover prune; ties (d, j) as oracle)
+    val embKnn = DistanceOps.ballCoverKnn(
+        v.select(col("id"), col("emb").as("vec")), k, numLandmarks)
+      .select(col("src").as("i"), col("dst").as("j"))
+    // 2. original-space squared distance for the n·k kNN pairs only
+    val pairD = embKnn
+      .join(v.select(col("id").as("i"), col("vec").as("vi")), Seq("i"))
+      .join(v.select(col("id").as("j"), col("vec").as("vj")), Seq("j"))
+      .select(col("i"), col("j"), d2(col("vi"), col("vj")).as("dij2"))
+      .localCheckpoint(true)
+    // 3. per-query certificate radius (metric space ⇒ sqrt for the prune)
+    val taus = pairD.groupBy(col("i"))
+      .agg(sqrt(max(col("dij2"))).as("tau"))
+      .withColumnRenamed("i", "id")
+    // 4. ball members within τ_i via landmark-cell prune in ORIGINAL space
+    val pts = v.select(col("id"), col("vec"))
+    val lms = pts.where(col("id") < numLandmarks)
+      .select(col("id").as("lid"), col("vec").as("lvec"))
+    val pl = pts.crossJoin(broadcast(lms))
+      .select(col("id"), col("lid"),
+        sqrt(DistanceOps.l2sq(col("vec"), col("lvec"))).as("dl"))
+      .localCheckpoint(true)
+    val assign = pl.groupBy(col("id"))
+      .agg(min(struct(col("dl"), col("lid"))).as("m"))
+      .select(col("id"), col("m.lid").as("cell"), col("m.dl").as("dcell"))
+    val cells = pts.join(assign, Seq("id")).localCheckpoint(true)
+    val radii = cells.groupBy(col("cell")).agg(max(col("dcell")).as("radius"))
+    val candCells = pl.join(taus, Seq("id"))
+      .join(radii.withColumnRenamed("cell", "lid"), Seq("lid"))
+      .where(col("dl") - col("radius") <= col("tau") + 1e-9)
+      .select(col("id").as("i"), col("lid").as("cell"), col("tau"))
+    val members = candCells
+      .join(cells.select(col("cell"), col("id").as("l"), col("vec").as("vl")), Seq("cell"))
+      .where(col("l") =!= col("i"))
+      .join(pts.select(col("id").as("i"), col("vec").as("vi")), Seq("i"))
+      .select(col("i"), col("l"), col("tau"), d2(col("vi"), col("vl")).as("dil2"))
+      .where(sqrt(col("dil2")) <= col("tau") + 1e-9)
+      .select(col("i"), col("l"), col("dil2"))
+    // 5. exact lexicographic rank per kNN pair (l = j contributes nothing:
+    //    dil2 = dij2 and l < j is false; pairs with nothing closer need
+    //    the left join to survive as rank 1)
+    val below = pairD.join(members, Seq("i"))
+      .where(col("dil2") < col("dij2") ||
+        (col("dil2") === col("dij2") && col("l") < col("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("cnt"))
+    val ranks = pairD.join(below, Seq("i", "j"), "left")
+      .select((coalesce(col("cnt"), lit(0L)) + 1L).as("r_orig"))
+    val norm = 2.0 / (n.toDouble * k * (2L * n - 3L * k - 1L))
+    ranks.agg(sum(greatest(col("r_orig") - k, lit(0L))).as("pen"))
+      .select(round(lit(1.0) - lit(norm) * col("pen"), 6).as("trustworthiness"))
+  }
+
+  /** Full-pairwise trustworthiness over any (id, vec, emb) table — the n²
+    * baseline the batched form is cross-checked against in ScaleProbe
+    * (same window-rank construction as the pinned [[trustworthiness]]). */
+  def trustworthinessFullOn(v: DataFrame, k: Int = 5): DataFrame = {
+    val n = v.count()
+    val a = v.select(col("id").as("i"), col("vec").as("va"), col("emb").as("ea"))
+    val b = v.select(col("id").as("j"), col("vec").as("vb"), col("emb").as("eb"))
+    val pairs = a.join(broadcast(b), col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        ArrayMath.foldSum(ArrayMath.sub(col("va"), col("vb")), x => x * x).as("d_orig"),
+        ArrayMath.foldSum(ArrayMath.sub(col("ea"), col("eb")), x => x * x).as("d_emb"))
+    val wOrig = Window.partitionBy(col("i")).orderBy(col("d_orig").asc, col("j").asc)
+    val wEmb = Window.partitionBy(col("i")).orderBy(col("d_emb").asc, col("j").asc)
+    val ranked = pairs
+      .withColumn("r_orig", row_number().over(wOrig))
+      .withColumn("r_emb", row_number().over(wEmb))
+    val norm = 2.0 / (n.toDouble * k * (2L * n - 3L * k - 1L))
+    ranked.where(col("r_emb") <= k)
+      .agg(sum(greatest(col("r_orig") - k, lit(0))).as("pen"))
+      .select(round(lit(1.0) - lit(norm) * col("pen"), 6).as("trustworthiness"))
+  }
 }

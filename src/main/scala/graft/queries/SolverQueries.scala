@@ -244,7 +244,11 @@ object SolverQueries extends QueryGroup {
     // external Jonker-Volgenant implementation); permutation properties
     // (perfect matching, matches auction certificate) live in Solver2Spec
     "solver_lap" -> ((s, d) => SolverOps.lapAssignmentSummary(s, 50)),
-    "solver_lap_dist" -> ((s, d) => SolverOps.lapAuctionDistributed(s, 500)),
+    // keyedFinal: the last ε-phase runs with DataFrame-resident prices/
+    // assignments (lapKeyedPhase) — the distributed-state auction path;
+    // the certificate still guarantees the exact optimum either way
+    "solver_lap_dist" -> ((s, d) =>
+      SolverOps.lapAuctionDistributed(s, 500, keyedFinal = true)),
     "solver_lap_planted" -> ((s, d) => {
       // 4×-the-n scale-evidence row with a REAL oracle at any n: plant a
       // dual certificate. c(i,j) = u_i + v_j + s(i,j) with s ≥ 0 and

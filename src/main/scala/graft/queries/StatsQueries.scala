@@ -97,6 +97,8 @@ object StatsQueries extends QueryGroup {
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")))),
     "stat_info_criterion" -> ((s, d) => StatsOps.informationCriterion(s, d)),
     "stat_trustworthiness" -> ((s, d) => graft.operators.SpectralOps.trustworthiness(s, d)),
+    "stat_trustworthiness_batched" -> ((s, d) =>
+      graft.operators.SpectralOps.trustworthinessBatched(s, d)),
     // threshold-free ranking metric: AUC from the tie-exact rank-sum
     // (the MWU machinery), score=value vs purchase-or-not
     "stat_auc" -> ((s, d) => StatsOps.rocAuc(
@@ -460,6 +462,31 @@ object StatsQueries extends QueryGroup {
          |  FROM pairs)
          |SELECT round(1.0 - $norm * sum(greatest(r_orig - $k, 0)), 6) AS trustworthiness
          |FROM ranked WHERE r_emb <= $k""".stripMargin
+    },
+    // full-table twin of the batched kNN form: same formula, n = all rows,
+    // norm computed from count(*) so the oracle tracks the table size
+    "stat_trustworthiness_batched" -> {
+      def foldD(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, x) -> s + x)"
+      val k = 5
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, list_transform(embedding, f -> CAST(f AS DOUBLE)) AS vec,
+         |         list_transform(embedding[1:8], f -> CAST(f AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |pairs AS (
+         |  SELECT a.id AS i, b.id AS j,
+         |    ${foldD("a.vec", "b.vec")} AS d_orig,
+         |    ${foldD("a.emb", "b.emb")} AS d_emb
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |ranked AS (
+         |  SELECT i, j,
+         |    row_number() OVER (PARTITION BY i ORDER BY d_orig, j) AS r_orig,
+         |    row_number() OVER (PARTITION BY i ORDER BY d_emb, j) AS r_emb
+         |  FROM pairs)
+         |SELECT round(1.0 - (2.0 / (n * $k * (2 * n - 3 * $k - 1)))
+         |  * sum(greatest(r_orig - $k, 0)), 6) AS trustworthiness
+         |FROM ranked, nn WHERE r_emb <= $k GROUP BY n""".stripMargin
     },
     "stat_info_criterion" ->
       """WITH x0 AS (

@@ -126,6 +126,25 @@ class Solver2Spec extends AnyFunSuite {
       s"auction total ${row.getLong(1)} vs Hungarian ${total.toLong}")
   }
 
+  test("keyed (DataFrame-state) final auction phase reaches the exact optimum") {
+    // keyedFinal routes the last ε-phase through lapKeyedPhase — Jacobi
+    // bids + per-column max_by with prices/assignments as DataFrames; the
+    // driver Gauss-Seidel form is the oracle via Hungarian equality
+    val Array(row) = SolverOps.lapAuctionDistributed(spark, 60, topT = 8,
+      keyedFinal = true).collect()
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cost = Array.tabulate(60, 60)((i, j) =>
+      (h32(s"$i:$j:lap") % 1000000L).toDouble)
+    val (_, total) = SolverOps.hungarian(cost)
+    assert(row.getLong(0) == 60L, "assignment must be a perfect matching")
+    assert(row.getLong(1) == total.toLong,
+      s"keyed-phase auction ${row.getLong(1)} vs Hungarian ${total.toLong}")
+  }
+
   test("auction LAP price-join certificate path matches the literal-array path") {
     // priceJoinThreshold=0 forces the broadcast-join certificate (the
     // beyond-driver-literal-scale form); same fixture, same exact optimum
