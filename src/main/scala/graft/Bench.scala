@@ -84,9 +84,16 @@ object Bench {
       System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): ${errors.keys.mkString(", ")}")
     val failedMedians = results.count(_._2 < 0)
     val repsJson = repTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
+    // idle-host protocol flag (ADVICE r8): rep totals spreading >15%
+    // around their median mean host contention — downstream consumers
+    // must not read per-query deltas from such a run as regressions
+    val idle = repTotals.nonEmpty && {
+      val med = repTotals.sorted.apply((repTotals.length - 1) / 2)
+      repTotals.forall(t => math.abs(t - med) <= 0.15 * med)
+    }
     // self-authentication (ADVICE r8): commit + timestamp in the artifact,
     // so a genuine re-run is distinguishable from a file copy
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"commit":${jstr(RunStamp.commit)},"ts":${jstr(RunStamp.ts)},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"idle":$idle,"commit":${jstr(RunStamp.commit)},"ts":${jstr(RunStamp.ts)},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     // The harness records only the TAIL of the output, so the full ~4KB
     // per-query line gets truncated at the start and fails to parse. Emit
     // the full line first (archive: also written to BENCH_LOCAL.json),

@@ -388,6 +388,49 @@ object ScaleProbe {
         require(row.getLong(0) == n && row.getLong(1) == expect,
           s"keyed LAP wrong: got (${row.getLong(0)}, ${row.getLong(1)}), want ($n, $expect)")
         s""""mode":"lapkeyed","n":$n,"total_cost":${row.getLong(1)}"""
+      case "stream" =>
+        // sustained MemoryStream throughput for the stateful streaming
+        // operators at a FIXED state budget (VERDICT r8 stretch): n events
+        // in 200k-row micro-batches through watermarked dedup, windowed
+        // CMS, and the HDR quantile sketch; event time advances 50 ms per
+        // event so the 2 h watermark keeps evicting — reported state rows
+        // are the horizon's, not the stream's. noop sink = pure pipeline
+        // cost, no collection.
+        import graft.operators.StreamingOps
+        import graft.operators.StreamingOps.Ev
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.{DataFrame, Dataset}
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val chunk = 200000
+        val t0ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        def mkChunk(c0: Long): Seq[Ev] =
+          (0 until chunk.toInt).map { q =>
+            val i = c0 + q
+            // ~10% near-duplicate event_ids (adjacent pair) for the dedup op
+            val id = if (i % 10 == 0 && i > 0) i - 1 else i
+            Ev(id, new java.sql.Timestamp(t0ms + i * 50L), i % 997L,
+              if (i % 3 == 0) "click" else "view", (i % 1000) * 0.01)
+          }
+        def run(tag: String, mode: String, mk: Dataset[Ev] => DataFrame): String = {
+          val input = MemoryStream[Ev]
+          val q = mk(input.toDS()).writeStream.outputMode(mode)
+            .format("noop").start()
+          val t = System.nanoTime()
+          try {
+            var c0 = 0L
+            while (c0 < n) { input.addData(mkChunk(c0)); q.processAllAvailable(); c0 += chunk }
+          } finally q.stop()
+          val sec = (System.nanoTime() - t) / 1e9
+          val stateRows = Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+          f""""$tag":{"events_per_sec":${(n / sec).toLong},"sec":$sec%.1f,"state_rows":$stateRows}"""
+        }
+        val r1 = run("dedup", "append", ds => StreamingOps.streamingDedup(ds).toDF())
+        val r2 = run("cms", "update", ds => StreamingOps.streamingCms(ds))
+        val r3 = run("quantile_sketch", "update",
+          ds => StreamingOps.streamingQuantileSketch(ds))
+        s""""mode":"stream","n":$n,$r1,$r2,$r3"""
       case "allpairs" =>
         // phase timing for the sparse all-pairs cosine join: where do the
         // seconds go on the bounded 600-doc bench slice (and at larger

@@ -161,24 +161,30 @@ object SpectralOps {
     * WHOLE table — the pinned form stays as the small-n oracle twin.
     */
   def trustworthinessBatched(spark: SparkSession, dir: String, k: Int = 5,
-      numLandmarks: Int = 16): DataFrame =
+      numLandmarks: Int = -1): DataFrame =
     trustworthinessBatchedOn(
       Tables.vectors(spark, dir)
         .select(col("id"), col("vec"), expr("slice(vec, 1, 8)").as("emb")),
       k, numLandmarks)
 
   /** [[trustworthinessBatched]] over any (id, vec, emb) table — the form
-    * ScaleProbe drives at n ≥ 1e4 against the full-pairwise twin. */
+    * ScaleProbe drives at n ≥ 1e4 against the full-pairwise twin.
+    * numLandmarks < 0 ⇒ √n (cell population ≈ cell count balances the
+    * n×L assignment join against the per-cell scan; 16 landmarks at
+    * n=1e4 left cells so wide the prune kept ~half of n² — measured 161 s
+    * vs 18.3 s at √n, with the n² baseline at 41.8 s). */
   def trustworthinessBatchedOn(vIn: DataFrame, k: Int = 5,
-      numLandmarks: Int = 16): DataFrame = {
+      numLandmarks: Int = -1): DataFrame = {
     val spark = vIn.sparkSession
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       ArrayMath.foldSum(ArrayMath.sub(a, b), x => x * x)
     val v = vIn.localCheckpoint(true)
     val n = v.count()
+    val nLm = if (numLandmarks > 0) numLandmarks
+      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
     // 1. exact embedded-space kNN (ball-cover prune; ties (d, j) as oracle)
     val embKnn = DistanceOps.ballCoverKnn(
-        v.select(col("id"), col("emb").as("vec")), k, numLandmarks)
+        v.select(col("id"), col("emb").as("vec")), k, nLm)
       .select(col("src").as("i"), col("dst").as("j"))
     // 2. original-space squared distance for the n·k kNN pairs only
     val pairD = embKnn
@@ -192,7 +198,7 @@ object SpectralOps {
       .withColumnRenamed("i", "id")
     // 4. ball members within τ_i via landmark-cell prune in ORIGINAL space
     val pts = v.select(col("id"), col("vec"))
-    val lms = pts.where(col("id") < numLandmarks)
+    val lms = pts.where(col("id") < nLm)
       .select(col("id").as("lid"), col("vec").as("lvec"))
     val pl = pts.crossJoin(broadcast(lms))
       .select(col("id"), col("lid"),
