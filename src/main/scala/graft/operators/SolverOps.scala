@@ -996,9 +996,10 @@ object SolverOps {
     *    current prices; per-row best/second-best via the bounded-heap
     *    TopKAgg (map-side partials, no window sort); bid = w1 − w2 + ε;
     *  - winners: per-column max_by(bid) — one keyed aggregate;
-    *  - state update: assignment = anti-join out re-won columns ∪ winners;
-    *    prices = left join + coalesce increment. Both ≤ n rows, eagerly
-    *    checkpointed so round lineage stays O(1).
+    *  - state update: ONE left join rewriting the column-keyed (j, price,
+    *    owner) table — price += winning bid, owner := winner; eviction is
+    *    implicit (the re-won column's old owner falls out of the owners
+    *    set). n rows, eagerly checkpointed so round lineage stays O(1).
     *
     * The parallel-bid variant preserves ε-CS (a winner's post-increment
     * value is w2 − ε ≥ every alternative − ε, and other prices only rise),
@@ -1013,18 +1014,28 @@ object SolverOps {
       prices0: Array[Double], eps: Double, n: Int,
       maxRounds: Int = 300): (Array[Int], Array[Double]) = {
     import graft.functions.TopKAgg
-    var prices = spark.createDataFrame(
-        prices0.toSeq.zipWithIndex.map { case (p, j) => (j.toLong, p) })
-      .toDF("j", "p").localCheckpoint(true)
-    var assign = spark.range(0)
-      .select(col("id").as("i"), col("id").as("j"))
+    // ONE state table, keyed by column: (j, price, owning row or −1).
+    // Column-keyed state makes eviction implicit — a re-won column simply
+    // overwrites its owner, and the old owner drops out of the owners set
+    // — so each round is exactly one keyed state rewrite (plus a count on
+    // the already-materialized checkpoint for the termination test).
+    var state = spark.createDataFrame(
+        prices0.toSeq.zipWithIndex.map { case (p, j) => (j.toLong, p, -1L) })
+      .toDF("j", "p", "i").localCheckpoint(true)
+    // rounds are latency-bound, not volume-bound: below ~1e4 kernel rows
+    // per-stage task overhead dominates, so collapse the kernel to one
+    // partition (a cluster-size n keeps its natural partitioning)
+    val kern = (if (n <= 10000) kernelDf.coalesce(1) else kernelDf)
+      .localCheckpoint(true)
+    val allI = spark.range(0, n, 1, math.max(1, n / 10000))
+      .select(col("id").as("i")).localCheckpoint(true)
     var unassigned = n.toLong
     var round = 0
     while (unassigned > 0 && round < maxRounds) {
-      val unI = spark.range(n).select(col("id").as("i"))
-        .join(assign.select(col("i")), Seq("i"), "left_anti")
-      val bids = kernelDf.join(unI, Seq("i"))
-        .join(broadcast(prices), Seq("j"))
+      val unI = allI
+        .join(state.where(col("i") >= 0).select(col("i")), Seq("i"), "left_anti")
+      val bids = kern.join(unI, Seq("i"))
+        .join(broadcast(state.select(col("j"), col("p"))), Seq("j"))
         .select(col("i"), col("j"), (col("c") + col("p")).as("negv"))
         .groupBy(col("i"))
         .agg(TopKAgg.topKMin(col("negv"), col("j"), 2).as("t2"))
@@ -1035,22 +1046,24 @@ object SolverOps {
               - element_at(col("t"), 1).getField("c") + eps).as("bid"))
       val winners = bids.groupBy(col("j"))
         .agg(max(struct(col("bid"), col("i"))).as("w"))
-        .select(col("w.i").as("i"), col("j"), col("w.bid").as("bid"))
+        .select(col("j"), col("w.i").as("wi"), col("w.bid").as("bid"))
+      state = state.join(winners, Seq("j"), "left")
+        .select(col("j"),
+          (col("p") + coalesce(col("bid"), lit(0.0))).as("p"),
+          coalesce(col("wi"), col("i")).as("i"))
         .localCheckpoint(true)
-      assign = assign.join(winners.select(col("j")), Seq("j"), "left_anti")
-        .select(col("i"), col("j"))
-        .unionByName(winners.select(col("i"), col("j")))
-        .localCheckpoint(true)
-      prices = prices.join(winners.select(col("j"), col("bid")), Seq("j"), "left")
-        .select(col("j"), (col("p") + coalesce(col("bid"), lit(0.0))).as("p"))
-        .localCheckpoint(true)
-      unassigned = n - assign.count()
+      unassigned = n - state.where(col("i") >= 0).count()
       round += 1
     }
+    val rows = state.collect()
     val aOut = Array.fill(n)(-1)
-    assign.collect().foreach(r => aOut(r.getLong(0).toInt) = r.getLong(1).toInt)
     val pOut = new Array[Double](n)
-    prices.collect().foreach(r => pOut(r.getLong(0).toInt) = r.getDouble(1))
+    rows.foreach { r =>
+      val j = r.getLong(0).toInt
+      pOut(j) = r.getDouble(1)
+      val i = r.getLong(2)
+      if (i >= 0) aOut(i.toInt) = j
+    }
     (aOut, pOut)
   }
 
