@@ -285,6 +285,79 @@ object MultimodalOps {
       .where(col("shared") >= minShared)
   }
 
+  /** Audio ALIGNMENT over the near-dup pairs — the offset-estimation step
+    * a real audio fingerprinter (Shazam/chromaprint family) runs after
+    * candidate matching: for each pair, histogram the lag (offset_a −
+    * offset_b) over SHARED window fingerprints and pick the winning lag.
+    * A true time-shifted copy concentrates its votes on one lag (the
+    * shift); coincidental collisions scatter. One fingerprint equi-join +
+    * two keyed aggregates — the same (fp)-keyed shuffle as [[audioDups]]
+    * with a (pair, lag) vote count on top; nothing touches PCM twice.
+    * Returns (doc_a, doc_b, lag, votes, total_votes), lag in SAMPLES
+    * (byte symbols), ties broken toward the smaller lag.
+    */
+  def audioAlign(docs: DataFrame, win: Int = 200, hop: Int = 100,
+      minVotes: Long = 3): DataFrame = {
+    val f = audioFingerprint(docs, win, hop)
+    val a = f.select(col("doc_id").as("doc_a"), col("fp"), col("offset").as("off_a"))
+    val b = f.select(col("doc_id").as("doc_b"), col("fp"), col("offset").as("off_b"))
+    a.join(b, Seq("fp")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("off_a") - col("off_b")).as("lag"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(struct(col("v"), (-col("lag")).as("nl"))).as("m"),
+        sum(col("v")).as("total_votes"))
+      .select(col("doc_a"), col("doc_b"), (-col("m.nl")).as("lag"),
+        col("m.v").as("votes"), col("total_votes"))
+      .where(col("votes") >= minVotes)
+  }
+
+  /** Image augmentation over REAL decoded pixels — the standard
+    * training-time transforms as exact pixel-buffer permutations:
+    * horizontal flip, 180° rotation, and center crop (to ⌊w/2⌋×⌊h/2⌋).
+    * Each runs inside the decode's `mapPartitions` batch (decode once,
+    * permute in place, digest) and emits the output dims + the md5 of
+    * the transformed buffer — the value an exact SQL replay of the index
+    * arithmetic can pin byte-for-byte. A resize/crop/flip pipeline stage
+    * at 100 TB is exactly this shape: per-row CPU, zero shuffle.
+    */
+  def imageAugment(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeImage(packImage(docs)).mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val (w, h) = (m.width.toInt, m.height.toInt)
+        val src = m.pixels
+        def permuted(w2: Int, h2: Int)(srcIdx: (Int, Int) => Int): Array[Byte] = {
+          val out = new Array[Byte](w2 * h2 * 3)
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              val s = srcIdx(x, y) * 3
+              val d = (y * w2 + x) * 3
+              out(d) = src(s); out(d + 1) = src(s + 1); out(d + 2) = src(s + 2)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        val hflip = permuted(w, h)((x, y) => y * w + (w - 1 - x))
+        val rot = permuted(w, h)((x, y) => (h - 1 - y) * w + (w - 1 - x))
+        val (w2, h2) = (w / 2, h / 2)
+        val (x0, y0) = ((w - w2) / 2, (h - h2) / 2)
+        val crop = permuted(w2, h2)((x, y) => (y + y0) * w + (x + x0))
+        Seq(
+          (m.doc_id, "hflip", w.toLong, h.toLong, hex(md, hflip)),
+          (m.doc_id, "rot180", w.toLong, h.toLong, hex(md, rot)),
+          (m.doc_id, "crop", w2.toLong, h2.toLong, hex(md, crop)))
+      }
+    }.toDF("doc_id", "aug", "out_w", "out_h", "aug_md5")
+  }
+
   /** Frame sampling over the RAW payload bytes (container-level, before
     * any decode): explode each document into fixed-size byte frames with
     * a per-frame digest — the cheap first-pass signal over opaque blobs

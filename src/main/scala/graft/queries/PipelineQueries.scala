@@ -128,6 +128,21 @@ object PipelineQueries extends QueryGroup {
           concat(lit("z" * 100), col("text")).as("text"))
       MultimodalOps.audioDups(docs.unionByName(planted))
     }),
+    // audio ALIGNMENT: offset estimation over the shared-fingerprint lag
+    // histogram (the post-match step of a Shazam-family fingerprinter);
+    // the planted one-hop-shifted copies must align at lag = -100 samples
+    "pipe_mm_audio_align" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("z" * 100), col("text")).as("text"))
+      MultimodalOps.audioAlign(docs.unionByName(planted))
+    }),
+    // image augmentation over REAL decoded pixels: hflip / rot180 /
+    // center-crop as exact buffer permutations, md5-pinned — the oracle
+    // replays the index arithmetic byte-for-byte
+    "pipe_mm_augment" -> ((s, d) =>
+      MultimodalOps.imageAugment(Tables.documents(s, d))),
     // REAL decode → resize → features: BMP parse, then area-pool the
     // decoded 3-channel luma onto a 4×2 grid (bin mean = exact integer
     // sum / count, so the pixel-level SQL replay is bit-identical)
@@ -1407,6 +1422,70 @@ object PipelineQueries extends QueryGroup {
         |  md5(substr(text, i * 200 + 1, 200)) AS frame_md5
         |FROM documents, unnest(range((length(text) + 199) // 200)) AS t(i)
         |WHERE doc_id < 200""".stripMargin,
+    // lag-histogram replay: votes per (pair, off_a - off_b), winner by
+    // (votes desc, lag asc) — the planted one-hop copies land at lag -100
+    "pipe_mm_audio_align" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, repeat('z', 100) || text
+        |  FROM documents WHERE doc_id < 25),
+        |fp AS (
+        |  SELECT doc_id, i * 100 AS off, md5(substr(text, i * 100 + 1, 200)) AS fp
+        |  FROM corpus, unnest(range(length(text) // 100 + 1)) AS t(i)
+        |  WHERE i * 100 + 200 <= length(text)),
+        |votes AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.off - b.off AS lag,
+        |    count(*) AS v
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc_a, doc_b, lag, v,
+        |    row_number() OVER (PARTITION BY doc_a, doc_b
+        |                       ORDER BY v DESC, lag ASC) AS rn,
+        |    CAST(sum(v) OVER (PARTITION BY doc_a, doc_b) AS BIGINT) AS total_votes
+        |  FROM votes)
+        |SELECT doc_a, doc_b, lag, v AS votes, total_votes
+        |FROM best WHERE rn = 1 AND v >= 3""".stripMargin,
+    // exact index-arithmetic replay of the three buffer permutations over
+    // the cycled-byte pixel construction (md5 via ordered string_agg)
+    "pipe_mm_augment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    8 + length(text) % 57 AS w, 8 + (length(text) * 7) % 41 AS h,
+        |    (8 + length(text) % 57) // 2 AS w2,
+        |    (8 + (length(text) * 7) % 41) // 2 AS h2
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT *, (w - w2) // 2 AS x0, (h - h2) // 2 AS y0 FROM base),
+        |hf AS (
+        |  SELECT doc_id, 'hflip' AS aug,
+        |    CAST(w AS BIGINT) AS out_w, CAST(h AS BIGINT) AS out_h,
+        |    md5(string_agg(substr(text,
+        |      ((y * w + (w - 1 - x)) * 3 + ch) % len + 1, 1), '' ORDER BY p)) AS aug_md5
+        |  FROM (SELECT doc_id, text, len, w, h, p,
+        |          (p // 3) % w AS x, (p // 3) // w AS y, p % 3 AS ch
+        |        FROM b2, unnest(range(w * h * 3)) AS t(p))
+        |  GROUP BY 1, 2, 3, 4),
+        |rt AS (
+        |  SELECT doc_id, 'rot180' AS aug,
+        |    CAST(w AS BIGINT) AS out_w, CAST(h AS BIGINT) AS out_h,
+        |    md5(string_agg(substr(text,
+        |      (((h - 1 - y) * w + (w - 1 - x)) * 3 + ch) % len + 1, 1), '' ORDER BY p)) AS aug_md5
+        |  FROM (SELECT doc_id, text, len, w, h, p,
+        |          (p // 3) % w AS x, (p // 3) // w AS y, p % 3 AS ch
+        |        FROM b2, unnest(range(w * h * 3)) AS t(p))
+        |  GROUP BY 1, 2, 3, 4),
+        |cr AS (
+        |  SELECT doc_id, 'crop' AS aug,
+        |    CAST(w2 AS BIGINT) AS out_w, CAST(h2 AS BIGINT) AS out_h,
+        |    md5(string_agg(substr(text,
+        |      (((y + y0) * w + (x + x0)) * 3 + ch) % len + 1, 1), '' ORDER BY p)) AS aug_md5
+        |  FROM (SELECT doc_id, text, len, w, w2, h2, x0, y0, p,
+        |          (p // 3) % w2 AS x, (p // 3) // w2 AS y, p % 3 AS ch
+        |        FROM b2, unnest(range(w2 * h2 * 3)) AS t(p))
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT * FROM hf UNION ALL SELECT * FROM rt UNION ALL SELECT * FROM cr""".stripMargin,
     "pipe_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |  count(*) AS cnt, round(sum(value), 4) AS sval

@@ -238,6 +238,55 @@ class PipelineSpec extends AnyFunSuite {
     // base has floor((1040-200)/100)+1 = 9 windows, all present in the
     // shifted copy one hop later
     assert(audio.get((0L, 1L)).contains(9L), s"audio windows: $audio")
+    // alignment must recover the planted shift: doc 0's window at offset o
+    // reappears in doc 1 at o + 100, so the winning lag is −100 with all
+    // 9 realigned windows voting for it
+    val align = graft.operators.MultimodalOps.audioAlign(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(align.get((0L, 1L)).contains((-100L, 9L)), s"alignment: $align")
+  }
+
+  test("image augmentations are exact involutions at the digest level") {
+    import spark.implicits._
+    // hflip∘hflip = rot180∘rot180 = identity: augmenting a doc whose
+    // pixel buffer IS an augmented buffer must return the original digest.
+    // Run the permutation arithmetic twice via an independent in-test
+    // replay of the pack construction and compare md5s.
+    val text = {
+      val rnd = new scala.util.Random(11)
+      Array.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val rows = graft.operators.MultimodalOps.imageAugment(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // independent replay: buffer byte q = text byte (q mod len)
+    val b = text.getBytes("US-ASCII")
+    val (w, h) = (8 + b.length % 57, 8 + (b.length.toLong * 7 % 41).toInt)
+    val buf = Array.tabulate(w * h * 3)(i => b(i % b.length))
+    def md5hex(a: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(a)
+        .map("%02x".format(_)).mkString
+    def perm(w2: Int, h2: Int)(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w2 * h2 * 3) { d =>
+        val (px, ch) = (d / 3, d % 3)
+        buf(f(px % w2, px / w2) * 3 + ch)
+      }
+    val hf = perm(w, h)((x, y) => y * w + (w - 1 - x))
+    val rt = perm(w, h)((x, y) => (h - 1 - y) * w + (w - 1 - x))
+    val (w2, h2) = (w / 2, h / 2)
+    val (x0, y0) = ((w - w2) / 2, (h - h2) / 2)
+    val cr = perm(w2, h2)((x, y) => (y + y0) * w + (x + x0))
+    assert(rows("hflip") == ((w.toLong, h.toLong, md5hex(hf))))
+    assert(rows("rot180") == ((w.toLong, h.toLong, md5hex(rt))))
+    assert(rows("crop") == ((w2.toLong, h2.toLong, md5hex(cr))))
+    // involution sanity on the replay itself: flipping the flip is identity
+    def permOf(src: Array[Byte], ww: Int, hh: Int)(f: (Int, Int) => Int) =
+      Array.tabulate(ww * hh * 3) { d =>
+        val (px, ch) = (d / 3, d % 3)
+        src(f(px % ww, px / ww) * 3 + ch)
+      }
+    assert(md5hex(permOf(hf, w, h)((x, y) => y * w + (w - 1 - x))) == md5hex(buf))
+    assert(md5hex(permOf(rt, w, h)((x, y) => (h - 1 - y) * w + (w - 1 - x))) == md5hex(buf))
   }
 
   test("repetition metrics are closed-form on constructed docs") {
