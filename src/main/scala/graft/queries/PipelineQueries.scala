@@ -128,6 +128,32 @@ object PipelineQueries extends QueryGroup {
           concat(lit("z" * 100), col("text")).as("text"))
       MultimodalOps.audioDups(docs.unionByName(planted))
     }),
+    // CROSS-MODAL consensus dedup: the text lane (MinHash-LSH Jaccard)
+    // and the image lane (pHash Hamming over genuinely decoded pixels)
+    // full-outer-joined per pair — the multimodal-curation signal join.
+    // Planted classes make both agreement shapes non-vacuous: 10 exact
+    // copies fire BOTH lanes (jac 1.0, hamming 0); 10 junk-token-appended
+    // copies keep shingle Jaccard high but change the byte length, hence
+    // the image dims and the whole pixel stream — text lane only.
+    "pipe_mm_consensus" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = base.where(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val appended = base.where(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" qz" * 40)).as("text"))
+      val docs = base.unionByName(copies).unionByName(appended)
+      val txt = DedupOps.minhashDupPairs(docs, 0.5)
+        .select(col("a"), col("b"), col("jac"))
+      val img = MultimodalOps.phashNearDups(docs)
+        .select(col("a"), col("b"), col("hamming"))
+      txt.join(img, Seq("a", "b"), "full_outer")
+        .select(col("a"), col("b"),
+          col("jac").isNotNull.as("text_dup"),
+          col("hamming").isNotNull.as("image_dup"),
+          coalesce(col("jac"), lit(-1.0)).as("jac"),
+          coalesce(col("hamming"), lit(-1L)).as("hamming"))
+    }),
     // audio ALIGNMENT: offset estimation over the shared-fingerprint lag
     // histogram (the post-match step of a Shazam-family fingerprinter);
     // the planted one-hop-shifted copies must align at lag = -100 samples
@@ -1422,6 +1448,92 @@ object PipelineQueries extends QueryGroup {
         |  md5(substr(text, i * 200 + 1, 200)) AS frame_md5
         |FROM documents, unnest(range((length(text) + 199) // 200)) AS t(i)
         |WHERE doc_id < 200""".stripMargin,
+    // both modality replays over the SAME planted corpus, full-outer
+    // joined — the text chain is the minhash_lsh replay, the image chain
+    // the phash replay, each with corpus-local FROMs
+    "pipe_mm_consensus" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || repeat(' qz', 40)
+        |  FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS tokens
+        |  FROM corpus),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3] AS s
+        |  FROM toks, unnest(range(len(tokens) - 2)) AS t(i)
+        |  WHERE len(tokens) >= 3),
+        |sh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hs FROM sh0),
+        |mh AS (
+        |  SELECT doc_id, i, min((hs * (2*i+1) + (12345*i+7)) % 2147483647) AS mh
+        |  FROM sh, unnest(range(16)) AS p(i) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band, string_agg(mh, ':' ORDER BY i) AS sig
+        |  FROM mh GROUP BY 1, 2),
+        |candT AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, count(*) AS inter FROM candT c
+        |  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+        |  WHERE sa.hs = sb.hs GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |txt AS (
+        |  SELECT i.a, i.b,
+        |    round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jac
+        |  FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5),
+        |dims AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    8 + length(text) % 57 AS w, 8 + (length(text) * 7) % 41 AS h
+        |  FROM corpus),
+        |px AS (
+        |  SELECT doc_id,
+        |    ((i // w) * 8) // h * 8 + ((i % w) * 8) // w AS t,
+        |    ascii(substr(text, (3 * i) % len + 1, 1))
+        |      + ascii(substr(text, (3 * i + 1) % len + 1, 1))
+        |      + ascii(substr(text, (3 * i + 2) % len + 1, 1)) AS g
+        |  FROM dims, unnest(range(w * h)) AS r(i)),
+        |lanes AS (
+        |  SELECT doc_id, t, CAST(sum(g) AS DOUBLE) / count(*) AS v
+        |  FROM px GROUP BY 1, 2),
+        |med AS (
+        |  SELECT doc_id,
+        |    (min(CASE WHEN rn = 32 THEN v END) + min(CASE WHEN rn = 33 THEN v END)) / 2.0 AS med
+        |  FROM (SELECT doc_id, v,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY v) AS rn
+        |        FROM lanes)
+        |  GROUP BY 1),
+        |bits AS (
+        |  SELECT l.doc_id, t // 16 AS band,
+        |    CAST(sum(CASE WHEN v > med THEN 1 << (t % 16) ELSE 0 END) AS BIGINT) AS bval
+        |  FROM lanes l JOIN med USING (doc_id) GROUP BY 1, 2),
+        |candI AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |          FROM bits x JOIN bits y
+        |            ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id),
+        |wrd AS (SELECT doc_id,
+        |          min(CASE WHEN band = 0 THEN bval END) AS b0,
+        |          min(CASE WHEN band = 1 THEN bval END) AS b1,
+        |          min(CASE WHEN band = 2 THEN bval END) AS b2,
+        |          min(CASE WHEN band = 3 THEN bval END) AS b3
+        |        FROM bits GROUP BY 1),
+        |img AS (
+        |  SELECT a, b, hamming FROM (
+        |    SELECT a, b,
+        |      bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1)) +
+        |      bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS hamming
+        |    FROM candI JOIN wrd wa ON wa.doc_id = a JOIN wrd wb ON wb.doc_id = b)
+        |  WHERE hamming <= 6)
+        |SELECT coalesce(t.a, i.a) AS a, coalesce(t.b, i.b) AS b,
+        |  t.jac IS NOT NULL AS text_dup, i.hamming IS NOT NULL AS image_dup,
+        |  coalesce(t.jac, -1.0) AS jac,
+        |  CAST(coalesce(i.hamming, -1) AS BIGINT) AS hamming
+        |FROM txt t FULL OUTER JOIN img i ON t.a = i.a AND t.b = i.b""".stripMargin,
     // lag-histogram replay: votes per (pair, off_a - off_b), winner by
     // (votes desc, lag asc) — the planted one-hop copies land at lag -100
     "pipe_mm_audio_align" ->
