@@ -285,6 +285,67 @@ object MultimodalOps {
       .where(col("shared") >= minShared)
   }
 
+  case class AudioFrameFeat(doc_id: Long, win_idx: Long, offset: Long,
+      energy: Long, mcr: Long, peak: Long)
+
+  /** Audio frame FEATURES over genuinely decoded PCM — the DSP front-end
+    * shape (windowed energy / crossing-rate / peak, the pre-FFT third of
+    * an MFCC pipeline), computed per hop window inside the decode batch:
+    *  - energy = Σ s² over the window (exact integer),
+    *  - mcr    = mean-crossing count: # adjacent sample pairs straddling
+    *    the window mean, compared in integers (win·s vs Σs) so the SQL
+    *    replay is bit-exact with no float division,
+    *  - peak   = max |s|.
+    * One decode pass, per-row window loop, zero shuffle — the 100 TB
+    * audio-featurization shape. */
+  def audioFeatures(docs: DataFrame, win: Int = 200, hop: Int = 100): Dataset[AudioFrameFeat] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeAudio(packAudio(docs)).flatMap { a =>
+      val s = Array.tabulate(a.pcm_bytes.length)(t => ((a.pcm_bytes(t) & 0xff) - 128) * 256)
+      val nWin = if (s.length < win) 0 else (s.length - win) / hop + 1
+      (0 until nWin).map { wi =>
+        val o = wi * hop
+        var energy = 0L; var sum = 0L; var peak = 0L
+        var t = 0
+        while (t < win) {
+          val v = s(o + t).toLong
+          energy += v * v; sum += v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          t += 1
+        }
+        var mcr = 0L
+        t = 1
+        while (t < win) {
+          val a1 = win.toLong * s(o + t - 1) > sum
+          val b1 = win.toLong * s(o + t) > sum
+          if (a1 != b1) mcr += 1
+          t += 1
+        }
+        AudioFrameFeat(a.doc_id, wi.toLong, o.toLong, energy, mcr, peak)
+      }
+    }
+  }
+
+  /** Per-channel pixel statistics over the decoded RGB buffer — the
+    * image-QA profile (channel min/max/sum/count as exact integers; mean
+    * is sum/count downstream). One decode pass, zero shuffle. */
+  def channelStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeImage(packImage(docs)).flatMap { m =>
+      (0 until 3).map { c =>
+        var i = c; var mn = 255L; var mx = 0L; var sum = 0L
+        while (i < m.pixels.length) {
+          val v = (m.pixels(i) & 0xff).toLong
+          if (v < mn) mn = v; if (v > mx) mx = v; sum += v
+          i += 3
+        }
+        (m.doc_id, c.toLong, mn, mx, sum, (m.pixels.length / 3).toLong)
+      }
+    }.toDF("doc_id", "channel", "px_min", "px_max", "px_sum", "n_px")
+  }
+
   /** Audio ALIGNMENT over the near-dup pairs — the offset-estimation step
     * a real audio fingerprinter (Shazam/chromaprint family) runs after
     * candidate matching: for each pair, histogram the lag (offset_a −

@@ -128,6 +128,13 @@ object PipelineQueries extends QueryGroup {
           concat(lit("z" * 100), col("text")).as("text"))
       MultimodalOps.audioDups(docs.unionByName(planted))
     }),
+    // audio frame features (energy / mean-crossing / peak) over decoded
+    // PCM — integer-exact, so the byte-level SQL replay pins every value
+    "pipe_mm_audio_features" -> ((s, d) =>
+      MultimodalOps.audioFeatures(Tables.documents(s, d)).toDF()),
+    // per-channel pixel stats over the decoded RGB buffer
+    "pipe_mm_channel_stats" -> ((s, d) =>
+      MultimodalOps.channelStats(Tables.documents(s, d))),
     // CROSS-MODAL consensus dedup: the text lane (MinHash-LSH Jaccard)
     // and the image lane (pHash Hamming over genuinely decoded pixels)
     // full-outer-joined per pair — the multimodal-curation signal join.
@@ -1448,6 +1455,50 @@ object PipelineQueries extends QueryGroup {
         |  md5(substr(text, i * 200 + 1, 200)) AS frame_md5
         |FROM documents, unnest(range((length(text) + 199) // 200)) AS t(i)
         |WHERE doc_id < 200""".stripMargin,
+    // integer-exact DSP replay: s_t = (byte_t - 128)*256, energy/peak per
+    // window, mean-crossing via the integer comparison 200*s <> sum(s)
+    "pipe_mm_audio_features" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |w AS (
+        |  SELECT doc_id, text, i AS win_idx, i * 100 AS o
+        |  FROM d, unnest(range(len // 100 + 1)) AS t(i)
+        |  WHERE i * 100 + 200 <= len),
+        |e AS (
+        |  SELECT doc_id, win_idx, o, t,
+        |    (ascii(substr(text, o + t + 1, 1)) - 128) * 256 AS s
+        |  FROM w, unnest(range(200)) AS u(t)),
+        |agg AS (
+        |  SELECT doc_id, win_idx, o AS offset,
+        |    sum(s * s) AS energy, sum(s) AS ssum, max(abs(s)) AS peak
+        |  FROM e GROUP BY 1, 2, 3),
+        |l AS (
+        |  SELECT doc_id, win_idx, t, s,
+        |    lag(s) OVER (PARTITION BY doc_id, win_idx ORDER BY t) AS ps
+        |  FROM e),
+        |mc AS (
+        |  SELECT l.doc_id, l.win_idx,
+        |    CAST(sum(CASE WHEN l.ps IS NOT NULL
+        |      AND ((200 * l.s > a.ssum) <> (200 * l.ps > a.ssum))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS mcr
+        |  FROM l JOIN agg a ON a.doc_id = l.doc_id AND a.win_idx = l.win_idx
+        |  GROUP BY 1, 2)
+        |SELECT a.doc_id, a.win_idx, CAST(a.offset AS BIGINT) AS offset,
+        |  CAST(a.energy AS BIGINT) AS energy, mc.mcr, CAST(a.peak AS BIGINT) AS peak
+        |FROM agg a JOIN mc ON mc.doc_id = a.doc_id AND mc.win_idx = a.win_idx""".stripMargin,
+    // per-channel replay over the cycled-byte pixel construction
+    "pipe_mm_channel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    8 + length(text) % 57 AS w, 8 + (length(text) * 7) % 41 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, c AS channel,
+        |    ascii(substr(text, (3 * i + c) % len + 1, 1)) AS v, w * h AS npx
+        |  FROM dims, unnest(range(w * h)) AS t(i), unnest(range(3)) AS u(c))
+        |SELECT doc_id, channel, CAST(min(v) AS BIGINT) AS px_min,
+        |  CAST(max(v) AS BIGINT) AS px_max, CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(min(npx) AS BIGINT) AS n_px
+        |FROM px GROUP BY 1, 2""".stripMargin,
     // both modality replays over the SAME planted corpus, full-outer
     // joined — the text chain is the minhash_lsh replay, the image chain
     // the phash replay, each with corpus-local FROMs
