@@ -105,12 +105,15 @@ object MediaCodec {
 
   // ---------------------------------------------------------------- WAV
 
-  /** Encode a real RIFF/WAVE file: 16-bit mono PCM, little-endian, with a
+  /** Encode a real RIFF/WAVE file: 16-bit PCM (mono by default; stereo or
+    * higher via `channels`, samples interleaved), little-endian, with a
     * LIST/INFO chunk between fmt and data — present precisely so the
     * parser's chunk walk is exercised on every payload (a reader that
     * assumes data starts at byte 44 breaks on these files, and on most
     * real-world WAVs). */
-  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+  def encodeWav(sampleRate: Int, samples: Array[Short], channels: Int = 1): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"${samples.length} samples not a multiple of $channels channels")
     val info = "GRFTmedia!".getBytes("US-ASCII") // 10 bytes, even
     val dataBytes = samples.length * 2
     val riffSize = 4 + (8 + 16) + (8 + info.length) + (8 + dataBytes)
@@ -118,9 +121,9 @@ object MediaCodec {
     buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
       .put("WAVE".getBytes("US-ASCII"))
     buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    buf.putShort(1).putShort(1) // PCM, mono
-    buf.putInt(sampleRate).putInt(sampleRate * 2)
-    buf.putShort(2).putShort(16) // block align, bits
+    buf.putShort(1).putShort(channels.toShort) // PCM
+    buf.putInt(sampleRate).putInt(sampleRate * 2 * channels)
+    buf.putShort((2 * channels).toShort).putShort(16) // block align, bits
     buf.put("LIST".getBytes("US-ASCII")).putInt(info.length).put(info)
     buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     var i = 0

@@ -104,6 +104,37 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(dec.samples.sameElements(samples))
   }
 
+  test("stereo WAV cross-validates against AudioSystem in both directions") {
+    // interleaved L/R with distinct per-channel patterns
+    val inter = Array.tabulate(600)(t =>
+      (if (t % 2 == 0) (t * 131) % 32768 else -((t * 37) % 32768)).toShort)
+    val bytes = MediaCodec.encodeWav(16000, inter, channels = 2)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 2 && fmt.getSampleSizeInBits == 16)
+    val pcm = in.readAllBytes()
+    assert(pcm.length == inter.length * 2)
+    for (t <- inter.indices) {
+      val v = ((pcm(2 * t) & 0xff) | (pcm(2 * t + 1) << 8)).toShort
+      assert(v == inter(t), s"interleaved sample $t: $v != ${inter(t)}")
+    }
+    // reverse: AudioSystem-written stereo parsed by our chunk walk
+    val raw = new Array[Byte](inter.length * 2)
+    for (t <- inter.indices) {
+      raw(2 * t) = (inter(t) & 0xff).toByte
+      raw(2 * t + 1) = ((inter(t) >> 8) & 0xff).toByte
+    }
+    val afmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(raw), afmt, inter.length / 2L)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val dec = MediaCodec.decodeWav(baos.toByteArray)
+    assert(dec.sampleRate == 16000 && dec.channels == 2 && dec.bitsPerSample == 16)
+    assert(dec.samples.sameElements(inter), "stereo PCM mismatch")
+  }
+
   test("WAV round-trip is exact across a length sweep (odd and even)") {
     val rnd = new scala.util.Random(99)
     for (_ <- 0 until 40) {
