@@ -86,10 +86,16 @@ object Bench {
     val repsJson = repTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
     // idle-host protocol flag (ADVICE r8): rep totals spreading >15%
     // around their median mean host contention — downstream consumers
-    // must not read per-query deltas from such a run as regressions
-    val idle = repTotals.nonEmpty && {
-      val med = repTotals.sorted.apply((repTotals.length - 1) / 2)
-      repTotals.forall(t => math.abs(t - med) <= 0.15 * med)
+    // must not read per-query deltas from such a run as regressions.
+    // Rep 1 is excluded when ≥3 reps ran: a fresh JVM's first pass is
+    // 15-25% slower from class-loading/JIT alone (measured consistently
+    // on back-to-back otherwise-idle runs), and the per-query medians
+    // (lower-median of 3) already discard it — the flag should measure
+    // CONTENTION, not warm-up
+    val idleReps = if (repTotals.length >= 3) repTotals.drop(1) else repTotals
+    val idle = idleReps.nonEmpty && {
+      val med = idleReps.sorted.apply((idleReps.length - 1) / 2)
+      idleReps.forall(t => math.abs(t - med) <= 0.15 * med)
     }
     // self-authentication (ADVICE r8): commit + timestamp in the artifact,
     // so a genuine re-run is distinguishable from a file copy
