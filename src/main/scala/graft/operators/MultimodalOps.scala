@@ -327,6 +327,37 @@ object MultimodalOps {
     }
   }
 
+  /** MULTIMODAL sequence packing — the vision-language training-batch
+    * step (LLaVA-family): each document costs its whitespace text tokens
+    * PLUS the image-patch tokens of its decoded image, ⌈w/P⌉·⌈h/P⌉ for a
+    * P×P ViT patch grid (dims from the REAL container parse, not
+    * metadata). Greedy per-source packing into fixed context windows via
+    * the same per-shard window cumsum as the text-only
+    * [[TextOps.seqPacking]] — no global order at any scale. Emits per
+    * (source, bin): doc count and both token budgets.
+    */
+  def multimodalPacking(docs: DataFrame, ctx: Long = 1024, patch: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val imgTok = decodeImage(packImage(docs)).toDF()
+      .select(col("doc_id"),
+        expr(s"((width + ${patch - 1}) div $patch) * ((height + ${patch - 1}) div $patch)")
+          .cast("long").as("img_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    TextOps.tokenCounts(docs).select(col("doc_id"), col("ws_tokens"))
+      .join(imgTok, Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("seq_len", col("ws_tokens") + col("img_tokens"))
+      .withColumn("cum", sum(col("seq_len")).over(w))
+      .select(col("source"),
+        ((col("cum") - col("seq_len")) / ctx).cast("long").as("bin"),
+        col("ws_tokens"), col("img_tokens"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("n_text_tokens"),
+        sum(col("img_tokens")).cast("long").as("n_img_tokens"))
+  }
+
   /** Per-channel pixel statistics over the decoded RGB buffer — the
     * image-QA profile (channel min/max/sum/count as exact integers; mean
     * is sum/count downstream). One decode pass, zero shuffle. */

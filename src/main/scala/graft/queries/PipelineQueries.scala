@@ -128,6 +128,10 @@ object PipelineQueries extends QueryGroup {
           concat(lit("z" * 100), col("text")).as("text"))
       MultimodalOps.audioDups(docs.unionByName(planted))
     }),
+    // multimodal packing: text tokens + ViT-patch tokens (from the REAL
+    // decoded dims) packed per source shard into 1024-token windows
+    "pipe_mm_packing" -> ((s, d) =>
+      MultimodalOps.multimodalPacking(Tables.documents(s, d))),
     // audio frame features (energy / mean-crossing / peak) over decoded
     // PCM — integer-exact, so the byte-level SQL replay pins every value
     "pipe_mm_audio_features" -> ((s, d) =>
@@ -1455,6 +1459,23 @@ object PipelineQueries extends QueryGroup {
         |  md5(substr(text, i * 200 + 1, 200)) AS frame_md5
         |FROM documents, unnest(range((length(text) + 199) // 200)) AS t(i)
         |WHERE doc_id < 200""".stripMargin,
+    // packing replay: ws tokens + ceil-div patch grid over the pack dims
+    "pipe_mm_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws,
+        |    ((8 + length(text) % 57 + 7) // 8)
+        |      * ((8 + (length(text) * 7) % 41 + 7) // 8) AS imt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, ws, imt, ws + imt AS sl,
+        |    sum(ws + imt) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - sl) // 1024 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS n_text_tokens,
+        |  CAST(sum(imt) AS BIGINT) AS n_img_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
     // integer-exact DSP replay: s_t = (byte_t - 128)*256, energy/peak per
     // window, mean-crossing via the integer comparison 200*s <> sum(s)
     "pipe_mm_audio_features" ->
