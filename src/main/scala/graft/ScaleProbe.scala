@@ -417,14 +417,19 @@ object ScaleProbe {
           val q = mk(input.toDS()).writeStream.outputMode(mode)
             .format("noop").start()
           val t = System.nanoTime()
+          var fed = 0L // actual events fed: n rounds UP to a chunk multiple,
+                       // so the rate must divide by what actually ran (ADVICE r9)
           try {
             var c0 = 0L
-            while (c0 < n) { input.addData(mkChunk(c0)); q.processAllAvailable(); c0 += chunk }
+            while (c0 < n) {
+              input.addData(mkChunk(c0)); q.processAllAvailable()
+              c0 += chunk; fed = c0
+            }
           } finally q.stop()
           val sec = (System.nanoTime() - t) / 1e9
           val stateRows = Option(q.lastProgress)
             .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
-          f""""$tag":{"events_per_sec":${(n / sec).toLong},"sec":$sec%.1f,"state_rows":$stateRows}"""
+          f""""$tag":{"events_per_sec":${(fed / sec).toLong},"sec":$sec%.1f,"state_rows":$stateRows}"""
         }
         val r1 = run("dedup", "append", ds => StreamingOps.streamingDedup(ds).toDF())
         val r2 = run("cms", "update", ds => StreamingOps.streamingCms(ds))

@@ -56,6 +56,22 @@ object MultimodalOps {
     if (docs.columns.contains("source")) docs
     else docs.withColumn("source", lit(""))
 
+  /** Pack contract (ADVICE r9): the decode oracles replay bytes as
+    * per-character code points, which is only exact for non-empty ASCII
+    * text. Enforce that LOUDLY instead of letting US-ASCII silently
+    * substitute '?' (oracle divergence) or `i % 0` throw an opaque
+    * ArithmeticException on an empty document. */
+  private def asciiBytes(id: Long, text: String): Array[Byte] = {
+    require(text.nonEmpty, s"doc $id: cannot pack an empty document")
+    var i = 0
+    while (i < text.length) {
+      require(text.charAt(i) < 128,
+        s"doc $id: non-ASCII char at index $i — byte/code-point replay would diverge from the oracle")
+      i += 1
+    }
+    text.getBytes("US-ASCII")
+  }
+
   /** Pack each document as a REAL 24-bit BMP: dimensions from
     * [[imageDims]], RGB buffer = the document's bytes cycled. */
   def packImage(docs: DataFrame): Dataset[BinaryDoc] = {
@@ -64,7 +80,7 @@ object MultimodalOps {
     withSource(docs).select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, text, source) =>
-        val b = text.getBytes("US-ASCII")
+        val b = asciiBytes(id, text)
         val (w, h) = imageDims(b.length)
         val rgb = Array.tabulate(w * h * 3)(i => b(i % b.length))
         BinaryDoc(id, MediaCodec.encodeBmp(w, h, rgb), source)
@@ -81,7 +97,7 @@ object MultimodalOps {
     withSource(docs).select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, text, source) =>
-        val b = text.getBytes("US-ASCII")
+        val b = asciiBytes(id, text)
         val samples = Array.tabulate(b.length)(t => (((b(t) & 0xff) - 128) * 256).toShort)
         BinaryDoc(id, MediaCodec.encodeWav(8000, samples), source)
       })
@@ -113,20 +129,27 @@ object MultimodalOps {
   def decodeAudio(docs: Dataset[BinaryDoc]): Dataset[AudioMeta] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.mapPartitions(_.map { d =>
+    docs.mapPartitions(_.flatMap { d =>
       val a = MediaCodec.decodeWav(d.payload)
       val n = a.samples.length
-      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-      var i = 0
-      while (i < n) {
-        val s = a.samples(i).toLong
-        sum += s; if (s < mn) mn = s; if (s > mx) mx = s
-        i += 1
+      // A zero-sample WAV has no meaningful stats (sum/n = NaN, min =
+      // Long.MaxValue) and the oracle's per-sample GROUP BY drops the
+      // document entirely — skip it here so both engines agree on
+      // degenerate inputs (ADVICE r9).
+      if (n == 0) None
+      else {
+        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i < n) {
+          val s = a.samples(i).toLong
+          sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+          i += 1
+        }
+        val bytes = Array.tabulate(n)(t => ((a.samples(t) >> 8) + 128).toByte)
+        Some(AudioMeta(d.doc_id, d.payload.length.toLong, a.sampleRate.toLong,
+          a.channels.toLong, a.bitsPerSample.toLong, n.toLong,
+          n.toLong * 1000L / a.sampleRate, sum.toDouble / n, mn, mx, bytes))
       }
-      val bytes = Array.tabulate(n)(t => ((a.samples(t) >> 8) + 128).toByte)
-      AudioMeta(d.doc_id, d.payload.length.toLong, a.sampleRate.toLong,
-        a.channels.toLong, a.bitsPerSample.toLong, n.toLong,
-        n.toLong * 1000L / a.sampleRate, sum.toDouble / n, mn, mx, bytes)
     })
   }
 

@@ -121,9 +121,16 @@ object SparseOps {
     * would). */
   def rowPrefixSum(coo: DataFrame): DataFrame =
     rowOp(coo, (_, vs) =>
-      // running sum via a transform over positions: scan_t = Σ_{u ≤ t} v_u
-      transform(vs, (_, i) =>
-        aggregate(slice(vs, lit(1), i + lit(1)), lit(0.0), (acc, x) => acc + x)))
+      // ONE linear scan (ADVICE r9): the accumulator carries (running
+      // sum, prefix array) and each step is an add plus a flat array
+      // append — not the slice+re-aggregate-per-position form, which is
+      // O(k²) additions on a k-entry row (a 10k-entry row would pay ~50M)
+      aggregate(vs,
+        struct(lit(0.0).as("s"), array().cast("array<double>").as("out")),
+        (acc, x) => struct(
+          (acc.getField("s") + x).as("s"),
+          concat(acc.getField("out"), array(acc.getField("s") + x)).as("out")),
+        acc => acc.getField("out")))
 
   /** spmv y = A·w with w a deterministic function of the column index —
     * reference: cpp/include/raft/sparse/linalg/spmm.hpp:42 (vector case).
