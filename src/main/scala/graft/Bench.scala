@@ -53,8 +53,15 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // per-query operator counters (VERDICT r9 item 1): deterministic
+    // driver-side decision counts (certificate scans, repair/keyed rounds)
+    // captured around each query so a slow run is attributable — did it DO
+    // more work, or just run slower? Max across reps: deterministic
+    // algorithms agree rep-to-rep, so any spread is itself a finding.
+    val counterAcc = scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
     val perRep: Seq[Seq[(String, Double)]] = (1 to reps).map { rep =>
       names.map { case (name, fn) =>
+        Instrument.reset()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
@@ -64,6 +71,12 @@ object Bench {
         }
         spark.catalog.clearCache()
         val dt = (System.nanoTime() - t0) / 1e9
+        val snap = Instrument.snapshot()
+        if (snap.nonEmpty) {
+          val prev = counterAcc.getOrElse(name, Map.empty)
+          counterAcc(name) = (prev.keySet ++ snap.keySet).map(k =>
+            k -> math.max(prev.getOrElse(k, 0L), snap.getOrElse(k, 0L))).toMap
+        }
         name -> (if (ok) dt else -dt)
       }
     }
@@ -97,9 +110,43 @@ object Bench {
       val med = idleReps.sorted.apply((idleReps.length - 1) / 2)
       idleReps.forall(t => math.abs(t - med) <= 0.15 * med)
     }
+    // ABSOLUTE floor protocol (VERDICT r9 item 2): the rep-spread idle flag
+    // can bless a UNIFORMLY contended run (337 vs 347 s → "idle"), so keep
+    // a per-query rolling MIN across runs (BENCH_FLOOR_<sf>.json, updated
+    // by full runs only) and flag any run whose suite total exceeds the
+    // floor sum by >20% as contended regardless of rep spread. The floor
+    // includes this run's medians, so vs_floor ≥ 1 by construction and a
+    // fresh machine's first run simply seeds it.
+    val sfTag = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse("unknown")
+    val floorPath = java.nio.file.Paths.get(s"BENCH_FLOOR_$sfTag.json")
+    val priorFloor: Map[String, Double] =
+      if (java.nio.file.Files.exists(floorPath)) {
+        val txt = java.nio.file.Files.readString(floorPath)
+        "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val okResults = results.filter(_._2 > 0).toMap
+    val newFloor: Map[String, Double] = (priorFloor.keySet ++ okResults.keySet).map { k =>
+      k -> math.min(priorFloor.getOrElse(k, Double.MaxValue),
+        okResults.getOrElse(k, Double.MaxValue))
+    }.toMap
+    val floorTotal = okResults.keys.flatMap(newFloor.get).sum
+    val okTotal = okResults.values.sum
+    val vsFloor = if (floorTotal > 0) okTotal / floorTotal else 1.0
+    val contended = vsFloor > 1.2
+    if (only.isEmpty && okResults.nonEmpty)
+      try {
+        val body = newFloor.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(floorPath, body)
+      } catch { case _: Throwable => () }
     // self-authentication (ADVICE r8): commit + timestamp in the artifact,
     // so a genuine re-run is distinguishable from a file copy
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"idle":$idle,"commit":${jstr(RunStamp.commit)},"ts":${jstr(RunStamp.ts)},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    val countersJson = counterAcc.map { case (q, cs) =>
+      jstr(q) + ":" + cs.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"idle":$idle,"floor_total":${f"$floorTotal%.1f"},"vs_floor":${f"$vsFloor%.3f"},"contended":$contended,"commit":${jstr(RunStamp.commit)},"ts":${jstr(RunStamp.ts)},"errors":$errJson,"counters":$countersJson,"queries":$qs,"sf":"$sfDir"}"""
     // The harness records only the TAIL of the output, so the full ~4KB
     // per-query line gets truncated at the start and fails to parse. Emit
     // the full line first (archive: also written to BENCH_LOCAL.json),
@@ -111,11 +158,9 @@ object Bench {
     // round-3 archive regenerated at sf0.01 looked like a 2x speedup.
     // Filtered runs never write.
     if (only.isEmpty)
-      try {
-        val sfTag = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse("unknown")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"BENCH_LOCAL_$sfTag.json"), line)
-      } catch { case _: Throwable => () }
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_LOCAL_$sfTag.json"), line)
+      catch { case _: Throwable => () }
     val top = results.sortBy(r => -math.abs(r._2)).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val compact =

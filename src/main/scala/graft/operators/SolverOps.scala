@@ -16,6 +16,18 @@ import graft.Tables
   */
 object SolverOps {
 
+  /** Free the blocks behind an (eagerly) localCheckpoint'd DataFrame.
+    * Round-loop state tables otherwise accumulate one cached RDD per
+    * round for the life of the query (ADVICE r9, lapKeyedPhase). Only
+    * safe once every consumer is done with it — in the round loops that
+    * means after the SUCCESSOR checkpoint has materialized, because the
+    * new LogicalRDD carries no lineage into the old blocks. */
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   private def toRowMatrix(vectors: DataFrame): RowMatrix =
     new RowMatrix(vectors.orderBy(col("id"))
       .select(col("vec")).rdd
@@ -913,12 +925,44 @@ object SolverOps {
     // the keyed phase converge in a handful of rounds.
     var eps = costM / 4.0
     var assigned: Array[Int] = null
-    while (eps > epsF) { assigned = auctionPass(eps); eps /= 5.0 }
+    var coarse = 0
+    while (eps > epsF) { assigned = auctionPass(eps); eps /= 5.0; coarse += 1 }
+    graft.Instrument.inc("lap.coarse_phases", coarse.toLong)
     if (keyedFinal) {
-      val (aK, pK) = lapKeyedPhase(spark, kernelDf, prices.clone(), epsF, n)
-      Array.copy(pK, 0, prices, 0, n)
-      // safety: if the round cap tripped, finish the stragglers driver-side
-      assigned = if (aK.contains(-1)) auctionPass(epsF) else aK
+      // Final ε-phase AND certificate both run against DataFrame-resident
+      // state: prices/assignments never come back to the driver (VERDICT
+      // r9 item 3 — the previous form collected O(n) prices just to hand
+      // them to the certificate). The certificate consumes the keyed state
+      // table directly; the driver sees round counters and a violation
+      // COUNT. Only the pathological branch (round cap tripped, or ε-CS
+      // violations at the keyed fixed point) pulls state back once and
+      // finishes with the driver repair loop — instrumented so the bench
+      // artifact shows whether a run ever took it.
+      val (state, unassignedK, rounds) =
+        lapKeyedPhase(spark, kernelDf, prices.clone(), epsF, n)
+      graft.Instrument.inc("lap.keyed_rounds", rounds.toLong)
+      val certified: Option[DataFrame] =
+        if (unassignedK == 0L) lapCertifyKeyed(spark, fullCosts, cCol, state, epsF, n)
+        else None
+      certified match {
+        case Some(summary) =>
+          unpersistCheckpoint(state)
+          unpersistCheckpoint(kernelDf)
+          return summary
+        case None =>
+          graft.Instrument.inc("lap.keyed_fallbacks")
+          val rows = state.collect()
+          unpersistCheckpoint(state)
+          val aOut = Array.fill(n)(-1)
+          rows.foreach { r =>
+            val j = r.getLong(0).toInt
+            prices(j) = r.getDouble(1)
+            val i = r.getLong(2)
+            if (i >= 0) aOut(i.toInt) = j
+          }
+          // safety: if the round cap tripped, finish the stragglers driver-side
+          assigned = if (aOut.contains(-1)) auctionPass(epsF) else aOut
+      }
     } else assigned = auctionPass(epsF)
     // 2.-3. certificate / repair loop. Key cost control (VERDICT r8
     // item 2): auction prices are MONOTONE NON-DECREASING, so a row's
@@ -930,6 +974,17 @@ object SolverOps {
     // therefore pay exactly ONE n² certificate scan; pathological ones
     // pay the full scan once plus thin row-slices.
     def bestProfit(rowSubset: Option[Seq[Int]]) = {
+      // falsifiable cost model (VERDICT r9 item 1): record whether this
+      // pass is the one full n² scan or a thin violator re-scan, and how
+      // many matrix entries it actually generates
+      rowSubset match {
+        case Some(rows) =>
+          graft.Instrument.inc("lap.certificate_row_rescans")
+          graft.Instrument.inc("lap.certificate_entries", rows.length.toLong * n)
+        case None =>
+          graft.Instrument.inc("lap.certificate_full_scans")
+          graft.Instrument.inc("lap.certificate_entries", n.toLong * n)
+      }
       val costs = rowSubset match {
         case Some(rows) =>
           val rowsDf = spark.createDataFrame(rows.map(i => Tuple1(i.toLong))).toDF("i")
@@ -975,14 +1030,58 @@ object SolverOps {
           }
         }
         if (violations == 0) certified = true
-        else assigned = auctionPass(epsF)
+        else { graft.Instrument.inc("lap.repair_iters"); assigned = auctionPass(epsF) }
       }
       it += 1
     }
+    unpersistCheckpoint(kernelDf)
     val costOf = cand.map(_.toMap)
     val total = (0 until n).map(i => costOf(i)(assigned(i)).toLong).sum
     val nAssigned = assigned.distinct.length.toLong
     spark.createDataFrame(Seq((nAssigned, total))).toDF("n_assigned", "total_cost")
+  }
+
+  /** Distributed ε-CS certificate that CONSUMES the keyed auction state
+    * table — no price array ever reaches the driver (VERDICT r9 item 3;
+    * the reference keeps the same state device-side,
+    * solver/detail/lap_functions.cuh). One full-matrix scan joins the
+    * generated costs against the broadcast (j, price) side of `state`;
+    * each row's assigned profit comes from evaluating the cost expression
+    * over the state table itself (owner i is a state column). Returns
+    * Some(1-row summary (n_assigned, total_cost)) iff every row satisfies
+    * ε-CS at the keyed fixed point — with integer costs and ε < 1/n that
+    * certifies the EXACT optimum, same argument as the driver-side loop.
+    * The summary is a distributed aggregate collected as one row; the
+    * violation check is a count. None ⇒ caller takes the repair path.
+    */
+  private def lapCertifyKeyed(spark: SparkSession, fullCosts: DataFrame,
+      cCol: Column, state: DataFrame, eps: Double, n: Int): Option[DataFrame] = {
+    graft.Instrument.inc("lap.certificate_full_scans")
+    graft.Instrument.inc("lap.certificate_entries", n.toLong * n)
+    val priceDf = state.select(col("j"), col("p"))
+    val best = fullCosts.join(broadcast(priceDf), Seq("j"))
+      .select(col("i"), struct((-col("c") - col("p")).as("v"), col("j")).as("s"))
+      .groupBy(col("i")).agg(max(col("s")).as("m"))
+      .select(col("i"), col("m.v").as("v"))
+    val profits = state.where(col("i") >= 0)
+      .select(col("i"), col("j"), col("p"))
+      .withColumn("c", cCol)
+      .select(col("i"), col("j"), col("c"), (-col("c") - col("p")).as("profit"))
+      .localCheckpoint(true) // feeds both the violation count and the summary
+    val violations = best.join(profits.select(col("i"), col("profit")), Seq("i"))
+      .where(col("v") - col("profit") > eps + 1e-9).count()
+    val out = if (violations > 0) {
+      graft.Instrument.inc("lap.certificate_violations", violations)
+      None
+    } else {
+      val Array(s) = profits
+        .agg(countDistinct(col("j")).as("n_assigned"),
+          sum(col("c").cast("long")).as("total_cost")).collect()
+      Some(spark.createDataFrame(Seq((s.getLong(0), s.getLong(1))))
+        .toDF("n_assigned", "total_cost"))
+    }
+    unpersistCheckpoint(profits)
+    out
   }
 
   /** One auction ε-phase with DISTRIBUTED state — the Jacobi (all-at-once)
@@ -1005,14 +1104,15 @@ object SolverOps {
     * value is w2 − ε ≥ every alternative − ε, and other prices only rise),
     * so the phase composes with the ε-scaling warm start and the full-
     * matrix certificate exactly like the driver phase. The driver touches
-    * only round counters; the final O(n) collect exists to hand prices to
-    * the certificate stage (and disappears when the certificate consumes
-    * the DataFrame directly). Returns (assignment, prices); unassigned
-    * rows are −1 if the safety round-cap tripped.
+    * only round counters: the state TABLE is the return value, and the
+    * certificate consumes it directly ([[lapCertifyKeyed]]) — no price or
+    * assignment array ever reaches the driver (VERDICT r9 item 3).
+    * Returns (state (j, price, owner i or −1), #unassigned, rounds run);
+    * #unassigned > 0 means the safety round-cap tripped.
     */
   def lapKeyedPhase(spark: SparkSession, kernelDf: DataFrame,
       prices0: Array[Double], eps: Double, n: Int,
-      maxRounds: Int = 300): (Array[Int], Array[Double]) = {
+      maxRounds: Int = 300): (DataFrame, Long, Int) = {
     import graft.functions.TopKAgg
     // ONE state table, keyed by column: (j, price, owning row or −1).
     // Column-keyed state makes eviction implicit — a re-won column simply
@@ -1047,24 +1147,22 @@ object SolverOps {
       val winners = bids.groupBy(col("j"))
         .agg(max(struct(col("bid"), col("i"))).as("w"))
         .select(col("j"), col("w.i").as("wi"), col("w.bid").as("bid"))
+      val prev = state
       state = state.join(winners, Seq("j"), "left")
         .select(col("j"),
           (col("p") + coalesce(col("bid"), lit(0.0))).as("p"),
           coalesce(col("wi"), col("i")).as("i"))
         .localCheckpoint(true)
+      // the new checkpoint is eager and lineage-free, so the previous
+      // round's blocks are dead — free them now instead of accumulating
+      // one cached RDD per round for the whole phase (ADVICE r9)
+      unpersistCheckpoint(prev)
       unassigned = n - state.where(col("i") >= 0).count()
       round += 1
     }
-    val rows = state.collect()
-    val aOut = Array.fill(n)(-1)
-    val pOut = new Array[Double](n)
-    rows.foreach { r =>
-      val j = r.getLong(0).toInt
-      pOut(j) = r.getDouble(1)
-      val i = r.getLong(2)
-      if (i >= 0) aOut(i.toInt) = j
-    }
-    (aOut, pOut)
+    unpersistCheckpoint(kern)
+    unpersistCheckpoint(allI)
+    (state, unassigned, round)
   }
 
   /** Two-pass randomized SVD of a sparse COO matrix — reference:

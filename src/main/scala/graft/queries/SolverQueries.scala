@@ -288,8 +288,11 @@ object SolverQueries extends QueryGroup {
       val noise = pmod(xxhash64(col("i"), col("j"), lit("lapPB")), lit(1000000L)) + 1
       val c = when(col("j") === pmod(col("i") * 2001, lit(nB)), u + v)
         .otherwise(u + v + noise)
+      // keyedFinal (round 10): final ε-phase AND certificate run against
+      // DataFrame-resident state — no price array on the driver at n=1e4;
+      // the certificate consumes the keyed state table directly
       SolverOps.lapAuctionDistributed(s, nB.toInt, priceJoinThreshold = 0,
-        costExpr = Some(c))
+        costExpr = Some(c), keyedFinal = true)
     }),
     "solver_rsvd_sparse" -> ((s, d) => {
       // closed-form rank-8 fixture (exact σ, SQL oracle); the real-data

@@ -145,6 +145,26 @@ class Solver2Spec extends AnyFunSuite {
       s"keyed-phase auction ${row.getLong(1)} vs Hungarian ${total.toLong}")
   }
 
+  test("keyed LAP frees its per-round checkpoints and pays one certificate scan") {
+    graft.Instrument.reset()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val Array(row) = SolverOps.lapAuctionDistributed(spark, 60, topT = 8,
+      keyedFinal = true).collect()
+    assert(row.getLong(0) == 60L)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // every round's state checkpoint, the phase-local kernel/allI copies,
+    // the caller's kernel, and the certificate's profits table must all be
+    // unpersisted by the time the summary returns (ADVICE r9) — allow a
+    // ±2 slack for unrelated caching in the shared session
+    assert(after <= before + 2, s"leaked checkpointed RDD blocks: $before -> $after")
+    val snap = graft.Instrument.snapshot()
+    assert(snap.getOrElse("lap.certificate_full_scans", 0L) == 1L,
+      s"keyed path must pay exactly ONE full certificate scan: $snap")
+    assert(snap.getOrElse("lap.keyed_fallbacks", 0L) == 0L,
+      s"keyed path must certify without the driver fallback: $snap")
+    assert(snap.getOrElse("lap.keyed_rounds", 0L) > 0L)
+  }
+
   test("auction LAP price-join certificate path matches the literal-array path") {
     // priceJoinThreshold=0 forces the broadcast-join certificate (the
     // beyond-driver-literal-scale form); same fixture, same exact optimum
