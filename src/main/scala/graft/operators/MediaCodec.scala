@@ -65,9 +65,10 @@ object MediaCodec {
   /** Decoded image: dimensions + logical row-major RGB buffer. */
   final case class Image(width: Int, height: Int, rgb: Array[Byte])
 
-  /** Parse a 24-bit uncompressed BMP. Handles either row order and any
-    * pixel-data offset (palettes/extended headers are skipped via the
-    * stored offset). */
+  /** Parse an uncompressed BMP — 24-bit direct or 8-bit paletted (the
+    * depth is dispatched from biBitCount). Handles either row order and
+    * any pixel-data offset (palettes/extended headers land between the
+    * info header and the stored offset). */
   def decodeBmp(payload: Array[Byte]): Image = {
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     require(payload.length >= 54, s"truncated BMP: ${payload.length} bytes")
@@ -81,8 +82,10 @@ object MediaCodec {
     val height = math.abs(rawHeight)
     val bitCount = buf.getShort(28).toInt
     val compression = buf.getInt(30)
-    require(bitCount == 24, s"unsupported bit depth $bitCount")
+    require(bitCount == 24 || bitCount == 8, s"unsupported bit depth $bitCount")
     require(compression == 0, s"unsupported compression $compression")
+    if (bitCount == 8)
+      return decodeBmp8(payload, buf, width, height, topDown, headerSize, pixelOffset)
     val stride = (width * 3 + 3) / 4 * 4
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
@@ -101,6 +104,133 @@ object MediaCodec {
       y += 1
     }
     Image(width, height, rgb)
+  }
+
+  /** Encode an 8-bit paletted BMP (BI_RGB, biBitCount=8): `palette` is up
+    * to 256 packed 0xRRGGBB entries, `indices` the row-major pixel bytes.
+    * Written top-down like [[encodeBmp]]; rows padded to 4-byte
+    * boundaries. The palette lives between the info header and the pixel
+    * data, which is exactly what makes honoring the stored pixel-data
+    * offset non-optional for a correct reader. */
+  def encodeBmp8(width: Int, height: Int, palette: Array[Int],
+      indices: Array[Byte]): Array[Byte] = {
+    require(palette.length > 0 && palette.length <= 256, s"bad palette size ${palette.length}")
+    require(indices.length == width * height, s"indices ${indices.length} != $width x $height")
+    val stride = (width + 3) / 4 * 4
+    val pixelBytes = stride * height
+    val pixelOffset = 54 + palette.length * 4
+    val fileSize = pixelOffset + pixelBytes
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize).putShort(0).putShort(0).putInt(pixelOffset)
+    buf.putInt(40).putInt(width).putInt(-height)
+    buf.putShort(1).putShort(8)
+    buf.putInt(0) // BI_RGB
+    buf.putInt(pixelBytes).putInt(2835).putInt(2835)
+    buf.putInt(palette.length).putInt(0) // biClrUsed, biClrImportant
+    palette.foreach { c => // stored as B, G, R, reserved quads
+      buf.put((c & 0xff).toByte).put(((c >> 8) & 0xff).toByte)
+        .put(((c >> 16) & 0xff).toByte).put(0.toByte)
+    }
+    var y = 0
+    while (y < height) {
+      buf.put(indices, y * width, width)
+      var pad = stride - width
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Parse an 8-bit paletted BMP into expanded RGB (shared row/offset
+    * handling with the 24-bit branch lives in [[decodeBmp]], which
+    * dispatches here on biBitCount). */
+  private def decodeBmp8(payload: Array[Byte], buf: ByteBuffer, width: Int,
+      height: Int, topDown: Boolean, headerSize: Int, pixelOffset: Int): Image = {
+    val clrUsed = buf.getInt(46)
+    val nColors = if (clrUsed == 0) 256 else clrUsed
+    val palOff = 14 + headerSize
+    val stride = (width + 3) / 4 * 4
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val rowStart = pixelOffset + srcRow * stride
+      var x = 0
+      while (x < width) {
+        val idx = payload(rowStart + x) & 0xff
+        require(idx < nColors, s"palette index $idx out of $nColors colors")
+        val p = palOff + idx * 4 // B, G, R, reserved
+        val d = (y * width + x) * 3
+        rgb(d) = payload(p + 2)
+        rgb(d + 1) = payload(p + 1)
+        rgb(d + 2) = payload(p)
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, rgb)
+  }
+
+  // ---------------------------------------------------------------- PNG
+
+  /** Encode a real PNG via the JDK's ImageIO (zlib-compressed, the
+    * format actual web-crawl images arrive in). Logical row-major RGB in,
+    * standard-compliant container out; lossless, so decode recovers the
+    * exact pixels. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != $width x $height x 3")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        img.setRGB(x, y, ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG via ImageIO into the same logical row-major RGB buffer
+    * as [[decodeBmp]] — one `Image` shape out of every container, which is
+    * what lets the downstream feature/pHash/augment stages stay
+    * format-blind. */
+  def decodePng(payload: Array[Byte]): Image = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "ImageIO could not decode payload as PNG")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y) // sRGB, alpha ignored (we never write it)
+        val d = (y * w + x) * 3
+        rgb(d) = ((px >> 16) & 0xff).toByte
+        rgb(d + 1) = ((px >> 8) & 0xff).toByte
+        rgb(d + 2) = (px & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, rgb)
+  }
+
+  /** Container sniff + dispatch: BMP by "BM" magic, PNG by its 8-byte
+    * signature — the entry point a mixed crawl shard decodes through. */
+  def decodeImage(payload: Array[Byte]): Image = {
+    require(payload.length >= 8, s"truncated image: ${payload.length} bytes")
+    if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) decodeBmp(payload)
+    else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+      payload(2) == 'N'.toByte && payload(3) == 'G'.toByte) decodePng(payload)
+    else throw new IllegalArgumentException(
+      f"unsupported image container (magic ${payload(0)}%02x${payload(1)}%02x)")
   }
 
   // ---------------------------------------------------------------- WAV

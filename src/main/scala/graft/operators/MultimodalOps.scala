@@ -87,6 +87,45 @@ object MultimodalOps {
       })
   }
 
+  /** Pack each document as a REAL PNG (ImageIO-written, zlib-compressed):
+    * same dimensions and cycled-byte pixels as [[packImage]], a different
+    * standard container. PNG is lossless, so the decode recovers the
+    * exact pixel buffer — the pixel-md5 oracle is the same arithmetic as
+    * the BMP one; only the container byte length is non-replayable
+    * (compression-dependent), so the PNG query drops n_bytes. */
+  def packPng(docs: DataFrame): Dataset[BinaryDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withSource(docs).select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val b = asciiBytes(id, text)
+        val (w, h) = imageDims(b.length)
+        val rgb = Array.tabulate(w * h * 3)(i => b(i % b.length))
+        BinaryDoc(id, MediaCodec.encodePng(w, h, rgb), source)
+      })
+  }
+
+  /** Pack each document as an 8-bit PALETTED BMP: the palette is the
+    * 256-entry grayscale identity (k → (k,k,k)), pixel index p = doc byte
+    * (p mod len) — so the expanded RGB is each cycled byte TRIPLED, which
+    * keeps the pixel-md5 oracle SQL-replayable. Exercises the palette
+    * branch of the parse (pixel offset past the color table, 1-byte
+    * stride padding). */
+  def packBmp8(docs: DataFrame): Dataset[BinaryDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gray = Array.tabulate(256)(k => (k << 16) | (k << 8) | k)
+    withSource(docs).select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val b = asciiBytes(id, text)
+        val (w, h) = imageDims(b.length)
+        val idx = Array.tabulate(w * h)(i => b(i % b.length))
+        BinaryDoc(id, MediaCodec.encodeBmp8(w, h, gray, idx), source)
+      })
+  }
+
   /** Pack each document as a REAL 16-bit mono PCM WAV at 8 kHz: sample t
     * = (byte t − 128)·256, one sample per document byte. The container
     * includes a LIST chunk so the decode's RIFF walk is always
@@ -103,18 +142,19 @@ object MultimodalOps {
       })
   }
 
-  /** Decode real BMP payloads: parse the container, emit dimensions +
-    * the md5 of the recovered row-major RGB buffer (the value that
-    * proves the parse — offsets, stride padding, BGR swap — recovered
-    * the exact logical pixels). Per-partition batch loop, one digest
-    * context per batch. */
+  /** Decode real image payloads (BMP or PNG, sniffed by magic bytes):
+    * parse the container, emit dimensions + the md5 of the recovered
+    * row-major RGB buffer (the value that proves the parse — offsets,
+    * stride padding, BGR swap, palette expansion, zlib inflate —
+    * recovered the exact logical pixels). Per-partition batch loop, one
+    * digest context per batch. */
   def decodeImage(docs: Dataset[BinaryDoc]): Dataset[ImageMeta] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
       it.map { d =>
-        val img = MediaCodec.decodeBmp(d.payload)
+        val img = MediaCodec.decodeImage(d.payload)
         ImageMeta(d.doc_id, d.payload.length.toLong, img.width.toLong,
           img.height.toLong, 3L, hex(md, img.rgb), img.rgb)
       }
@@ -153,7 +193,8 @@ object MultimodalOps {
     })
   }
 
-  /** Real resize: decode each BMP and area-pool the 3-channel luma
+  /** Real resize: decode each image (any supported container) and
+    * area-pool the 3-channel luma
     * (r+g+b per pixel) onto an outW×outH grid — pixel (x,y) pools into
     * bin (x·outW/w, y·outH/h), feature = mean luma of the bin (exact:
     * integer sum / count), row-major. This is the honest "decode →
@@ -163,7 +204,7 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.mapPartitions(_.map { d =>
-      val img = MediaCodec.decodeBmp(d.payload)
+      val img = MediaCodec.decodeImage(d.payload)
       val (w, h) = (img.width, img.height)
       val sums = new Array[Long](outW * outH)
       val cnts = new Array[Long](outW * outH)

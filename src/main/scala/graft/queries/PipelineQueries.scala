@@ -91,6 +91,21 @@ object PipelineQueries extends QueryGroup {
     "pipe_mm_decode" -> ((s, d) =>
       MultimodalOps.decodeImage(MultimodalOps.packImage(Tables.documents(s, d)))
         .toDF().drop("pixels")),
+    // REAL PNG decode: same pixel arithmetic packed into an ImageIO-written
+    // zlib-compressed PNG, sniffed + inflated back by the format-dispatching
+    // decoder. PNG is lossless so pixel_md5 replays identically to the BMP
+    // oracle; the container length is compression-dependent (not SQL-
+    // replayable), so n_bytes is dropped here.
+    "pipe_mm_png_decode" -> ((s, d) =>
+      MultimodalOps.decodeImage(MultimodalOps.packPng(Tables.documents(s, d)))
+        .toDF().drop("pixels").drop("n_bytes")),
+    // 8-bit PALETTED BMP decode: grayscale-identity palette, index p =
+    // doc byte (p mod len) ⇒ recovered RGB = each cycled byte tripled —
+    // the palette walk (pixel offset past the color table, 1-byte stride
+    // pad) proven against a byte-level SQL replay
+    "pipe_mm_bmp8_decode" -> ((s, d) =>
+      MultimodalOps.decodeImage(MultimodalOps.packBmp8(Tables.documents(s, d)))
+        .toDF().drop("pixels")),
     // REAL audio decode: RIFF/WAVE 16-bit PCM encode → chunk-walk parse;
     // format descriptor + duration + amplitude stats over decoded samples
     "pipe_mm_wav_decode" -> ((s, d) =>
@@ -1322,6 +1337,37 @@ object PipelineQueries extends QueryGroup {
         |  CAST(3 AS BIGINT) AS channels,
         |  md5(substr(repeat(text, (w * h * 3 + len - 1) // len), 1, w * h * 3)) AS pixel_md5
         |FROM dims""".stripMargin,
+    // Real-PNG decode replay: lossless container ⇒ identical pixel-md5
+    // arithmetic to the BMP oracle; n_bytes omitted (zlib-dependent)
+    "pipe_mm_png_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    8 + length(text) % 57 AS w, 8 + (length(text) * 7) % 41 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  md5(substr(repeat(text, (w * h * 3 + len - 1) // len), 1, w * h * 3)) AS pixel_md5
+        |FROM dims""".stripMargin,
+    // Paletted-BMP decode replay: pixel offset = 54 + 256·4 palette bytes,
+    // 1-byte indices padded to 4-byte rows; grayscale identity palette ⇒
+    // recovered RGB = each cycled doc byte TRIPLED
+    "pipe_mm_bmp8_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    8 + length(text) % 57 AS w, 8 + (length(text) * 7) % 41 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id,
+        |    string_agg(repeat(substr(d.text, (t.i % d.len) + 1, 1), 3), '' ORDER BY t.i) AS buf
+        |  FROM dims d, unnest(range(d.w * d.h)) AS t(i)
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(1078 + ((d.w + 3) // 4 * 4) * d.h AS BIGINT) AS n_bytes,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  md5(p.buf) AS pixel_md5
+        |FROM dims d JOIN px p USING (doc_id)""".stripMargin,
     // Real-WAV decode replay: 62-byte container overhead (RIFF + fmt +
     // LIST + data headers), sample t = (byte t − 128)·256
     "pipe_mm_wav_decode" ->

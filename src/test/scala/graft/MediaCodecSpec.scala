@@ -62,6 +62,61 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG encode/decode recovers exact pixels and matches the BMP path") {
+    for ((w, h, seed) <- Seq((1, 1, 10), (7, 5, 11), (31, 48, 12), (64, 9, 13))) {
+      val rgb = sampleRgb(w, h, seed)
+      val png = MediaCodec.encodePng(w, h, rgb)
+      // real PNG signature on disk
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val dec = MediaCodec.decodePng(png)
+      assert(dec.width == w && dec.height == h)
+      assert(dec.rgb.sameElements(rgb), s"PNG pixel mismatch at ${w}x$h")
+      // cross-container agreement: the SAME logical pixels through the
+      // hand-rolled BMP path and the zlib PNG path give one buffer
+      val viaBmp = MediaCodec.decodeBmp(MediaCodec.encodeBmp(w, h, rgb))
+      assert(dec.rgb.sameElements(viaBmp.rgb), "PNG and BMP paths disagree")
+    }
+  }
+
+  test("8-bit paletted BMP is readable by ImageIO with identical expanded pixels") {
+    for ((w, h, seed) <- Seq((1, 1, 20), (5, 3, 21), (17, 9, 22), (33, 12, 23))) {
+      val palette = Array.tabulate(256)(k =>
+        (((k * 37 + seed) % 256) << 16) | (((k * 11) % 256) << 8) | ((k * 73 + 5) % 256))
+      val idx = Array.tabulate(w * h)(i => ((i * 131 + seed * 7) % 256).toByte)
+      val bytes = MediaCodec.encodeBmp8(w, h, palette, idx)
+      // our own parse expands through the palette
+      val dec = MediaCodec.decodeBmp(bytes)
+      assert(dec.width == w && dec.height == h)
+      for (i <- 0 until w * h) {
+        val c = palette(idx(i) & 0xff)
+        assert((dec.rgb(3 * i) & 0xff) == ((c >> 16) & 0xff)
+          && (dec.rgb(3 * i + 1) & 0xff) == ((c >> 8) & 0xff)
+          && (dec.rgb(3 * i + 2) & 0xff) == (c & 0xff), s"palette expand broke at $i")
+      }
+      // the JDK's independent BMP reader agrees on every pixel
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO could not parse our ${w}x$h paletted BMP")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val p = (y * w + x) * 3
+        assert(((argb >> 16) & 0xff) == (dec.rgb(p) & 0xff)
+          && ((argb >> 8) & 0xff) == (dec.rgb(p + 1) & 0xff)
+          && (argb & 0xff) == (dec.rgb(p + 2) & 0xff),
+          s"ImageIO disagrees at ($x,$y) on paletted BMP")
+      }
+    }
+  }
+
+  test("decodeImage sniffs the container by magic bytes") {
+    val rgb = sampleRgb(9, 4, 30)
+    assert(MediaCodec.decodeImage(MediaCodec.encodeBmp(9, 4, rgb)).rgb.sameElements(rgb))
+    assert(MediaCodec.decodeImage(MediaCodec.encodePng(9, 4, rgb)).rgb.sameElements(rgb))
+    val boom = intercept[IllegalArgumentException](
+      MediaCodec.decodeImage("notanimage!!".getBytes("US-ASCII")))
+    assert(boom.getMessage.contains("unsupported image container"))
+  }
+
   test("our WAV encode is readable by AudioSystem with identical format and PCM") {
     val samples = Array.tabulate(1234)(t => ((t * 7919 + 13) % 65536 - 32768).toShort)
     val bytes = MediaCodec.encodeWav(8000, samples)
