@@ -34,6 +34,18 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // exchange evidence (VERDICT r9 item 5): count shuffle-map stages and
+    // total shuffle-write volume for the WHOLE probe, so each SCALE.md row
+    // carries measured exchange counts next to its wall-clock
+    val shuffleStages = new java.util.concurrent.atomic.AtomicLong
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        if (w > 0) { shuffleStages.incrementAndGet(); shuffleBytes.addAndGet(w) }
+      }
+    })
     val t0 = System.nanoTime()
     val result: String = mode match {
       case "lap" =>
@@ -402,6 +414,14 @@ object ScaleProbe {
         import org.apache.spark.sql.{DataFrame, Dataset}
         import spark.implicits._
         implicit val sqlCtx = spark.sqlContext
+        // SPARK_GRAFT_STATESTORE=rocksdb swaps the state store for the
+        // off-heap RocksDB provider (VERDICT r9 stretch): same queries,
+        // same bounded-state claim, state no longer on the JVM heap —
+        // the provider a 1000-executor deployment runs
+        val provider = sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "hdfs")
+        if (provider == "rocksdb")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val chunk = 200000
         val t0ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
         def mkChunk(c0: Long): Seq[Ev] =
@@ -435,7 +455,7 @@ object ScaleProbe {
         val r2 = run("cms", "update", ds => StreamingOps.streamingCms(ds))
         val r3 = run("quantile_sketch", "update",
           ds => StreamingOps.streamingQuantileSketch(ds))
-        s""""mode":"stream","n":$n,$r1,$r2,$r3"""
+        s""""mode":"stream","state_store":"$provider","n":$n,$r1,$r2,$r3"""
       case "allpairs" =>
         // phase timing for the sparse all-pairs cosine join: where do the
         // seconds go on the bounded 600-doc bench slice (and at larger
@@ -505,10 +525,97 @@ object ScaleProbe {
           exact.intersect(pruned)).count()
         require(diff == 0, s"exact != prefix: $diff differing pairs")
         s""""mode":"allpairszipf","n_docs":$n,$pe,$pi,$p1,$p2,"diff":$diff"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | hyperball | silhouette | lanefold | allpairs | allpairszipf)")
+      case "lshdedup" =>
+        // MinHash-LSH dedup at synthetic-corpus scale: n base docs of 40
+        // hash-drawn words (50k vocab), plus two planted duplicate classes
+        // per 100 docs — EXACT copies (jac 1.0: every band matches, so the
+        // probe REQUIRES 100% of them found) and near copies with one
+        // appended word (jac ≈ 0.9: band collision is probabilistic, so
+        // recall is REPORTED, the LSH-theory quantity). Random candidate
+        // collisions are ~0 at this vocab, so the pair count itself is a
+        // structural check.
+        import graft.operators.{DedupOps, TextOps}
+        def words(idc: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(39)), j => concat_ws("", lit("w"),
+            pmod(TextOps.h32(concat_ws(":", idc, j, lit("lshd"))), lit(50000L))
+              .cast("string")))
+        def text(idc: org.apache.spark.sql.Column) = concat_ws(" ", words(idc))
+        val nDup = n / 100
+        val base = spark.range(n).select(col("id").as("doc_id"), text(col("id")).as("text"))
+        val exactCopies = spark.range(nDup).select((col("id") + n).as("doc_id"),
+          text(pmod(col("id") * 31L, lit(n))).as("text"))
+        val nearCopies = spark.range(nDup).select((col("id") + n + nDup).as("doc_id"),
+          concat(text(pmod(col("id") * 17L, lit(n))), lit(" wtail")).as("text"))
+        val docs = base.unionByName(exactCopies).unionByName(nearCopies)
+          .localCheckpoint(true)
+        val t = System.nanoTime()
+        val pairs = DedupOps.minhashDupPairs(docs, 0.7).localCheckpoint(true)
+        val nPairs = pairs.count()
+        val sec = (System.nanoTime() - t) / 1e9
+        val exactFound = pairs.join(
+          spark.range(nDup).select(pmod(col("id") * 31L, lit(n)).as("a"),
+            (col("id") + n).as("b")), Seq("a", "b"), "left_semi").count()
+        val nearFound = pairs.join(
+          spark.range(nDup).select(pmod(col("id") * 17L, lit(n)).as("a"),
+            (col("id") + n + nDup).as("b")), Seq("a", "b"), "left_semi").count()
+        require(exactFound == nDup,
+          s"LSH missed exact duplicates: $exactFound of $nDup")
+        f""""mode":"lshdedup","n_docs":$n,"pairs":$nPairs,"lsh_sec":$sec%.1f,"exact_found":$exactFound,"near_recall":${nearFound.toDouble / nDup}%.3f"""
+      case "zorder" =>
+        // z-order WRITE path at n rows: Morton-code the 2-D key, ONE
+        // repartitionByRange exchange, parquet out; then the same box
+        // filter scans the z-ordered layout vs a hash-partitioned control
+        // layout of identical data. Counts must agree EXACTLY (the layout
+        // cannot change the answer); the probe reports both scan times and
+        // the file count — footer pruning on both dimensions is what the
+        // z-layout buys (structure proven in BucketingSpec; this measures
+        // the write cost + skip payoff at scale).
+        import graft.operators.{Relational, TextOps}
+        val k = 65536L
+        val rows = spark.range(n).select(col("id"),
+          pmod(TextOps.h32(concat_ws(":", col("id"), lit("zx"))), lit(k)).as("x"),
+          pmod(TextOps.h32(concat_ws(":", col("id"), lit("zy"))), lit(k)).as("y"))
+        val ext = rows.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+        val z = rows.crossJoin(broadcast(ext))
+          .select(Relational.zvalue(col("x"), col("y"),
+            col("xmin"), col("xmax"), col("ymin"), col("ymax")).as("z"),
+            col("id"), col("x"), col("y"))
+        val dirZ = s"/tmp/graft_zorder_probe_z"
+        val dirH = s"/tmp/graft_zorder_probe_h"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirZ))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirH))
+        val tW = System.nanoTime()
+        z.repartitionByRange(256, col("z")).sortWithinPartitions("z")
+          .drop("z").write.parquet(dirZ)
+        val writeSec = (System.nanoTime() - tW) / 1e9
+        rows.repartition(256).write.parquet(dirH)
+        val nFiles = new java.io.File(dirZ).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        def boxCount(dir: String): (Long, Double) = {
+          // warm once (footer cache, codegen), then time the best of 3 —
+          // the quantity of interest is steady-state scan cost per layout
+          def once(): (Long, Double) = {
+            val t = System.nanoTime()
+            val c = spark.read.parquet(dir)
+              .where(col("x").between(1000, 3000) && col("y").between(2000, 4000))
+              .count()
+            (c, (System.nanoTime() - t) / 1e9)
+          }
+          once()
+          val runs = Seq(once(), once(), once())
+          (runs.head._1, runs.map(_._2).min)
+        }
+        val (cz, tz) = boxCount(dirZ)
+        val (ch, th) = boxCount(dirH)
+        require(cz == ch, s"layout changed the answer: $cz != $ch")
+        f""""mode":"zorder","n":$n,"write_sec":$writeSec%.1f,"files":$nFiles,"box_rows":$cz,"scan_sec_zorder":$tz%.2f,"scan_sec_hash":$th%.2f"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | hyperball | silhouette | lanefold | allpairs | allpairszipf | lshdedup | zorder | stream | trust | lapkeyed | cg | colranks)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
-    println(s"""{"probe":{$result,"sec":$dt}}""")
+    Thread.sleep(500) // let the listener bus drain before reading counters
+    val sh = s""""shuffle_stages":${shuffleStages.get},"shuffle_write_mb":${shuffleBytes.get / (1024 * 1024)}"""
+    println(s"""{"probe":{$result,$sh,"sec":$dt}}""")
     spark.stop()
   }
 }

@@ -197,13 +197,14 @@ object MediaCodec {
     bos.toByteArray
   }
 
-  /** Decode a PNG via ImageIO into the same logical row-major RGB buffer
-    * as [[decodeBmp]] — one `Image` shape out of every container, which is
+  /** Decode via ImageIO into the same logical row-major RGB buffer as
+    * [[decodeBmp]] — one `Image` shape out of every container, which is
     * what lets the downstream feature/pHash/augment stages stay
-    * format-blind. */
-  def decodePng(payload: Array[Byte]): Image = {
+    * format-blind. Handles every ImageIO-readable format (PNG, JPEG,
+    * GIF, ...); [[decodeImage]] sniffs and dispatches. */
+  def decodeViaImageIO(payload: Array[Byte]): Image = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    require(img != null, "ImageIO could not decode payload as PNG")
+    require(img != null, "ImageIO could not decode payload")
     val (w, h) = (img.getWidth, img.getHeight)
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
@@ -222,13 +223,42 @@ object MediaCodec {
     Image(w, h, rgb)
   }
 
-  /** Container sniff + dispatch: BMP by "BM" magic, PNG by its 8-byte
-    * signature — the entry point a mixed crawl shard decodes through. */
+  def decodePng(payload: Array[Byte]): Image = decodeViaImageIO(payload)
+
+  /** Encode a real baseline JPEG via ImageIO — LOSSY, so unlike BMP/PNG
+    * the decoded pixels are only approximately the input (dimensions and
+    * channel count are exact; MediaCodecSpec bounds the pixel error). */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != $width x $height x 3")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        img.setRGB(x, y, ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  def decodeJpeg(payload: Array[Byte]): Image = decodeViaImageIO(payload)
+
+  /** Container sniff + dispatch: BMP by "BM" magic (hand-rolled parser),
+    * PNG by its 8-byte signature, JPEG by FF D8 FF (both via ImageIO) —
+    * the entry point a mixed crawl shard decodes through. */
   def decodeImage(payload: Array[Byte]): Image = {
     require(payload.length >= 8, s"truncated image: ${payload.length} bytes")
     if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) decodeBmp(payload)
     else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
       payload(2) == 'N'.toByte && payload(3) == 'G'.toByte) decodePng(payload)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+      (payload(2) & 0xff) == 0xff) decodeJpeg(payload)
     else throw new IllegalArgumentException(
       f"unsupported image container (magic ${payload(0)}%02x${payload(1)}%02x)")
   }

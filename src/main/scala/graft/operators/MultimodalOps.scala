@@ -106,6 +106,24 @@ object MultimodalOps {
       })
   }
 
+  /** Pack each document as a REAL baseline JPEG (ImageIO-written — the
+    * dominant crawl format): same dimensions/pixels as [[packImage]].
+    * JPEG is LOSSY, so only the structural metadata (dimensions, channel
+    * count) is exactly replayable; the pixel fidelity bound lives in
+    * MediaCodecSpec. */
+  def packJpeg(docs: DataFrame): Dataset[BinaryDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withSource(docs).select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val b = asciiBytes(id, text)
+        val (w, h) = imageDims(b.length)
+        val rgb = Array.tabulate(w * h * 3)(i => b(i % b.length))
+        BinaryDoc(id, MediaCodec.encodeJpeg(w, h, rgb), source)
+      })
+  }
+
   /** Pack each document as an 8-bit PALETTED BMP: the palette is the
     * 256-entry grayscale identity (k → (k,k,k)), pixel index p = doc byte
     * (p mod len) — so the expanded RGB is each cycled byte TRIPLED, which

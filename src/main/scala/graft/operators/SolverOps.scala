@@ -857,11 +857,19 @@ object SolverOps {
     * a typedLit of n doubles is an expression-tree bomb, so the pass
     * becomes a broadcast join against a (j, price) DataFrame — same size
     * dispatch pattern as the MST/eigsh local paths.
+    *
+    * Three state tiers (the MST/eigsh-style size dispatch, COVERAGE.md
+    * crossover note): default = driver Gauss-Seidel over the collected
+    * O(n·T) kernel (fastest below ~1e4 — per-bid cost is ns, not a Spark
+    * round-trip); `keyedFinal` = final ε-phase + certificate with
+    * DataFrame state (no price array on the driver); `keyedPhases` =
+    * EVERY phase keyed, the kernel never collected — the form for n where
+    * even n·T rows shouldn't visit one node.
     */
   def lapAuctionDistributed(spark: SparkSession, n: Int, topT: Int = 16,
       maxRepair: Int = 8, priceJoinThreshold: Int = 10000,
       costExpr: Option[org.apache.spark.sql.Column] = None,
-      keyedFinal: Boolean = false): DataFrame = {
+      keyedFinal: Boolean = false, keyedPhases: Boolean = false): DataFrame = {
     val costM = 1000000L
     // costExpr: any integer-valued expression over (i, j) — a stored
     // (i, j, cost) table drops in the same way. Default = the hash fixture.
@@ -888,9 +896,15 @@ object SolverOps {
       .select(col("i"), col("j"), cCol.as("c"))
     val kernelDf = topk.unionByName(diagRows)
       .dropDuplicates("i", "j").localCheckpoint(true)
-    val kernelRows = kernelDf.collect()
-    val cand = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
-    kernelRows.foreach(r => cand(r.getLong(0).toInt) += ((r.getLong(1).toInt, r.getDouble(2))))
+    // LAZY: the keyedPhases path never touches this — the kernel is only
+    // collected when a driver auction pass actually runs (driver coarse
+    // phases, or the instrumented fallback)
+    lazy val cand = {
+      val c = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+      kernelDf.collect().foreach(r =>
+        c(r.getLong(0).toInt) += ((r.getLong(1).toInt, r.getDouble(2))))
+      c
+    }
     val prices = new Array[Double](n)
     val epsF = 1.0 / (n + 1)
     // Gauss-Seidel auction over the kernel (maximize Σ −c), prices persist
@@ -925,22 +939,16 @@ object SolverOps {
     // the keyed phase converge in a handful of rounds.
     var eps = costM / 4.0
     var assigned: Array[Int] = null
-    var coarse = 0
-    while (eps > epsF) { assigned = auctionPass(eps); eps /= 5.0; coarse += 1 }
-    graft.Instrument.inc("lap.coarse_phases", coarse.toLong)
-    if (keyedFinal) {
-      // Final ε-phase AND certificate both run against DataFrame-resident
-      // state: prices/assignments never come back to the driver (VERDICT
-      // r9 item 3 — the previous form collected O(n) prices just to hand
-      // them to the certificate). The certificate consumes the keyed state
-      // table directly; the driver sees round counters and a violation
-      // COUNT. Only the pathological branch (round cap tripped, or ε-CS
-      // violations at the keyed fixed point) pulls state back once and
-      // finishes with the driver repair loop — instrumented so the bench
-      // artifact shows whether a run ever took it.
-      val (state, unassignedK, rounds) =
-        lapKeyedPhase(spark, kernelDf, prices.clone(), epsF, n)
-      graft.Instrument.inc("lap.keyed_rounds", rounds.toLong)
+    // Final ε-phase AND certificate run against DataFrame-resident state:
+    // prices/assignments never come back to the driver (VERDICT r9 item
+    // 3 — the previous form collected O(n) prices just to hand them to
+    // the certificate). The certificate consumes the keyed state table
+    // directly; the driver sees round counters and a violation COUNT.
+    // Only the pathological branch (round cap tripped, or ε-CS violations
+    // at the keyed fixed point) pulls state back once and finishes with
+    // the driver repair loop — instrumented so the bench artifact shows
+    // whether a run ever took it. Returns Some(summary) iff certified.
+    def keyedFinish(state: DataFrame, unassignedK: Long): Option[DataFrame] = {
       val certified: Option[DataFrame] =
         if (unassignedK == 0L) lapCertifyKeyed(spark, fullCosts, cCol, state, epsF, n)
         else None
@@ -948,7 +956,7 @@ object SolverOps {
         case Some(summary) =>
           unpersistCheckpoint(state)
           unpersistCheckpoint(kernelDf)
-          return summary
+          Some(summary)
         case None =>
           graft.Instrument.inc("lap.keyed_fallbacks")
           val rows = state.collect()
@@ -962,8 +970,54 @@ object SolverOps {
           }
           // safety: if the round cap tripped, finish the stragglers driver-side
           assigned = if (aOut.contains(-1)) auctionPass(epsF) else aOut
+          None
       }
-    } else assigned = auctionPass(epsF)
+    }
+    if (keyedPhases) {
+      // END-TO-END distributed state (VERDICT r9 item 6, first option):
+      // every ε-scaling phase runs keyed, phase k+1's warm prices are a
+      // PROJECTION of phase k's state table — the kernel is never
+      // collected, no price array exists, and the certificate consumes
+      // the final state. A coarse phase that trips its round cap is fine:
+      // its (monotone) prices are still a valid warm start, only the
+      // FINAL phase must fully assign. The cost is phase×round scheduler
+      // latency, which is why the driver Gauss-Seidel remains the small-n
+      // dispatch (see COVERAGE.md crossover note).
+      var phasePrices = spark.range(n).select(col("id").as("j"), lit(0.0).as("p"))
+      var prevState: DataFrame = null
+      var phases = 0
+      while (eps > epsF) {
+        val (st, _, rounds) = lapKeyedPhaseDf(spark, kernelDf, phasePrices, eps, n)
+        graft.Instrument.inc("lap.keyed_rounds", rounds.toLong)
+        if (prevState != null) unpersistCheckpoint(prevState)
+        prevState = st
+        phasePrices = st.select(col("j"), col("p"))
+        phases += 1
+        eps /= 5.0
+      }
+      graft.Instrument.inc("lap.keyed_phases", phases.toLong)
+      val (state, unassignedK, rounds) =
+        lapKeyedPhaseDf(spark, kernelDf, phasePrices, epsF, n)
+      graft.Instrument.inc("lap.keyed_rounds", rounds.toLong)
+      if (prevState != null) unpersistCheckpoint(prevState)
+      keyedFinish(state, unassignedK) match {
+        case Some(summary) => return summary
+        case None => ()
+      }
+    } else {
+      var coarse = 0
+      while (eps > epsF) { assigned = auctionPass(eps); eps /= 5.0; coarse += 1 }
+      graft.Instrument.inc("lap.coarse_phases", coarse.toLong)
+      if (keyedFinal) {
+        val (state, unassignedK, rounds) =
+          lapKeyedPhase(spark, kernelDf, prices.clone(), epsF, n)
+        graft.Instrument.inc("lap.keyed_rounds", rounds.toLong)
+        keyedFinish(state, unassignedK) match {
+          case Some(summary) => return summary
+          case None => ()
+        }
+      } else assigned = auctionPass(epsF)
+    }
     // 2.-3. certificate / repair loop. Key cost control (VERDICT r8
     // item 2): auction prices are MONOTONE NON-DECREASING, so a row's
     // full-matrix best profit max_j(−c_ij − p_j) can only FALL between
@@ -1112,6 +1166,17 @@ object SolverOps {
     */
   def lapKeyedPhase(spark: SparkSession, kernelDf: DataFrame,
       prices0: Array[Double], eps: Double, n: Int,
+      maxRounds: Int = 300): (DataFrame, Long, Int) =
+    lapKeyedPhaseDf(spark, kernelDf,
+      spark.createDataFrame(prices0.toSeq.zipWithIndex.map { case (p, j) => (j.toLong, p) })
+        .toDF("j", "p"), eps, n, maxRounds)
+
+  /** [[lapKeyedPhase]] with the warm-start prices as a DATAFRAME — the
+    * form that chains ε-phases end-to-end without prices ever visiting
+    * the driver (keyedPhases mode: phase k+1's prices0Df is phase k's
+    * state projection). */
+  def lapKeyedPhaseDf(spark: SparkSession, kernelDf: DataFrame,
+      prices0Df: DataFrame, eps: Double, n: Int,
       maxRounds: Int = 300): (DataFrame, Long, Int) = {
     import graft.functions.TopKAgg
     // ONE state table, keyed by column: (j, price, owning row or −1).
@@ -1119,9 +1184,8 @@ object SolverOps {
     // overwrites its owner, and the old owner drops out of the owners set
     // — so each round is exactly one keyed state rewrite (plus a count on
     // the already-materialized checkpoint for the termination test).
-    var state = spark.createDataFrame(
-        prices0.toSeq.zipWithIndex.map { case (p, j) => (j.toLong, p, -1L) })
-      .toDF("j", "p", "i").localCheckpoint(true)
+    var state = prices0Df.select(col("j"), col("p"), lit(-1L).as("i"))
+      .localCheckpoint(true)
     // rounds are latency-bound, not volume-bound: below ~1e4 kernel rows
     // per-stage task overhead dominates, so collapse the kernel to one
     // partition (a cluster-size n keeps its natural partitioning)

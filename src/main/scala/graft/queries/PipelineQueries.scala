@@ -99,6 +99,13 @@ object PipelineQueries extends QueryGroup {
     "pipe_mm_png_decode" -> ((s, d) =>
       MultimodalOps.decodeImage(MultimodalOps.packPng(Tables.documents(s, d)))
         .toDF().drop("pixels").drop("n_bytes")),
+    // REAL JPEG decode (the dominant crawl format): ImageIO encode →
+    // sniff-dispatch → ImageIO decode. JPEG is lossy, so the oracle pins
+    // the exactly-replayable structure (dimensions, channels); pixel
+    // fidelity is spec-bounded (MediaCodecSpec), not oracle-hashed
+    "pipe_mm_jpeg_decode" -> ((s, d) =>
+      MultimodalOps.decodeImage(MultimodalOps.packJpeg(Tables.documents(s, d)))
+        .toDF().select(col("doc_id"), col("width"), col("height"), col("channels"))),
     // 8-bit PALETTED BMP decode: grayscale-identity palette, index p =
     // doc byte (p mod len) ⇒ recovered RGB = each cycled byte tripled —
     // the palette walk (pixel offset past the color table, 1-byte stride
@@ -1349,6 +1356,13 @@ object PipelineQueries extends QueryGroup {
         |  CAST(3 AS BIGINT) AS channels,
         |  md5(substr(repeat(text, (w * h * 3 + len - 1) // len), 1, w * h * 3)) AS pixel_md5
         |FROM dims""".stripMargin,
+    // JPEG decode replay: structural metadata only (lossy pixels)
+    "pipe_mm_jpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + length(text) % 57 AS BIGINT) AS width,
+        |  CAST(8 + (length(text) * 7) % 41 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM documents""".stripMargin,
     // Paletted-BMP decode replay: pixel offset = 54 + 256·4 palette bytes,
     // 1-byte indices padded to 4-byte rows; grayscale identity palette ⇒
     // recovered RGB = each cycled doc byte TRIPLED

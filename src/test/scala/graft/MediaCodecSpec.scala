@@ -112,9 +112,28 @@ class MediaCodecSpec extends AnyFunSuite {
     val rgb = sampleRgb(9, 4, 30)
     assert(MediaCodec.decodeImage(MediaCodec.encodeBmp(9, 4, rgb)).rgb.sameElements(rgb))
     assert(MediaCodec.decodeImage(MediaCodec.encodePng(9, 4, rgb)).rgb.sameElements(rgb))
+    assert(MediaCodec.decodeImage(MediaCodec.encodeJpeg(9, 4, rgb)).width == 9)
     val boom = intercept[IllegalArgumentException](
       MediaCodec.decodeImage("notanimage!!".getBytes("US-ASCII")))
     assert(boom.getMessage.contains("unsupported image container"))
+  }
+
+  test("JPEG: exact structure, bounded lossy pixel error on a smooth image") {
+    // lossy codec contract: dimensions/channels exact always; pixel error
+    // bounded on DCT-friendly (smooth) content — a gradient, not noise
+    for ((w, h) <- Seq((16, 16), (64, 48), (33, 9))) {
+      val rgb = Array.tabulate(w * h * 3) { i =>
+        val px = i / 3; val x = px % w; val y = px / w
+        ((x * 255 / math.max(1, w - 1) + y * 255 / math.max(1, h - 1)) / 2).toByte
+      }
+      val jpeg = MediaCodec.encodeJpeg(w, h, rgb)
+      assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8, "bad JPEG magic")
+      val dec = MediaCodec.decodeJpeg(jpeg)
+      assert(dec.width == w && dec.height == h && dec.rgb.length == w * h * 3)
+      val meanErr = rgb.indices.map(i =>
+        math.abs((dec.rgb(i) & 0xff) - (rgb(i) & 0xff))).sum.toDouble / rgb.length
+      assert(meanErr < 8.0, s"JPEG mean abs pixel error $meanErr too large at ${w}x$h")
+    }
   }
 
   test("our WAV encode is readable by AudioSystem with identical format and PCM") {

@@ -165,6 +165,31 @@ class Solver2Spec extends AnyFunSuite {
     assert(snap.getOrElse("lap.keyed_rounds", 0L) > 0L)
   }
 
+  test("end-to-end keyed phases (kernel never collected) reach the exact optimum") {
+    // keyedPhases chains every ε-phase through DataFrame-resident state —
+    // prices flow phase-to-phase as projections, no driver arrays at all
+    graft.Instrument.reset()
+    val Array(row) = SolverOps.lapAuctionDistributed(spark, 60, topT = 8,
+      keyedPhases = true).collect()
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cost = Array.tabulate(60, 60)((i, j) =>
+      (h32(s"$i:$j:lap") % 1000000L).toDouble)
+    val (_, total) = SolverOps.hungarian(cost)
+    assert(row.getLong(0) == 60L, "assignment must be a perfect matching")
+    assert(row.getLong(1) == total.toLong,
+      s"keyedPhases auction ${row.getLong(1)} vs Hungarian ${total.toLong}")
+    val snap = graft.Instrument.snapshot()
+    assert(snap.getOrElse("lap.keyed_phases", 0L) > 0L, s"phases not keyed: $snap")
+    assert(snap.getOrElse("lap.coarse_phases", 0L) == 0L,
+      s"driver coarse phases must not run in keyedPhases mode: $snap")
+    assert(snap.getOrElse("lap.keyed_fallbacks", 0L) == 0L,
+      s"keyedPhases must certify without the driver fallback: $snap")
+  }
+
   test("auction LAP price-join certificate path matches the literal-array path") {
     // priceJoinThreshold=0 forces the broadcast-join certificate (the
     // beyond-driver-literal-scale form); same fixture, same exact optimum
