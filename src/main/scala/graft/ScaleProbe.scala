@@ -519,12 +519,27 @@ object ScaleProbe {
         }
         val (pe, u0) = phase("entries") { TextOps.tfidfUnit(docs) }
         val (pi, _) = phase("prefix_index") { TextOps.prefixIndex(u0, 0.8) }
-        val (p1, exact) = phase("exact") { TextOps.allPairsCosine(docs, 0.8) }
         val (p2, pruned) = phase("prefix") { TextOps.allPairsCosinePrefix(docs, 0.8) }
-        val diff = exact.unionByName(pruned).except(
-          exact.intersect(pruned)).count()
-        require(diff == 0, s"exact != prefix: $diff differing pairs")
-        s""""mode":"allpairszipf","n_docs":$n,$pe,$pi,$p1,$p2,"diff":$diff"""
+        if (n < 50000) {
+          // small n: exact path as the full-equality oracle
+          val (p1, exact) = phase("exact") { TextOps.allPairsCosine(docs, 0.8) }
+          val diff = exact.unionByName(pruned).except(
+            exact.intersect(pruned)).count()
+          require(diff == 0, s"exact != prefix: $diff differing pairs")
+          s""""mode":"allpairszipf","n_docs":$n,$pe,$pi,$p1,$p2,"diff":$diff"""
+        } else {
+          // big n: the exact leg's Σdf² enumeration spills ~100s of GB at
+          // 2e5 docs (measured: filled the disk) — the point of the prefix
+          // index is precisely not to pay that. Oracle: Bayardo prefix
+          // filtering is EXACT (no recall loss by construction), so every
+          // planted copy pair (cos 1.0 ≥ 0.8) MUST be in the output.
+          val plantedFound = pruned.join(
+            spark.range(n / 100).select(pmod(col("id") * 97L, lit(n)).as("doc_a"),
+              (col("id") + n).as("doc_b")), Seq("doc_a", "doc_b"), "left_semi").count()
+          require(plantedFound == n / 100,
+            s"prefix path missed planted copies: $plantedFound of ${n / 100}")
+          s""""mode":"allpairszipf","n_docs":$n,$pe,$pi,$p2,"planted_found":$plantedFound"""
+        }
       case "lshdedup" =>
         // MinHash-LSH dedup at synthetic-corpus scale: n base docs of 40
         // hash-drawn words (50k vocab), plus two planted duplicate classes

@@ -105,6 +105,7 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_zorder_skip" -> ((s, d) => Relational.zorderSkipStats(s, d)),
     "rel_hilbert_layout" -> ((s, d) => Relational.hilbertLayout(s, d)),
     "rel_profile" -> ((s, d) => Relational.profileTable(s, d)),
+    "rel_profile_sketch" -> ((s, d) => Relational.profileTableSketch(s, d)),
     "rel_window_frames" -> ((s, d) => Relational.supplierRunningRevenue(s, d)),
     "rel_cube" -> ((s, d) => Relational.cubeQuantity(s, d)),
     "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerFlag(s, d)),
@@ -429,5 +430,31 @@ private object RelationalQueries extends graft.queries.QueryGroup {
          |  count(DISTINCT $c) AS n_distinct, CAST(min($c) AS DOUBLE) AS min_v,
          |  CAST(max($c) AS DOUBLE) AS max_v, round(avg($c), 4) AS mean_v
          |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
+    // sketch profiling: the distinct column is the deterministic HLL
+    // register replay (same math as rel_approx_distinct) — per column
+    "rel_profile_sketch" -> {
+      val numer = 0.7213 / (1.0 + 1.079 / 4096) * 4096.0 * 4096.0 * math.pow(2.0, 49)
+      Seq("l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount").map(c =>
+        s"""SELECT '$c' AS col_name, s.n_rows, s.n_nonnull, e.nd_sketch,
+           |  s.min_v, s.max_v, s.mean_v
+           |FROM (SELECT count(*) AS n_rows, count($c) AS n_nonnull,
+           |        CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           |        round(avg($c), 4) AS mean_v FROM lineitem) s,
+           |     (SELECT CAST(CASE WHEN raw <= 10240.0 AND zeros > 0
+           |        THEN round(4096.0 * ln(4096.0 / zeros)) ELSE round(raw) END AS BIGINT)
+           |        AS nd_sketch
+           |      FROM (SELECT zeros,
+           |          $numer / CAST(s_hit + zeros * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS raw
+           |        FROM (SELECT sum(CAST(1 AS BIGINT) << (49 - rank)) AS s_hit,
+           |            4096 - count(*) AS zeros
+           |          FROM (SELECT h & 4095 AS bucket,
+           |              max(CASE WHEN h >> 12 = 0 THEN 49
+           |                  ELSE 49 - length(bin(h >> 12)) END) AS rank
+           |            FROM (SELECT CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))
+           |                    AS BIGINT) AS h
+           |                  FROM lineitem WHERE $c IS NOT NULL)
+           |            GROUP BY 1)))) e""".stripMargin).mkString("\nUNION ALL\n")
+    },
   )
 }

@@ -639,6 +639,53 @@ object Relational {
         col("n_distinct"), col("min_v"), col("max_v"), col("mean_v"))
   }
 
+  /** [[profileTable]]'s 100 TB form: per-column distincts come from the
+    * deterministic HLL register sketch (same register math as
+    * [[approxDistinctParts]]) instead of exact count(DISTINCT) — so the
+    * Expand (6× row replication feeding one distinct-keyed shuffle) is
+    * replaced by an unpivot into (column, value) rows and TWO cascaded
+    * keyed aggregates: (column, bucket) partials map-side-combine to at
+    * most 5×4096 register rows, then a 5-row final. Shuffle volume is
+    * REGISTERS, not values — the property that lets per-shard profiles
+    * merge without rescans. Stats (count/min/max/mean) ride the same two
+    * aggregates as mergeable partials. */
+  def profileTableSketch(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4096
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables.lineitem(spark, dir).select(cols.map(col): _*)
+    val unp = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("double").as("v"),
+          col(c).cast("string").as("s"))): _*)).as("e"))
+      .select(col("e.c").as("col_name"), col("e.v").as("v"), col("e.s").as("s"))
+    val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+    val lvl1 = unp
+      .select(col("col_name"), col("v"),
+        when(col("s").isNotNull, h.bitwiseAND(lit(m - 1L))).as("bucket"),
+        when(col("s").isNotNull, shiftright(h, 12)).as("w"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), count(col("v")).as("nn"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"), sum(col("v")).as("sm"),
+        max(when(col("w") === 0L, 49)
+          .otherwise(lit(49) - length(bin(col("w"))))).as("rank"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    lvl1.groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_rows"), sum(col("nn")).as("n_nonnull"),
+        min(col("mn")).as("min_v"), max(col("mx")).as("max_v"),
+        round(sum(col("sm")) / sum(col("nn")), 4).as("mean_v"),
+        sum(when(col("bucket").isNotNull,
+          expr("shiftleft(CAST(1 AS BIGINT), 49 - rank)"))).as("s_hit"),
+        (lit(m) - count(col("bucket"))).as("zeros"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("zeros"), col("min_v"), col("max_v"), col("mean_v"),
+        (lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, 49)) /
+          (col("s_hit") + col("zeros") * lit(1L << 49)).cast("double")).as("raw"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        when(col("raw") <= 2.5 * m && col("zeros") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double"))))
+          .otherwise(round(col("raw"))).cast("long").as("nd_sketch"),
+        col("min_v"), col("max_v"), col("mean_v"))
+  }
+
   /** Scalar string/date/JSON function surface over events (SURVEY.md §2.3 —
     * absent in the reference, declared free Catalyst-native engine surface).
     */

@@ -53,6 +53,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), "vector_sum partial aggregation lost")
   }
 
+  test("rel_profile_sketch replaces the Expand with register aggregates") {
+    // the sketch profile exists to drop rel_profile's countDistinct Expand
+    // (6x row replication into a distinct-keyed shuffle); its plan must be
+    // the unpivot + two cascaded keyed aggregates, shuffling registers
+    val p = plan("rel_profile_sketch")
+    assert(!p.contains("Expand"), s"Expand crept back into the sketch profile:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "cascaded aggregates missing")
+    // the exact-distinct twin keeps its Expand — the contrast this guards
+    assert(plan("rel_profile").contains("Expand"))
+  }
+
   test("LSH bucketing uses literal hyperplane lanes — no per-row md5 draw") {
     // the hyperplane lanes are row-independent driver-side literals; a
     // regression back to the expression draw puts d md5 calls per plane
