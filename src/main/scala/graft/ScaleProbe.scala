@@ -377,11 +377,30 @@ object ScaleProbe {
         val tB0 = System.nanoTime()
         val tb = SpectralOps.trustworthinessBatchedOn(v).head().getDouble(0)
         val tBatched = (System.nanoTime() - tB0) / 1e9
-        val tF0 = System.nanoTime()
-        val tf = SpectralOps.trustworthinessFullOn(v).head().getDouble(0)
-        val tFull = (System.nanoTime() - tF0) / 1e9
-        require(tb == tf, s"batched trustworthiness $tb != full-pairwise $tf")
-        f""""mode":"trust","n":$n,"score":$tb,"batched_sec":$tBatched%.1f,"full_sec":$tFull%.1f"""
+        if (n <= 20000) {
+          // small n: the n² full-pairwise twin is the exact-equality oracle
+          val tF0 = System.nanoTime()
+          val tf = SpectralOps.trustworthinessFullOn(v).head().getDouble(0)
+          val tFull = (System.nanoTime() - tF0) / 1e9
+          require(tb == tf, s"batched trustworthiness $tb != full-pairwise $tf")
+          f""""mode":"trust","n":$n,"score":$tb,"batched_sec":$tBatched%.1f,"full_sec":$tFull%.1f"""
+        } else {
+          // big n: the full twin IS the 1e10-pair wall the batched path
+          // exists to avoid — so the oracle becomes structural. A
+          // rank-preserving embedding (uniform scale of the full vector)
+          // cannot create false neighbors, so the score must be EXACTLY
+          // 1.0 through the same kNN/prune/rank machinery; the lossy
+          // slice-8 score is then reported (gated loosely — the fixture's
+          // cluster construction is n-invariant, 0.9776 at 1e4).
+          val vLossless = v.select(col("id"), col("vec"),
+            expr("transform(vec, x -> x * 2.0)").as("emb")).localCheckpoint(true)
+          val tL0 = System.nanoTime()
+          val tl = SpectralOps.trustworthinessBatchedOn(vLossless).head().getDouble(0)
+          val tLossless = (System.nanoTime() - tL0) / 1e9
+          require(tl == 1.0, s"rank-preserving embedding must score exactly 1.0, got $tl")
+          require(tb > 0.9 && tb < 1.0, s"lossy slice-8 score out of band: $tb")
+          f""""mode":"trust","n":$n,"score":$tb,"batched_sec":$tBatched%.1f,"lossless_score":$tl,"lossless_sec":$tLossless%.1f"""
+        }
       case "lapkeyed" =>
         // distributed-state (DataFrame prices/assignments) final auction
         // phase at n: same planted dual certificate as the `lap` mode, so
