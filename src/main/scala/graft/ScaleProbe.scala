@@ -401,6 +401,30 @@ object ScaleProbe {
           require(tb > 0.9 && tb < 1.0, s"lossy slice-8 score out of band: $tb")
           f""""mode":"trust","n":$n,"score":$tb,"batched_sec":$tBatched%.1f,"lossless_score":$tl,"lossless_sec":$tLossless%.1f"""
         }
+      case "lapkeyedfull" =>
+        // END-TO-END keyed phases (round 10): every ε-scaling phase runs
+        // with DataFrame-resident state and the kernel is never collected
+        // — same planted dual certificate, so the closed-form Σu+Σv
+        // optimum still verifies exactly. The interesting number is the
+        // phase×round latency bill vs the keyedFinal row at the same n.
+        val u = pmod(col("i") * 13, lit(500L))
+        val v = pmod(col("j") * 7, lit(300L))
+        val noise = pmod(xxhash64(col("i"), col("j"), lit("lapPB")), lit(1000000L)) + 1
+        val c = when(col("j") === pmod(col("i") * 2001L, lit(n)), u + v)
+          .otherwise(u + v + noise)
+        require(BigInt(2001).gcd(BigInt(n)) == 1, s"2001 must be coprime to $n")
+        graft.Instrument.reset()
+        val row = graft.operators.SolverOps.lapAuctionDistributed(
+          spark, n.toInt, priceJoinThreshold = 0, costExpr = Some(c),
+          keyedPhases = true).head()
+        val expect = (0L until n).map(i => (i * 13) % 500).sum +
+          (0L until n).map(j => (j * 7) % 300).sum
+        require(row.getLong(0) == n && row.getLong(1) == expect,
+          s"keyedPhases LAP wrong: got (${row.getLong(0)}, ${row.getLong(1)}), want ($n, $expect)")
+        val snap = graft.Instrument.snapshot()
+        require(snap.getOrElse("lap.keyed_fallbacks", 0L) == 0L,
+          s"keyedPhases fell back to the driver: $snap")
+        s""""mode":"lapkeyedfull","n":$n,"total_cost":${row.getLong(1)},"keyed_phases":${snap.getOrElse("lap.keyed_phases", 0L)},"keyed_rounds":${snap.getOrElse("lap.keyed_rounds", 0L)}"""
       case "lapkeyed" =>
         // distributed-state (DataFrame prices/assignments) final auction
         // phase at n: same planted dual certificate as the `lap` mode, so
