@@ -208,6 +208,32 @@ class Solver2Spec extends AnyFunSuite {
       s"price-join auction ${row.getLong(1)} vs Hungarian ${total.toLong}")
   }
 
+  test("keyedFinal repairs through the instrumented driver fallback on a starved kernel") {
+    // topT=2 starves the kernel, so the keyed phase converges on a
+    // kernel-optimal assignment the full-matrix certificate must REJECT —
+    // forcing the one pathological path the green queries never take:
+    // collect state once, column-generate driver-side, still exact
+    graft.Instrument.reset()
+    val Array(row) = SolverOps.lapAuctionDistributed(spark, 40, topT = 2,
+      maxRepair = 30, keyedFinal = true).collect()
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cost = Array.tabulate(40, 40)((i, j) =>
+      (h32(s"$i:$j:lap") % 1000000L).toDouble)
+    val (_, total) = SolverOps.hungarian(cost)
+    assert(row.getLong(0) == 40L)
+    assert(row.getLong(1) == total.toLong,
+      s"fallback-repaired auction ${row.getLong(1)} vs Hungarian ${total.toLong}")
+    val snap = graft.Instrument.snapshot()
+    assert(snap.getOrElse("lap.keyed_fallbacks", 0L) == 1L,
+      s"starved kernel must take the fallback exactly once: $snap")
+    assert(snap.getOrElse("lap.repair_iters", 0L) > 0L,
+      s"fallback must column-generate: $snap")
+  }
+
   test("auction LAP repair path: a starved kernel still reaches the exact optimum") {
     // topT=2 is far too small for optimality — the distributed ε-CS
     // certificate must detect the violations and column-generate until exact
