@@ -1,0 +1,127 @@
+"""graft — PySpark bindings for the graft analytics engine.
+
+The pylibraft-parity layer (the reference engine's user surface is its
+Python package; here the same operators are thin wrappers over the graft
+JVM library via the active SparkSession's py4j gateway). Computation stays
+entirely in the JVM: a PySpark user gets exactly the plans, fused kernels,
+and oracle-checked semantics the Scala API produces.
+
+Usage:
+    from graft import graft_session, eigsh, select_k, tfidf, minhash_dup_pairs
+    spark = graft_session()              # local session with the extensions
+    ev = eigsh(coo_df, n=30, k=3)        # smallest-k Lanczos eigenvalues
+
+Requirements: the compiled graft classes (or jar) on the driver classpath —
+graft_session() points at target/scala-2.13/classes by default — and
+Spark 4.x pyspark.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.column import Column
+
+__all__ = [
+    "graft_session", "query_names", "run_query", "oracle_sql",
+    "eigsh", "eigsh_vectors", "select_k", "select_k_sparse",
+    "tfidf", "bm25", "minhash_dup_pairs", "dot", "knn_cosine",
+]
+
+_DEFAULT_CLASSES = "/root/repo/target/scala-2.13/classes"
+
+
+def graft_session(master="local[4]", classes=_DEFAULT_CLASSES,
+                  shuffle_partitions=4):
+    """Build a SparkSession wired with the graft extensions (fused-kernel
+    optimizer rules, the as-of join strategy, and the columnar batch dot
+    kernel). Reuses an existing JVM session if one is already up."""
+    return (SparkSession.builder
+            .master(master)
+            .appName("graft-python")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+            .config("spark.driver.extraClassPath", classes)
+            .getOrCreate())
+
+
+def _api(spark):
+    return getattr(spark._jvm, "graft.PyApi")
+
+
+def _wrap(spark, jdf):
+    return DataFrame(jdf, spark)
+
+
+def query_names(spark):
+    """All driver-contract query names (the full operator surface)."""
+    return sorted(_api(spark).queryNames())
+
+
+def run_query(spark, name, sf_dir):
+    """Run a named driver-contract query against a testdata sf directory."""
+    return _wrap(spark, _api(spark).runQuery(spark._jsparkSession, name, sf_dir))
+
+
+def oracle_sql(spark, name):
+    """The DuckDB oracle SQL for a named query ('' for rows-only checks)."""
+    return _api(spark).oracleSql(name)
+
+
+def eigsh(coo, n, k, m=25):
+    """Smallest-k eigenvalues of a symmetric COO (row, col, value) frame via
+    sharded-basis thick-restart Lanczos. Returns an (i, eig) DataFrame.
+    pylibraft analog: pylibraft.sparse.linalg.eigsh."""
+    spark = coo.sparkSession
+    return _wrap(spark, _api(spark).eigsh(coo._jdf, int(n), int(k), int(m)))
+
+
+def eigsh_vectors(coo, n, k, m=25):
+    """eigsh plus Ritz vectors: distributed (i, v) spectral embeddings."""
+    spark = coo.sparkSession
+    return _wrap(spark, _api(spark).eigshVectors(coo._jdf, int(n), int(k), int(m)))
+
+
+def select_k(m, k, largest=True):
+    """Top-/bottom-k lanes per row of a dense (id, vec ARRAY<DOUBLE>) frame;
+    returns (id, pos, v, rnk)."""
+    spark = m.sparkSession
+    return _wrap(spark, _api(spark).selectK(m._jdf, int(k), bool(largest)))
+
+
+def select_k_sparse(coo, k):
+    """Top-k per row of a sparse COO (row, col, value) frame."""
+    spark = coo.sparkSession
+    return _wrap(spark, _api(spark).selectKSparse(coo._jdf, int(k)))
+
+
+def tfidf(docs):
+    """TF-IDF weights (doc_id, term, w) over a (doc_id, text) frame."""
+    spark = docs.sparkSession
+    return _wrap(spark, _api(spark).tfidf(docs._jdf))
+
+
+def bm25(docs, k1=1.6, b=0.75):
+    """BM25 weights (doc_id, term, w); reference formulas k1=1.6, b=0.75."""
+    spark = docs.sparkSession
+    return _wrap(spark, _api(spark).bm25(docs._jdf, float(k1), float(b)))
+
+
+def minhash_dup_pairs(docs, threshold=0.5):
+    """MinHash-LSH near-duplicate candidate pairs over (doc_id, text) with
+    verified Jaccard >= threshold; banded equi-join, never all-pairs."""
+    spark = docs.sparkSession
+    return _wrap(spark, _api(spark).minhashDupPairs(docs._jdf, float(threshold)))
+
+
+def dot(a, b):
+    """Fused dot product Column over two ARRAY<DOUBLE> columns — the
+    codegen'd ArrayDot Expression (the batch kernel over columnar scans)."""
+    spark = SparkSession.getActiveSession()
+    return Column(_api(spark).dot(a._jc, b._jc))
+
+
+def knn_cosine(vectors, n_queries, k):
+    """Exact brute-force cosine top-k for the first n_queries ids; returns
+    (qid, nid, cos, rnk). See AnnOps (via run_query) for IVF/LSH paths."""
+    spark = vectors.sparkSession
+    return _wrap(spark, _api(spark).knnCosine(vectors._jdf, int(n_queries), int(k)))

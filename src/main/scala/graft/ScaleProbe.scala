@@ -668,10 +668,71 @@ object ScaleProbe {
         val (ch, th) = boxCount(dirH)
         require(cz == ch, s"layout changed the answer: $cz != $ch")
         f""""mode":"zorder","n":$n,"write_sec":$writeSec%.1f,"files":$nFiles,"box_rows":$cz,"scan_sec_zorder":$tz%.2f,"scan_sec_hash":$th%.2f"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | hyperball | silhouette | lanefold | allpairs | allpairszipf | lshdedup | zorder | stream | trust | lapkeyed | cg | colranks)")
+      case "colkernel" =>
+        // the accelerator seam's payoff head-to-head (VERDICT r10 item 2):
+        // one parquet fixture (n rows × 64 float lanes), the same rounded
+        // dot-product projection consumed END-TO-END via toRdd (no
+        // pruning, no aggregate collapse) — once in THIS session, where
+        // GraftDotKernelExec consumes the vectorized reader's
+        // ColumnarBatches directly, and once in a bare extension-free
+        // session (ColumnarToRow → whole-stage-codegen ArrayDot row
+        // path). Exact integer checksums must agree; best-of-3 each after
+        // a warm pass, kernel/row attribution proven by Instrument.
+        val dir = "/tmp/graft_colkernel_probe"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(63)),
+            j => (pmod(xxhash64(col("id"), j), lit(1000)).cast("double") / 1000.0)
+              .cast("float")).as("embedding"))
+          .write.parquet(dir)
+        val w = array((0 until 64).map(j => lit(((j * 37) % 97) / 97.0)): _*)
+        def dotQuery(s: SparkSession) = s.read.parquet(dir)
+          .select(col("id"), round(graft.functions.ArrayDot.dot(
+            col("embedding").cast("array<double>"), w), 4).as("y"))
+        def consume(s: SparkSession): (Long, Double) = {
+          val t = System.nanoTime()
+          val sum = dotQuery(s).queryExecution.toRdd.map { r =>
+            if (r.isNullAt(1)) 0L else math.round(r.getDouble(1) * 10000)
+          }.reduce(_ + _)
+          (sum, (System.nanoTime() - t) / 1e9)
+        }
+        def bestOf3(s: SparkSession): (Long, Double) = {
+          consume(s) // warm: page cache, codegen, JIT
+          val runs = Seq(consume(s), consume(s), consume(s))
+          require(runs.map(_._1).distinct.length == 1, s"nondeterministic checksum: $runs")
+          (runs.head._1, runs.map(_._2).min)
+        }
+        graft.Instrument.reset()
+        val (ckK, secK) = bestOf3(spark)
+        val kBatches = graft.Instrument.snapshot().getOrElse("colkernel.batches", 0L)
+        require(kBatches > 0, "kernel session never crossed GraftDotKernelExec")
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val bare = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        graft.Instrument.reset()
+        val (ckR, secR) = bestOf3(bare)
+        require(graft.Instrument.snapshot().getOrElse("colkernel.batches", 0L) == 0L,
+          "bare session must take the row path")
+        require(ckK == ckR, s"kernel checksum $ckK != row checksum $ckR")
+        SparkSession.setDefaultSession(spark)
+        SparkSession.setActiveSession(spark)
+        f""""mode":"colkernel","n":$n,"checksum":$ckK,"sec_kernel":$secK%.2f,"sec_row":$secR%.2f,"speedup":${secR / secK}%.2f"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | hyperball | silhouette | lanefold | allpairs | allpairszipf | lshdedup | zorder | stream | trust | lapkeyed | cg | colranks | colkernel)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500) // let the listener bus drain before reading counters
+    // drain the listener bus before snapshotting the shuffle counters — a
+    // fixed sleep can drop late StageCompleted events on a loaded host and
+    // undercount exchanges (ADVICE r10). listenerBus is private[spark];
+    // its accessor is public at the bytecode level, so go via reflection.
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(500) }
     val sh = s""""shuffle_stages":${shuffleStages.get},"shuffle_write_mb":${shuffleBytes.get / (1024 * 1024)}"""
     println(s"""{"probe":{$result,$sh,"sec":$dt}}""")
     spark.stop()

@@ -132,5 +132,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => DotFusionRule)
     // whole-operator tier: plans the custom AsOfJoinPlan logical node
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // accelerator tier: batch dot-product kernel on the columnar seam
+    // (VERDICT r10 item 2) — consumes the vectorized parquet reader's
+    // ColumnarBatch directly, bit-identical to the row path
+    ext.injectColumnar(_ => new GraftDotKernelRule)
   }
 }

@@ -103,6 +103,20 @@ object MatrixQueries extends QueryGroup {
       graft.Tables.vectors(s, d).select(col("id"),
         round(graft.functions.ArrayDot.dot(col("vec"), w), 4).as("y"))
     }),
+    "mat_gemv_topk" -> ((s, d) => {
+      // the COLUMNAR-KERNEL bench row (VERDICT r10 item 2): same weights
+      // as mat_gemv_native, but sunk through a top-k so the projection is
+      // consumed even under the bench's .count() — an aggregate would be
+      // collapsed into the projection (no ProjectExec, no kernel) and a
+      // bare select is pruned away entirely; a sort can be neither, so
+      // the executed plan stays Scan(columnar) → GraftDotKernelExec →
+      // TakeOrdered. PlanSnapshotSpec pins the kernel node in this plan.
+      val w = array((0 until 64).map(j => lit(((j * 37) % 97) / 97.0)): _*)
+      graft.Tables.vectors(s, d)
+        .select(col("id"), round(graft.functions.ArrayDot.dot(col("vec"), w), 4).as("y"))
+        .orderBy(col("y").desc, col("id").asc)
+        .limit(5)
+    }),
     "mat_sort_keys" -> ((s, d) => {
       // exploded (id, pos, v, k): pos = sorted position, k = original lane
       MatrixOps.sortLanesWithKeys(graft.Tables.vectors(s, d).where(col("id") < 30))
@@ -313,6 +327,13 @@ object MatrixQueries extends QueryGroup {
          |    [((j*37)%97)/97.0 FOR j IN range(64)]),
          |    p -> p[1] * p[2])), 4) AS y
          |FROM embeddings""".stripMargin,
+    "mat_gemv_topk" ->
+      s"""SELECT vec_id AS id,
+         |  round(list_sum(list_transform(list_zip($castLanes,
+         |    [((j*37)%97)/97.0 FOR j IN range(64)]),
+         |    p -> p[1] * p[2])), 4) AS y
+         |FROM embeddings
+         |ORDER BY y DESC, id ASC LIMIT 5""".stripMargin,
     "mat_sort_keys" ->
       """WITH lanes AS (
         |  SELECT vec_id, unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,

@@ -40,4 +40,79 @@ class ColumnarSeamSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("batch dot kernel replaces the row projection, bit-identical results") {
+    // VERDICT r10 item 2: the seam's REAL inhabitant. The standard session
+    // (GraftExtensions) now carries GraftDotKernelRule, so the
+    // mat_gemv_native projection must execute as GraftDotKernelExec over
+    // the vectorized parquet reader's batches — and every value must be
+    // byte-identical to a completely unextended session's row path.
+    val s = TestSpark.spark // kernel rule active
+    val q = SparkEntry.queries("mat_gemv_native")
+    graft.Instrument.reset()
+    val viaKernel = q(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+      .sortBy(_._1)
+    val snap = graft.Instrument.snapshot()
+    assert(snap.getOrElse("colkernel.batches", 0L) > 0L,
+      s"projection never crossed the batch kernel: $snap")
+    assert(snap.getOrElse("colkernel.rows", 0L) >= viaKernel.length.toLong,
+      s"kernel processed fewer rows than the result: $snap")
+    // plan-level: the executed plan carries the kernel node, not ProjectExec
+    val plan = q(s, TestSpark.sf).queryExecution.executedPlan.toString
+    assert(plan.contains("GraftDotKernel"), s"kernel node missing from plan:\n$plan")
+    // bare session (NO extensions): pure row-path Spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val bare = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      graft.Instrument.reset()
+      val viaRows = q(bare, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+        .sortBy(_._1)
+      assert(graft.Instrument.snapshot().getOrElse("colkernel.batches", 0L) == 0L,
+        "bare session must not have the kernel")
+      assert(viaKernel.length == viaRows.length)
+      viaKernel.zip(viaRows).foreach { case (k, r) =>
+        assert(k == r, s"kernel/row mismatch: $k vs $r")
+      }
+    } finally {
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+  }
+
+  test("batch dot kernel null semantics match ArrayDot on ragged and null lanes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = TestSpark.spark
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(DoubleType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(0L, Seq(1.0, 2.0, 3.0)),              // clean
+      Row(1L, Seq(1.0, 2.0)),                    // ragged -> null
+      Row(2L, null),                             // null input -> null
+      Row(3L, Seq(1.0, null, 3.0)))              // null lane -> null
+    val dir = java.nio.file.Files.createTempDirectory("colkernel").toString
+    s.createDataFrame(s.sparkContext.parallelize(rows.map(r =>
+      Row(r.get(0), Option(r.get(1)).map(_.asInstanceOf[Seq[Any]]).orNull)), 1), schema)
+      .write.mode("overwrite").parquet(dir)
+    val w = org.apache.spark.sql.functions.array(
+      Seq(2.0, 3.0, 4.0).map(org.apache.spark.sql.functions.lit): _*)
+    val df = s.read.parquet(dir).select(col("id"),
+      graft.functions.ArrayDot.dot(col("vec"), w).as("y"))
+    graft.Instrument.reset()
+    val got = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))).sortBy(_._1)
+    assert(graft.Instrument.snapshot().getOrElse("colkernel.batches", 0L) > 0L,
+      "null-semantics fixture must run through the batch kernel")
+    assert(got.toSeq == Seq(
+      (0L, Some(1.0 * 2.0 + 2.0 * 3.0 + 3.0 * 4.0)),
+      (1L, None), (2L, None), (3L, None)))
+  }
 }
