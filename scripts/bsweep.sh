@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-11 block-width sweep for block Lanczos dispatch (VERDICT r10 item 3)
+set -u
+cd /root/repo
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+OUT=scripts/bsweep.out
+: > "$OUT"
+for n in 1000000 4000000; do
+  for b in 1 2 4; do
+    echo "=== $(date -u +%H:%M:%S) eigsh n=$n b=$b" >> "$OUT"
+    env SPARK_GRAFT_CPUS=32 java $OPENS -Xmx32g -Dspark.ui.enabled=false \
+      -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.ScaleProbe eigsh $n $b \
+      2>>"$OUT.err" | grep '"probe"' >> "$OUT"
+  done
+done
+echo "DONE" >> "$OUT"

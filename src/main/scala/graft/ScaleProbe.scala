@@ -25,14 +25,26 @@ object ScaleProbe {
     val mode = args.headOption.getOrElse("lap")
     val n = if (args.length > 1) args(1).toLong else 50000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] runs the probe with REAL
+    // separate executor JVMs + Netty shuffle (VERDICT r10 item 5 — the
+    // multi-JVM evidence for the "rounds are latency-bound" claims);
+    // executors are fresh JVMs, so they need the graft classes on their
+    // own classpath
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      builder.config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_CP", "/root/repo/target/scala-2.13/classes"))
+      builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "4g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // exchange evidence (VERDICT r9 item 5): count shuffle-map stages and
     // total shuffle-write volume for the WHOLE probe, so each SCALE.md row
@@ -78,6 +90,18 @@ object ScaleProbe {
         ev.zipWithIndex.foreach { case (l, i) =>
           require(math.abs(l - (i + 1.0)) < 1e-6, s"eig $i wrong: $l") }
         s""""mode":"eigsh","n":$n,"b":$b"""
+      case "eigshauto" =>
+        // the kAuto entry at scale: nnz = n > 1e6 must dispatch to the
+        // BLOCK tier with the floor-measured width (VERDICT r10 item 3);
+        // same diag fixture and {1,2,3} closed-form oracle as `eigsh`
+        val bAuto = graft.operators.SolverOps.eigshBlockAuto(n, n, 3, 25)
+        val diag = spark.range(n).select(col("id").as("row"), col("id").as("col"),
+          when(col("id") < 3, col("id").cast("double") + 1.0)
+            .otherwise(lit(1000.0) + pmod(col("id"), lit(17)).cast("double")).as("value"))
+        val ev = graft.operators.SolverOps.eigshSmallestAuto(diag, n, 3, m = 25)
+        ev.zipWithIndex.foreach { case (l, i) =>
+          require(math.abs(l - (i + 1.0)) < 1e-6, s"eig $i wrong: $l") }
+        s""""mode":"eigshauto","n":$n,"b_auto":$bAuto"""
       case "ballcover" =>
         // 1000 well-separated clusters (centers distinct: gcd(7,1000)=1,
         // lane offsets 13j; separation ≥10 vs noise σ=1), one landmark

@@ -148,9 +148,19 @@ object MediaCodec {
   private def decodeBmp8(payload: Array[Byte], buf: ByteBuffer, width: Int,
       height: Int, topDown: Boolean, headerSize: Int, pixelOffset: Int): Image = {
     val clrUsed = buf.getInt(46)
-    val nColors = if (clrUsed == 0) 256 else clrUsed
     val palOff = 14 + headerSize
+    // untrusted input (decodeImage is the mixed-crawl-shard entry point,
+    // ADVICE r10): clrUsed=0 means "256" per spec, but the palette can
+    // only be as large as the bytes that actually sit between the header
+    // and pixelOffset — a partial-palette file must REJECT out-of-range
+    // indices, not read pixel data as colors
+    val palCapacity = math.max(0, (pixelOffset - palOff) / 4)
+    val nColors = math.min(if (clrUsed == 0) 256 else clrUsed, palCapacity)
     val stride = (width + 3) / 4 * 4
+    // a truncated payload must fail the decode loudly, not with a raw
+    // ArrayIndexOutOfBoundsException mid-row
+    require(pixelOffset.toLong + stride.toLong * height <= payload.length,
+      s"BMP8 pixel data truncated: need ${pixelOffset.toLong + stride.toLong * height} bytes, have ${payload.length}")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

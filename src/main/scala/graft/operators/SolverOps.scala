@@ -728,6 +728,43 @@ object SolverOps {
     }
   }
 
+  /** kAuto-style block-width dispatch for the sharded block-Lanczos path
+    * (VERDICT r10 item 3; the reference's measured-crossover pattern,
+    * matrix/detail/select_k-inl.cuh:38). Pinned by the round-11 FLOOR
+    * measurements (SCALE.md): on the diag fixture the per-cell idle floors
+    * are b1/b2/b4 = 5.78/4.3/5.79 s at n=1e5, 80/61/63 at 1e6, 96/67/74
+    * at 4e6 — so the lever does NOT invert with n (the round-10 "b=4
+    * slower than b=1" reading was suite contention; their floors differ
+    * by 0.01 s): b=2 is floor-best at every probed size. Cost model for
+    * why, and for the regime bounds: a step adds b lanes with 2 exchanges
+    * (latency ∝ L/b) while its re-orth/Gram aggregates move b·n extra
+    * volume per lane (∝ L·b·n) on top of the b-invariant SpMV (∝ L·nnz)
+    * — so width buys latency until b·n rivals nnz + stage cost, and on
+    * everything probed (nnz = n) that point is past b=4. The k/m clamp is
+    * structural, not measured: the certificate needs fully-measured lanes
+    * past k before the cap, so width must fit in the basis room.
+    */
+  def eigshBlockAuto(n: Long, nnz: Long, k: Int, m: Int): Int = {
+    val room = math.max(1, m - k - 2)
+    math.min(2, room)
+  }
+
+  /** Size-dispatched eigsh entry (the kAuto composition): driver-local
+    * SpMV below ~1e6 nnz (same tier [[eigshSmallest]] already uses),
+    * sharded BLOCK Lanczos above with [[eigshBlockAuto]] width. The
+    * restart-capable single-vector [[eigshSmallestSharded]] remains the
+    * manual escape hatch for spectra the restartless certificate path
+    * can't close. */
+  def eigshSmallestAuto(coo: DataFrame, n: Long, k: Int, m: Int = 25,
+      seed: Long = 3): Seq[Double] = {
+    val nnz = coo.count()
+    if (nnz <= 1000000L && n <= Int.MaxValue)
+      eigshSmallest(coo, n.toInt, k, m, seed)
+    else
+      eigshSmallestShardedBlock(coo, n, k, m, seed,
+        b = eigshBlockAuto(n, nnz, k, m))
+  }
+
   /** tsvd transform + inverse_transform + reconstruction error —
     * reference: linalg/tsvd.cuh:63,97 (svdReconstruction linalg/svd.cuh:195).
     * V_k comes from the distributed Gram eig (svdEig path); project/

@@ -243,6 +243,13 @@ object SolverQueries extends QueryGroup {
     // integer units for the n=50 modular fixture (verified with an
     // external Jonker-Volgenant implementation); permutation properties
     // (perfect matching, matches auction certificate) live in Solver2Spec
+    "solver_eigsh_auto" -> ((s, d) => {
+      // the kAuto entry point (VERDICT r10 item 3): nnz=1e5 dispatches to
+      // the driver-local SpMV tier here; the block tier (b from
+      // eigshBlockAuto, floor-measured b=2) is exercised by the
+      // `eigshauto` ScaleProbe at nnz > 1e6 — same closed-form oracle
+      eigsDf(s, SolverOps.eigshSmallestAuto(bigDiagFixture(s), 100000L, 3))
+    }),
     "solver_lap" -> ((s, d) => SolverOps.lapAssignmentSummary(s, 50)),
     // keyedFinal: the last ε-phase runs with DataFrame-resident prices/
     // assignments (lapKeyedPhase) — the distributed-state auction path;
@@ -414,6 +421,8 @@ object SolverQueries extends QueryGroup {
     "solver_eigsh_sharded_big" ->
       "SELECT i, CAST(i + 1.0 AS DOUBLE) AS eig FROM range(3) t(i)",
     "solver_eigsh_b1" ->
+      "SELECT i, CAST(i + 1.0 AS DOUBLE) AS eig FROM range(3) t(i)",
+    "solver_eigsh_auto" ->
       "SELECT i, CAST(i + 1.0 AS DOUBLE) AS eig FROM range(3) t(i)",
     "solver_eigsh_b4" ->
       "SELECT i, CAST(i + 1.0 AS DOUBLE) AS eig FROM range(3) t(i)",

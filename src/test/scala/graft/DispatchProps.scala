@@ -63,4 +63,41 @@ object DispatchProps extends Properties("SizeDispatch") {
       val dist = forest(-1L)
       Prop(local == dist) :| s"local=$local dist=$dist"
     }
+
+  // VERDICT r10 item 3: the block-width lever now has a dispatch rule,
+  // pinned here. Floors (SCALE.md round-11): b=2 is floor-best at every
+  // probed size (n=1e5/1e6/4e6 diag fixture), so the measured default is
+  // 2; the k/m clamp is structural (the certificate needs fully-measured
+  // lanes past k inside the basis cap).
+  property("eigsh block-width dispatch: measured default 2, structural k/m clamp") =
+    forAll(Gen.choose(1L, 100000000L), Gen.choose(1, 30), Gen.choose(4, 60)) {
+      (n, k, m) =>
+        val b = SolverOps.eigshBlockAuto(n, n, k, m)
+        val room = math.max(1, m - k - 2)
+        Prop(b >= 1 && b <= 2 && b <= room) :| s"b=$b room=$room (n=$n k=$k m=$m)"
+    }
+
+  property("eigsh block-width dispatch: pinned cells") = Prop.all(
+    Prop(SolverOps.eigshBlockAuto(100000L, 100000L, 3, 25) == 2) :| "1e5 default",
+    Prop(SolverOps.eigshBlockAuto(4000000L, 4000000L, 3, 25) == 2) :| "4e6 default",
+    Prop(SolverOps.eigshBlockAuto(1000000L, 1000000L, 22, 25) == 1) :| "k-room clamp",
+    Prop(SolverOps.eigshBlockAuto(1000000L, 1000000L, 3, 5) == 1) :| "m-room clamp")
+
+  property("eigshSmallestAuto: small-nnz tier equals the driver-local path") = {
+    // 30-node chain Laplacian — closed-form spectrum; auto must take the
+    // local tier below 1e6 nnz and agree exactly with eigshSmallest
+    val n = 30
+    val rows = (0 until n).flatMap { i =>
+      val deg = (if (i > 0) 1 else 0) + (if (i < n - 1) 1 else 0)
+      Seq((i.toLong, i.toLong, deg.toDouble)) ++
+        (if (i > 0) Seq((i.toLong, i.toLong - 1, -1.0), (i.toLong - 1, i.toLong, -1.0))
+         else Seq.empty)
+    }
+    import spark.implicits._
+    val coo = rows.toDF("row", "col", "value")
+    val auto = SolverOps.eigshSmallestAuto(coo, n.toLong, 3)
+    val local = SolverOps.eigshSmallest(coo, n, 3, 25)
+    Prop(auto.zip(local).forall { case (a, l) => math.abs(a - l) < 1e-12 }) :|
+      s"auto=$auto local=$local"
+  }
 }

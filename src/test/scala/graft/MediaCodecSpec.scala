@@ -108,6 +108,36 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed BMP8 (truncated pixels, partial palette) fails loudly, not OOB") {
+    // ADVICE r10: decodeImage is the untrusted mixed-crawl-shard entry
+    // point — a spec-valid-looking header must never send the parser past
+    // the payload or read pixel bytes as palette colors
+    val palette = Array.tabulate(256)(k => (k << 16) | (k << 8) | k)
+    val idx = Array.tabulate(8 * 4)(i => (i % 256).toByte)
+    val good = MediaCodec.encodeBmp8(8, 4, palette, idx)
+    // truncate mid-pixel-data: must throw a require with a message, not AIOOBE
+    val truncated = good.take(good.length - 10)
+    val e1 = intercept[IllegalArgumentException](MediaCodec.decodeBmp(truncated))
+    assert(e1.getMessage.contains("truncated"), e1.getMessage)
+    // shrink the declared pixelOffset so only 16 palette entries fit
+    // between header and pixels: indices >= 16 must be REJECTED as
+    // out-of-palette instead of silently reading pixel bytes as colors
+    val partial = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(partial).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val palOff = 14 + 40
+    val newPixelOffset = palOff + 16 * 4
+    // move pixel rows up to the new offset (keeps the file self-consistent)
+    val oldPixelOffset = bb.getInt(10)
+    System.arraycopy(good, oldPixelOffset, partial, newPixelOffset,
+      good.length - oldPixelOffset)
+    bb.putInt(10, newPixelOffset)
+    bb.putInt(46, 0) // biClrUsed=0 -> "256" per spec, but only 16 fit
+    val shrunk = java.util.Arrays.copyOf(partial,
+      newPixelOffset + (good.length - oldPixelOffset))
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decodeBmp(shrunk))
+    assert(e2.getMessage.contains("palette index"), e2.getMessage)
+  }
+
   test("decodeImage sniffs the container by magic bytes") {
     val rgb = sampleRgb(9, 4, 30)
     assert(MediaCodec.decodeImage(MediaCodec.encodeBmp(9, 4, rgb)).rgb.sameElements(rgb))
