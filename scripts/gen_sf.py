@@ -145,25 +145,25 @@ SELECT i AS doc_id, text,
   length(text)::BIGINT AS n_chars
 FROM texts""")
 
-# embeddings: 64-lane unit vectors clustered around 10 hash-gaussian
-# label centroids (the source is unit-norm with labels 0..9)
-con.execute(f"""
-CREATE TEMP TABLE centroids AS
-SELECT lab, [sqrt(-2*ln(greatest({u("lab, 'cg', j")}, 1e-9))) *
-             cos(2*pi()*{u("lab, 'cg2', j")}) FOR j IN range(64)] AS c
-FROM range(10) t(lab)""")
+# embeddings: 64-lane random unit vectors with RANDOM labels (the source
+# data's same-label mean cosine is ~0.001 — labels are NOT geometric
+# clusters) plus ~1.6% planted near-duplicate pairs (every 64th vector is
+# a small perturbation of its predecessor — the source has a comparable
+# handful of >=0.45-cosine pairs per 200 vectors)
 copy("embeddings", f"""
-WITH raw AS (
-  SELECT i, (hash(i, 'el') % 10)::INTEGER AS label,
-    [sqrt(-2*ln(greatest({u("i, 'eg', j")}, 1e-9))) *
-       cos(2*pi()*{u("i, 'eg2', j")}) FOR j IN range(64)] AS noise
+WITH seeds AS (
+  SELECT i, CASE WHEN i % 64 = 63 THEN i - 1 ELSE i END AS s,
+    CASE WHEN i % 64 = 63 THEN 0.2 ELSE 0.0 END AS perturb
   FROM range({N_EMB}) t(i)),
-mixed AS (
-  SELECT i, label,
-    [c[j+1] * 3.0 + noise[j+1] FOR j IN range(64)] AS v
-  FROM raw JOIN centroids ON label = lab),
+raw AS (
+  SELECT i, (hash(i, 'el') % 10)::INTEGER AS label,
+    [sqrt(-2*ln(greatest({u("s, 'eg', j")}, 1e-9))) *
+       cos(2*pi()*{u("s, 'eg2', j")})
+     + perturb * sqrt(-2*ln(greatest({u("i, 'ep', j")}, 1e-9))) *
+       cos(2*pi()*{u("i, 'ep2', j")}) FOR j IN range(64)] AS v
+  FROM seeds),
 normed AS (
-  SELECT i, label, sqrt(list_sum([x*x FOR x IN v])) AS nrm, v FROM mixed)
+  SELECT i, label, sqrt(list_sum([x*x FOR x IN v])) AS nrm, v FROM raw)
 SELECT i AS vec_id,
   CAST([x / nrm FOR x IN v] AS FLOAT[]) AS embedding,
   label

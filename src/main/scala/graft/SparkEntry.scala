@@ -280,18 +280,24 @@ private object RelationalQueries extends graft.queries.QueryGroup {
         |  AND epoch_us(c.ts) < epoch_us(p.ts)
         |GROUP BY 1""".stripMargin,
     "rel_window_frames" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+      """WITH c AS (
+        |  SELECT *, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_suppkey < 5)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(cents) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS UNBOUNDED PRECEDING), 2) AS running_rev,
+        |    ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS running_rev,
         |  rank() OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rnk,
         |  round(coalesce(lag(l_extendedprice) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber), 0.0), 2) AS prev_price,
-        |  round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |  round(sum(cents) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+        |   / count(*) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
-        |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
+        |FROM c""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty,
         |  count(*) AS cnt

@@ -174,14 +174,23 @@ object Relational {
     val li = Tables.lineitem(spark, dir).where(col("l_suppkey") < 5)
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    // frame sums accumulate in integer CENTS (prices are 2-decimal by
+    // construction, so cents are exact longs): a float frame-sum is
+    // engine-accumulation-order sensitive and at sf1 one 3-row average
+    // landed on a half-cent boundary where Spark and DuckDB rounded
+    // apart (round-11 sweep finding) — summing longs makes the window
+    // arithmetic bit-exact on BOTH engines, with one identical float
+    // division at the end
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val frame3 = w.rowsBetween(-2, 0)
     li.select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-      round(sum(col("l_extendedprice"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_rev"),
+      round(sum(cents)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0, 2).as("running_rev"),
       rank().over(w).as("rnk"),
       round(lag(col("l_extendedprice"), 1, 0.0).over(w), 2).as("prev_price"),
-      round(avg(col("l_extendedprice"))
-        .over(w.rowsBetween(-2, 0)), 2).as("ma3"))
+      round(sum(cents).over(frame3) / 100.0
+        / count(lit(1)).over(frame3), 2).as("ma3"))
   }
 
   /** Set operations (union/intersect/except surface, SURVEY §2.7 —

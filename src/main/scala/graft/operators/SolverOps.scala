@@ -912,8 +912,14 @@ object SolverOps {
     // (i, j, cost) table drops in the same way. Default = the hash fixture.
     def cCol = costExpr.getOrElse(pmod(graft.operators.TextOps.h32(
       concat_ws(":", col("i"), col("j"), lit("lap"))), lit(costM))).cast("double")
-    def fullCosts = spark.range(n)
-      .select(col("id").as("i"), explode(sequence(lit(0L), lit(n - 1L))).as("j"))
+    // flat range + div/mod, NOT per-row explode(sequence(n)): the explode
+    // form materializes an n-element array per row (80 KB at n=1e4) before
+    // iterating it; the flat form is a pure codegen'd range scan. Row i
+    // still lands contiguously, so TopKAgg's map-side partials stay ~one
+    // entry per (row, partition). DIV is integer division (a double `/`
+    // mis-rounds past 2^53-ish ids).
+    def fullCosts = spark.range(n.toLong * n)
+      .select(expr(s"id div $n").as("i"), pmod(col("id"), lit(n.toLong)).as("j"))
       .select(col("i"), col("j"), cCol.as("c"))
     // 1. distributed kernel: T cheapest columns per row, PLUS the diagonal —
     // the kernel must contain a perfect matching or the auction cannot

@@ -572,8 +572,12 @@ object StatsQueries extends QueryGroup {
         |FROM v""".stripMargin,
     // global-order lags replayed with a plain window (single-node engine);
     // r(k) = Σ(v_t−μ)(v_{t+k}−μ) / Σ(v_t−μ)²
+    // r is referenced THREE times (d, and both sides of n's self-join):
+    // without AS MATERIALIZED DuckDB re-evaluates the 1M-row window per
+    // reference inside the join — >120 s at sf1 vs 0.8 s materialized
+    // (the round-7 multi-ref CTE lesson, re-learned on this oracle)
     "stat_acf" ->
-      """WITH r AS (SELECT value AS v,
+      """WITH r AS MATERIALIZED (SELECT value AS v,
         |    row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events),
         |m AS (SELECT avg(v) AS mu FROM r),
