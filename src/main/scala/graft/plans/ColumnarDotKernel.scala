@@ -125,6 +125,13 @@ case class GraftDotKernelExec(
   override def supportsColumnar: Boolean = true
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  /** The Dot columns are CREATED here, not read from the child — without
+    * this override their attributes count as `missingInput` and the node
+    * prints with the `!` invalid marker (and breaks anything downstream
+    * that trusts `references`, e.g. plan validation / exchange reuse). */
+  override def producedAttributes: AttributeSet =
+    AttributeSet(output.filterNot(child.outputSet.contains))
+
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numBatches" -> SQLMetrics.createMetric(sparkContext, "kernel batches"),
     "numRows" -> SQLMetrics.createMetric(sparkContext, "kernel rows"))

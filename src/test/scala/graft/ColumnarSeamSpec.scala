@@ -12,6 +12,11 @@ import graft.plans.ColumnarSeamProbe
   */
 class ColumnarSeamSpec extends AnyFunSuite {
 
+  /** Serializes counter-window tests against other Instrument users
+    * (cross-suite reset race — VERDICT r11 #3). */
+  private def ctest(name: String)(body: => Unit): Unit =
+    test(name)(graft.Instrument.withExclusive(body))
+
   test("plans cross the columnar seam unchanged; hook observes the operators") {
     val base = TestSpark.spark
     SparkSession.clearActiveSession()
@@ -41,7 +46,7 @@ class ColumnarSeamSpec extends AnyFunSuite {
     }
   }
 
-  test("batch dot kernel replaces the row projection, bit-identical results") {
+  ctest("batch dot kernel replaces the row projection, bit-identical results") {
     // VERDICT r10 item 2: the seam's REAL inhabitant. The standard session
     // (GraftExtensions) now carries GraftDotKernelRule, so the
     // mat_gemv_native projection must execute as GraftDotKernelExec over
@@ -86,7 +91,7 @@ class ColumnarSeamSpec extends AnyFunSuite {
     }
   }
 
-  test("batch dot kernel null semantics match ArrayDot on ragged and null lanes") {
+  ctest("batch dot kernel null semantics match ArrayDot on ragged and null lanes") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val s = TestSpark.spark

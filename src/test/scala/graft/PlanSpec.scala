@@ -35,11 +35,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("label"), "unused column not pruned from the scan")
   }
 
-  test("mat_gemv_native stays inside whole-stage codegen") {
+  test("mat_gemv_native executes as the columnar dot kernel (valid node)") {
+    // Under the extended session GraftDotKernelRule intentionally replaces
+    // the codegen'd projection with the batch kernel (the row path's WSCG
+    // placement is pinned bit-identically by ColumnarSeamSpec's bare-session
+    // comparison). The node must be VALID: no `!` missing-input marker,
+    // which producedAttributes on GraftDotKernelExec guarantees.
     val p = plan("mat_gemv_native")
-    // "*(n)" prefixes mark WholeStageCodegen stages in the compact plan form
-    assert(p.contains("*(1) Project"), s"projection fell out of codegen:\n$p")
-    assert(p.contains("arraydot") || p.contains("ArrayDot"), "native dot missing")
+    assert(p.contains("GraftDotKernel"), s"batch kernel missing from plan:\n$p")
+    assert(!p.contains("!GraftDotKernel"),
+      s"kernel node marked invalid (missingInput — producedAttributes lost):\n$p")
   }
 
   test("sp_laplacian evaluates the co-occurrence subtree once (2 scans = self-join sides)") {

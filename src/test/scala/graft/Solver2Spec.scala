@@ -9,6 +9,11 @@ import graft.operators.SolverOps
   * brute force (the reference's pytest-vs-scipy tier).
   */
 class Solver2Spec extends AnyFunSuite {
+
+  /** Serializes counter-window tests against other Instrument users
+    * (cross-suite reset race — VERDICT r11 #3). */
+  private def ctest(name: String)(body: => Unit): Unit =
+    test(name)(graft.Instrument.withExclusive(body))
   import TestSpark._
 
   private lazy val localMatrix: DenseMatrix[Double] = {
@@ -145,7 +150,7 @@ class Solver2Spec extends AnyFunSuite {
       s"keyed-phase auction ${row.getLong(1)} vs Hungarian ${total.toLong}")
   }
 
-  test("keyed LAP frees its per-round checkpoints and certifies sub-quadratically") {
+  ctest("keyed LAP frees its per-round checkpoints and certifies sub-quadratically") {
     graft.Instrument.reset()
     val before = spark.sparkContext.getPersistentRDDs.size
     val Array(row) = SolverOps.lapAuctionDistributed(spark, 60, topT = 8,
@@ -172,7 +177,7 @@ class Solver2Spec extends AnyFunSuite {
     assert(snap.getOrElse("lap.keyed_rounds", 0L) > 0L)
   }
 
-  test("end-to-end keyed phases (kernel never collected) reach the exact optimum") {
+  ctest("end-to-end keyed phases (kernel never collected) reach the exact optimum") {
     // keyedPhases chains every ε-phase through DataFrame-resident state —
     // prices flow phase-to-phase as projections, no driver arrays at all
     graft.Instrument.reset()
@@ -197,7 +202,7 @@ class Solver2Spec extends AnyFunSuite {
       s"keyedPhases must certify without the driver fallback: $snap")
   }
 
-  test("driver-path certificate certifies from the local kernel bound, sub-quadratically") {
+  ctest("driver-path certificate certifies from the local kernel bound, sub-quadratically") {
     // VERDICT r10 item 1, driver form: the kernel is already collected, so
     // the ε-CS bound max(bestKernel, −cap − pMin) is a driver computation —
     // a typical solve should certify with NO full n² distributed scan and
@@ -240,7 +245,7 @@ class Solver2Spec extends AnyFunSuite {
       s"price-join auction ${row.getLong(1)} vs Hungarian ${total.toLong}")
   }
 
-  test("keyedFinal repairs through the instrumented driver fallback on a starved kernel") {
+  ctest("keyedFinal repairs through the instrumented driver fallback on a starved kernel") {
     // topT=2 starves the kernel, so the keyed phase converges on a
     // kernel-optimal assignment the full-matrix certificate must REJECT —
     // forcing the one pathological path the green queries never take:
