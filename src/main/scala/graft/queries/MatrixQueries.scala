@@ -117,6 +117,25 @@ object MatrixQueries extends QueryGroup {
         .orderBy(col("y").desc, col("id").asc)
         .limit(5)
     }),
+    "mat_l2q_topk" -> ((s, d) => {
+      // widened columnar kernel (VERDICT r11 item 5): squared-L2 to a
+      // literal query point — the brute-force ANN inner loop as a batch
+      // kernel. Same top-k sink rationale as mat_gemv_topk.
+      val q = array((0 until 64).map(j => lit(((j * 53) % 89) / 89.0)): _*)
+      graft.Tables.vectors(s, d)
+        .select(col("id"),
+          round(graft.functions.ArrayL2Sq.l2sq(col("vec"), q), 4).as("dist"))
+        .orderBy(col("dist").asc, col("id").asc)
+        .limit(5)
+    }),
+    "mat_normsq_topk" -> ((s, d) =>
+      // widened columnar kernel: unary Σx² (the L2-norm inner loop) as a
+      // batch kernel over the raw scan, top-k sink.
+      graft.Tables.vectors(s, d)
+        .select(col("id"),
+          round(graft.functions.ArrayNormSq.normSq(col("vec")), 4).as("nsq"))
+        .orderBy(col("nsq").desc, col("id").asc)
+        .limit(5)),
     "mat_sort_keys" -> ((s, d) => {
       // exploded (id, pos, v, k): pos = sorted position, k = original lane
       MatrixOps.sortLanesWithKeys(graft.Tables.vectors(s, d).where(col("id") < 30))
@@ -334,6 +353,18 @@ object MatrixQueries extends QueryGroup {
          |    p -> p[1] * p[2])), 4) AS y
          |FROM embeddings
          |ORDER BY y DESC, id ASC LIMIT 5""".stripMargin,
+    "mat_l2q_topk" ->
+      s"""SELECT vec_id AS id,
+         |  round(list_sum(list_transform(list_zip($castLanes,
+         |    [((j*53)%89)/89.0 FOR j IN range(64)]),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS dist
+         |FROM embeddings
+         |ORDER BY dist ASC, id ASC LIMIT 5""".stripMargin,
+    "mat_normsq_topk" ->
+      s"""SELECT vec_id AS id,
+         |  round(list_sum(list_transform($castLanes, x -> x * x)), 4) AS nsq
+         |FROM embeddings
+         |ORDER BY nsq DESC, id ASC LIMIT 5""".stripMargin,
     "mat_sort_keys" ->
       """WITH lanes AS (
         |  SELECT vec_id, unnest(list_transform(embedding, f -> CAST(f AS DOUBLE))) AS x,

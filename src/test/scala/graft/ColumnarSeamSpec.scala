@@ -91,6 +91,79 @@ class ColumnarSeamSpec extends AnyFunSuite {
     }
   }
 
+  ctest("widened fold kernels (normsq, l2sq-vs-literal, col-col l1/linf/canberra) are bit-identical to the row path") {
+    // VERDICT r11 item 5: the kernel is a FAMILY, like the reference's
+    // precompiled runtime kernels. Each shape must execute as
+    // GraftDotKernelExec under the extended session and be byte-identical
+    // to a bare session's codegen'd row path — including null semantics
+    // (ragged pair → null, null lane → null, linf of empty pair → null,
+    // normsq of empty → 0).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = TestSpark.spark
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", ArrayType(DoubleType, containsNull = true), nullable = true),
+      StructField("b", ArrayType(DoubleType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(0L, Seq(1.0, -2.0, 3.0), Seq(0.5, 2.0, -1.0)),   // clean
+      Row(1L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),          // ragged pair -> null
+      Row(2L, null, Seq(1.0, 2.0, 3.0)),                   // null lhs -> null
+      Row(3L, Seq(1.0, null, 3.0), Seq(1.0, 2.0, 3.0)),    // null lane -> null
+      Row(4L, Seq.empty[Any], Seq.empty[Any]),             // linf -> null, normsq -> 0
+      Row(5L, Seq(0.0, 7.5, -7.5), Seq(0.0, 7.5, 2.5)))    // canberra 0/0 lane
+    val dir = java.nio.file.Files.createTempDirectory("foldkernel").toString
+    s.createDataFrame(s.sparkContext.parallelize(rows.map(r =>
+      Row(r.get(0),
+        Option(r.get(1)).map(_.asInstanceOf[Seq[Any]]).orNull,
+        Option(r.get(2)).map(_.asInstanceOf[Seq[Any]]).orNull)), 1), schema)
+      .write.mode("overwrite").parquet(dir)
+    val q = org.apache.spark.sql.functions.array(
+      Seq(0.25, -1.0, 2.0).map(org.apache.spark.sql.functions.lit): _*)
+    def shapes(sess: SparkSession) = {
+      val df = sess.read.parquet(dir).select(col("id"),
+        graft.functions.ArrayNormSq.normSq(col("a")).as("nsq"),
+        graft.functions.ArrayL2Sq.l2sq(col("a"), q).as("dq"),
+        graft.functions.ArrayLaneMetric.l1(col("a"), col("b")).as("l1"),
+        graft.functions.ArrayLaneMetric.linf(col("a"), col("b")).as("linf"),
+        round(graft.functions.ArrayLaneMetric.canberra(col("a"), col("b")), 6).as("canb"))
+      (df, df.collect().map { r =>
+        (r.getLong(0), (1 to 5).map(i =>
+          if (r.isNullAt(i)) None
+          else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(i)))))
+      }.sortBy(_._1).toSeq)
+    }
+    graft.Instrument.reset()
+    val (kdf, viaKernel) = shapes(s)
+    val snap = graft.Instrument.snapshot()
+    assert(snap.getOrElse("colkernel.batches", 0L) > 0L,
+      s"widened projection never crossed the batch kernel: $snap")
+    val plan = kdf.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftDotKernel") && !plan.contains("!GraftDotKernel"),
+      s"kernel node missing or invalid:\n$plan")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val bare = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val (_, viaRows) = shapes(bare)
+      assert(viaKernel == viaRows, s"kernel/row mismatch:\n$viaKernel\nvs\n$viaRows")
+      // spot-check the semantics themselves, not just agreement
+      val byId = viaKernel.toMap
+      assert(byId(1L).drop(1).forall(_.isEmpty),
+        "ragged pair must null every binary fold (nsq is unary and survives)")
+      assert(byId(4L)(0).contains(java.lang.Double.doubleToRawLongBits(0.0)),
+        "normsq of empty array must be 0")
+      assert(byId(4L)(3).isEmpty, "linf of empty pair must be null")
+    } finally {
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+  }
+
   ctest("batch dot kernel null semantics match ArrayDot on ragged and null lanes") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -30,7 +30,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "rel_top3_mktsegment", "rel_asof_native", "rel_window_frames",
     "pipe_minhash_lsh", "pipe_embed_neardup", "pipe_semantic_dedup",
     "pipe_ann_lsh", "sp_spmm", "sp_laplacian", "dist_knn_graph",
-    "mat_gemv_native", "mat_gemv_topk", "txt_tfidf")
+    "mat_gemv_native", "mat_gemv_topk", "mat_l2q_topk", "txt_tfidf")
 
   private val snapDir = new File("src/test/resources/plan_snapshots")
   private val update = sys.env.contains("GRAFT_UPDATE_PLAN_SNAPSHOTS")
