@@ -25,14 +25,36 @@ __all__ = [
     "tfidf", "bm25", "minhash_dup_pairs", "dot", "knn_cosine",
 ]
 
-_DEFAULT_CLASSES = "/root/repo/target/scala-2.13/classes"
+import os as _os
 
 
-def graft_session(master="local[4]", classes=_DEFAULT_CLASSES,
-                  shuffle_partitions=4):
+def _default_classes():
+    """Resolve the compiled graft classes/jar: $GRAFT_CLASSPATH wins, else
+    walk up from this package looking for a repo checkout's build output.
+    No hardcoded absolute container path (ADVICE r11)."""
+    env = _os.environ.get("GRAFT_CLASSPATH")
+    if env:
+        return env
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    for base in (here, *[_os.path.abspath(_os.path.join(here, *[".."] * i))
+                         for i in range(1, 4)]):
+        cand = _os.path.join(base, "target", "scala-2.13", "classes")
+        if _os.path.isdir(cand):
+            return cand
+    return None
+
+
+def graft_session(master="local[4]", classes=None, shuffle_partitions=4):
     """Build a SparkSession wired with the graft extensions (fused-kernel
     optimizer rules, the as-of join strategy, and the columnar batch dot
-    kernel). Reuses an existing JVM session if one is already up."""
+    kernel). Reuses an existing JVM session if one is already up — note
+    extraClassPath has NO effect on an already-running JVM; _api() fails
+    fast with a clear message if graft classes are unreachable there."""
+    classes = classes or _default_classes()
+    if classes is None:
+        raise RuntimeError(
+            "graft classes not found: set GRAFT_CLASSPATH to the compiled "
+            "classes dir (target/scala-2.13/classes) or a graft jar")
     return (SparkSession.builder
             .master(master)
             .appName("graft-python")
@@ -44,8 +66,29 @@ def graft_session(master="local[4]", classes=_DEFAULT_CLASSES,
             .getOrCreate())
 
 
+_api_checked = False
+
+
 def _api(spark):
-    return getattr(spark._jvm, "graft.PyApi")
+    global _api_checked
+    api = getattr(spark._jvm, "graft.PyApi")
+    if _api_checked:
+        return api
+    # py4j resolves unknown classes lazily to a JavaPackage — probe once so
+    # a session started WITHOUT graft on its classpath (getOrCreate reuse:
+    # extraClassPath cannot be added to a running JVM) fails with a clear
+    # message instead of an opaque 'JavaPackage is not callable' later
+    try:
+        api.queryNames()
+        _api_checked = True
+    except TypeError:
+        raise RuntimeError(
+            "graft.PyApi is not on this JVM's classpath. The SparkSession "
+            "was started before graft_session() could set "
+            "spark.driver.extraClassPath (getOrCreate reuses the running "
+            "JVM). Restart Python/Spark and call graft_session() first, or "
+            "launch with --driver-class-path <graft classes/jar>.") from None
+    return api
 
 
 def _wrap(spark, jdf):

@@ -53,6 +53,9 @@ def main():
             if "[verify]" in line:
                 print(line)
     con = duckdb.connect()
+    # spill OUTSIDE the work tree: DuckDB's default temp_directory is
+    # cwd-relative .tmp, and an 8.5 GB spill file got committed in r11
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():

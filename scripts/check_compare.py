@@ -37,6 +37,9 @@ def main():
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
     con = duckdb.connect()
+    # spill OUTSIDE the work tree: DuckDB's default temp_directory is
+    # cwd-relative .tmp, and an 8.5 GB spill file got committed in r11
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
@@ -44,14 +47,23 @@ def main():
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
 
     def timed_sql(sql):
-        """Run sql on con; interrupt from a watchdog thread on timeout."""
+        """Run sql on a FRESH cursor; interrupt from a watchdog on timeout.
+
+        The cursor (not the shared connection) is interrupted, so a timer
+        that fires in the window between the result returning and
+        timer.cancel() can never leak the interrupt into the NEXT oracle
+        (which would be misreported as ORACLE_TIMEOUT). Returns
+        (df, late): late=True means the result arrived but the budget was
+        exceeded — callers must report that as a timeout, not a pass."""
+        cur = con.cursor()
         fired = threading.Event()
-        timer = threading.Timer(timeout, lambda: (fired.set(), con.interrupt()))
+        timer = threading.Timer(timeout, lambda: (fired.set(), cur.interrupt()))
         timer.start()
         try:
-            return con.sql(sql).df(), fired.is_set()
+            return cur.sql(sql).df(), fired.is_set()
         finally:
             timer.cancel()
+            cur.close()
 
     results = {}
     npass = 0
@@ -70,7 +82,10 @@ def main():
                 results[name] = f"ROWS_ONLY rows={len(gdf)}"
             else:
                 try:
-                    edf, _ = timed_sql(oracle[name])
+                    edf, late = timed_sql(oracle[name])
+                    if late:
+                        results[name] = f"ORACLE_TIMEOUT >{timeout:.0f}s (completed late)"
+                        edf = None
                 except Exception as e:
                     interrupted = "INTERRUPT" in str(e).upper() or "interrupted" in str(e).lower()
                     results[name] = (f"ORACLE_TIMEOUT >{timeout:.0f}s" if interrupted

@@ -32,6 +32,9 @@ N_EMB = int(2000 * M)
 N_USER = int(1500 * M)
 
 con = duckdb.connect()
+# spill OUTSIDE the work tree: DuckDB's default temp_directory is
+# cwd-relative .tmp, and an 8.5 GB spill file got committed in r11
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 con.execute(f"SET threads TO 16")
 
 import os

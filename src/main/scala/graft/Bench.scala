@@ -157,10 +157,18 @@ object Bench {
     // SPARK_GRAFT_SF_DIR must not clobber another scale's baseline — the
     // round-3 archive regenerated at sf0.01 looked like a 2x speedup.
     // Filtered runs never write.
-    if (only.isEmpty)
+    // HARD gate (VERDICT r11 item 3): a run whose own contention heuristic
+    // fires must never become the archived perf evidence — BENCH_r11 was a
+    // loaded-host artifact (36 queries >2x their unchanged floors) and
+    // could have been tuned against. Print the line (driver contract) but
+    // refuse the archive write and say so loudly.
+    if (only.isEmpty && !contended)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"BENCH_LOCAL_$sfTag.json"), line)
       catch { case _: Throwable => () }
+    else if (contended)
+      System.err.println(f"[bench] CONTENDED RUN (total $okTotal%.1f s = $vsFloor%.2fx floor " +
+        f"$floorTotal%.1f s): archive NOT written — re-run on an idle host")
     val top = results.sortBy(r => -math.abs(r._2)).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val compact =

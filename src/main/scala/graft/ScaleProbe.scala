@@ -73,13 +73,21 @@ object ScaleProbe {
         val c = when(col("j") === pmod(col("i") * 2001L, lit(n)), u + v)
           .otherwise(u + v + noise)
         require(BigInt(2001).gcd(BigInt(n)) == 1, s"2001 must be coprime to $n")
+        // optional 3rd arg = topT (kernel width); 0 = the lapTopTAuto
+        // dispatch (VERDICT r11 item 8 — the kernel build is now the
+        // dominant LAP term, so T is a measured knob like eigsh's b)
+        val topT = if (args.length > 2) args(2).toInt else 0
+        graft.Instrument.reset()
         val row = graft.operators.SolverOps.lapAuctionDistributed(
-          spark, n.toInt, priceJoinThreshold = 0, costExpr = Some(c)).head()
+          spark, n.toInt, topT = topT, priceJoinThreshold = 0,
+          costExpr = Some(c)).head()
         val expect = (0L until n).map(i => (i * 13) % 500).sum +
           (0L until n).map(j => (j * 7) % 300).sum
         require(row.getLong(0) == n && row.getLong(1) == expect,
           s"LAP wrong: got (${row.getLong(0)}, ${row.getLong(1)}), want ($n, $expect)")
-        s""""mode":"lap","n":$n,"total_cost":${row.getLong(1)}"""
+        val snap = graft.Instrument.snapshot()
+        val tEff = if (topT > 0) topT else graft.operators.SolverOps.lapTopTAuto(n.toInt)
+        s""""mode":"lap","n":$n,"topT":$tEff,"ms_kernel":${snap.getOrElse("lap.ms_kernel", 0L)},"ms_certificate":${snap.getOrElse("lap.ms_certificate", 0L)},"suspect_rows":${snap.getOrElse("lap.certificate_suspect_rows", 0L)},"repair_iters":${snap.getOrElse("lap.repair_iters", 0L)},"total_cost":${row.getLong(1)}"""
       case "eigsh" =>
         val b = if (args.length > 2) args(2).toInt else 2
         val diag = spark.range(n).select(col("id").as("row"), col("id").as("col"),
@@ -710,9 +718,20 @@ object ScaleProbe {
               .cast("float")).as("embedding"))
           .write.parquet(dir)
         val w = array((0 until 64).map(j => lit(((j * 37) % 97) / 97.0)): _*)
+        // optional 3rd arg picks the kernel shape (VERDICT r11 item 5 —
+        // the seam carries a FAMILY now): dot (default) | l2q (squared-L2
+        // to a literal query point) | normsq (unary sum of squares)
+        val shape = if (args.length > 2) args(2) else "dot"
         def dotQuery(s: SparkSession) = s.read.parquet(dir)
-          .select(col("id"), round(graft.functions.ArrayDot.dot(
-            col("embedding").cast("array<double>"), w), 4).as("y"))
+          .select(col("id"), round(shape match {
+            case "dot" => graft.functions.ArrayDot.dot(
+              col("embedding").cast("array<double>"), w)
+            case "l2q" => graft.functions.ArrayL2Sq.l2sq(
+              col("embedding").cast("array<double>"), w)
+            case "normsq" => graft.functions.ArrayNormSq.normSq(
+              col("embedding").cast("array<double>"))
+            case o => sys.error(s"unknown colkernel shape $o")
+          }, 4).as("y"))
         def consume(s: SparkSession): (Long, Double) = {
           val t = System.nanoTime()
           val sum = dotQuery(s).queryExecution.toRdd.map { r =>
@@ -726,10 +745,17 @@ object ScaleProbe {
           require(runs.map(_._1).distinct.length == 1, s"nondeterministic checksum: $runs")
           (runs.head._1, runs.map(_._2).min)
         }
-        graft.Instrument.reset()
         val (ckK, secK) = bestOf3(spark)
-        val kBatches = graft.Instrument.snapshot().getOrElse("colkernel.batches", 0L)
-        require(kBatches > 0, "kernel session never crossed GraftDotKernelExec")
+        // attribution via the exec node's SQLMetrics — accumulator-backed,
+        // so it holds under SPARK_GRAFT_MASTER=local-cluster too, where
+        // the Instrument counters stay in executor JVMs (ADVICE r11)
+        val qeK = dotQuery(spark).queryExecution
+        val kNode = qeK.executedPlan.collectFirst {
+          case g: graft.plans.GraftDotKernelExec => g
+        }.getOrElse(sys.error("kernel session never planned GraftDotKernelExec"))
+        qeK.toRdd.count()
+        require(kNode.metrics("numBatches").value > 0,
+          "kernel session never crossed GraftDotKernelExec")
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
         val bare = SparkSession.builder()
@@ -737,15 +763,70 @@ object ScaleProbe {
           .config("spark.sql.shuffle.partitions", cpus)
           .config("spark.ui.enabled", "false")
           .getOrCreate()
-        graft.Instrument.reset()
         val (ckR, secR) = bestOf3(bare)
-        require(graft.Instrument.snapshot().getOrElse("colkernel.batches", 0L) == 0L,
-          "bare session must take the row path")
+        require(dotQuery(bare).queryExecution.executedPlan.collectFirst {
+          case g: graft.plans.GraftDotKernelExec => g
+        }.isEmpty, "bare session must take the row path")
         require(ckK == ckR, s"kernel checksum $ckK != row checksum $ckR")
         SparkSession.setDefaultSession(spark)
         SparkSession.setActiveSession(spark)
-        f""""mode":"colkernel","n":$n,"checksum":$ckK,"sec_kernel":$secK%.2f,"sec_row":$secR%.2f,"speedup":${secR / secK}%.2f"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | hyperball | silhouette | lanefold | allpairs | allpairszipf | lshdedup | zorder | stream | trust | lapkeyed | cg | colranks | colkernel)")
+        f""""mode":"colkernel","shape":"$shape","n":$n,"checksum":$ckK,"sec_kernel":$secK%.2f,"sec_row":$secR%.2f,"speedup":${secR / secK}%.2f"""
+      case "phash" =>
+        // band-width knob probe (VERDICT r10 task 8): candidate volume vs
+        // planted recall at the three supported widths. n docs, every
+        // even/odd id pair is a planted near-dup (odd = one leading-char
+        // edit of even — the one-lane perturbation PipelineSpec pins);
+        // distinct (id/2) suffixes make unrelated docs draw independent
+        // hashes. Candidates = the τ=64 result (every band-bucket pair
+        // survives the confirm), recall = planted pairs found at τ=6.
+        val nDocs = n.toInt
+        // per-PAIR pseudo-random text (21 distinct md5 hex blocks, 672
+        // ASCII chars): unrelated docs draw independent luma grids, so
+        // band collisions measure the real n²/2^bandBits term — a shared
+        // base text makes every hash near-equal and every pair a
+        // candidate at every width (the degenerate first cut of this
+        // probe). Odd ids are a 1-char edit of their even partner.
+        val docsDf = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat((0 until 21).map(s =>
+            // id div 2: INTEGER division — `/` is double division in
+            // Spark, which would seed even/odd partners differently
+            md5(concat(expr("id div 2").cast("string"), lit(s"salt$s")))): _*)
+            .as("text0"))
+          .select(col("doc_id"),
+            // odd = ±1 code-point edit of its even partner: the text
+            // cycles ~9x across the pixel buffer, so a large edit (the
+            // spec's "Q") lands 9 scattered grid perturbations and stops
+            // being a near-dup at all; a delta-1 char keeps every lane
+            // mean within noise of the median gap -> planted hamming ~0-3
+            when(pmod(col("doc_id"), lit(2)) === 1,
+              concat(expr("char(ascii(substring(text0, 1, 1)) + 1)"),
+                expr("substring(text0, 2)")))
+              .otherwise(col("text0")).as("text"),
+            lit("s").as("source"))
+          .localCheckpoint(true)
+        val planted = nDocs / 2
+        // recall = CANDIDATE recall of the planted pairs (the only thing
+        // the band knob affects — the popcount confirm is exact); τ=64
+        // keeps every candidate in the output. Band refinement gives the
+        // theorem check: a 16-bit band match implies both 8-bit halves
+        // match, so candidates(b2) ⊆ candidates(b4) ⊆ candidates(b8)
+        // must hold as counts AND recalls.
+        def widthRun(nb: Int): (Long, Long, Double) = {
+          val t = System.nanoTime()
+          val pairs = graft.operators.MultimodalOps
+            .phashNearDups(docsDf, 64, nb).localCheckpoint(true)
+          val cand = pairs.count()
+          val hit = pairs.where(col("b") === col("a") + 1 &&
+            pmod(col("a"), lit(2)) === 0).count()
+          (cand, hit, (System.nanoTime() - t) / 1e9)
+        }
+        val (c2, h2, t2) = widthRun(2)
+        val (c4, h4, t4) = widthRun(4)
+        val (c8, h8, t8) = widthRun(8)
+        require(c2 <= c4 && c4 <= c8 && h2 <= h4 && h4 <= h8,
+          s"band refinement monotonicity broken: cand $c2/$c4/$c8 hit $h2/$h4/$h8")
+        f""""mode":"phash","n":$nDocs,"planted":$planted,"cand_b2":$c2,"recall_b2":${h2.toDouble / planted}%.3f,"sec_b2":$t2%.1f,"cand_b4":$c4,"recall_b4":${h4.toDouble / planted}%.3f,"sec_b4":$t4%.1f,"cand_b8":$c8,"recall_b8":${h8.toDouble / planted}%.3f,"sec_b8":$t8%.1f"""
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | hyperball | silhouette | lanefold | allpairs | allpairszipf | lshdedup | zorder | stream | trust | lapkeyed | cg | colranks | colkernel | phash)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     // drain the listener bus before snapshotting the shuffle counters — a

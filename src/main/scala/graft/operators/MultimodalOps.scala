@@ -253,12 +253,15 @@ object MultimodalOps {
     * popcounts avoid signed-overflow ambiguity at bit 63. Pure column
     * expressions after the per-partition decode batch.
     */
-  def phash64(features: DataFrame): DataFrame = {
+  def phash64(features: DataFrame, nBands: Int = 4): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0 && 64 / nBands <= 32,
+      s"nBands must divide 64 with band width <= 32 bits, got $nBands")
+    val bandBits = 64 / nBands
     val sorted = array_sort(col("feat"))
     val med = (element_at(sorted, 32) + element_at(sorted, 33)) / 2.0
-    val bandCols = (0 until 4).map { k =>
-      (0 until 16).map { j =>
-        when(element_at(col("feat"), k * 16 + j + 1) > col("med"), lit((1L << j)))
+    val bandCols = (0 until nBands).map { k =>
+      (0 until bandBits).map { j =>
+        when(element_at(col("feat"), k * bandBits + j + 1) > col("med"), lit((1L << j)))
           .otherwise(lit(0L))
       }.reduce(_ + _).as(s"b$k")
     }
@@ -267,19 +270,29 @@ object MultimodalOps {
   }
 
   /** Hamming near-dup pairs over the perceptual hash: docs sharing ANY
-    * 16-bit band are candidates (4 equi-join buckets — the LSH structure
-    * of pHash dedup: a pair within Hamming distance 3 of 64 bits must
-    * match at least one band exactly by pigeonhole; larger τ keeps the
-    * same candidate join as a high-recall heuristic), then exact
-    * band-wise popcount distance ≤ τ confirms. The candidate join is
-    * distributable by (band, value) at 100 TB; random 16-bit band
-    * collisions are ~n²/65536 per band — rare and benign.
+    * (64/nBands)-bit band are candidates (nBands equi-join buckets — the
+    * LSH structure of pHash dedup: by pigeonhole, a pair within Hamming
+    * distance nBands−1 of 64 bits must match at least one band exactly;
+    * larger τ keeps the same candidate join as a high-recall heuristic),
+    * then exact band-wise popcount distance ≤ τ confirms. The candidate
+    * join is distributable by (band, value) at 100 TB.
+    *
+    * `nBands` is the WIDTH KNOB (VERDICT r10 task 8): random band
+    * collisions are ~n²/2^bandBits per band, so the default 4×16-bit
+    * banding (τ≤3 guaranteed recall, n²/65536 collisions per band)
+    * crosses into quadratic candidate volume around n≈1e7 docs. Past
+    * that scale, nBands=2 (2×32-bit bands) drops collisions to
+    * ~n²/4.3e9 per band at the cost of a τ≤1 recall guarantee;
+    * nBands=8 (8-bit bands) raises the guarantee to τ≤7 for small
+    * corpora where the n²/256 collision term is still cheap. The
+    * recall floor is spec-pinned (PipelineSpec) and the volume/recall
+    * trade is probed at two widths (ScaleProbe `phash`).
     * Returns (a, b, hamming), a < b. */
-  def phashNearDups(docs: DataFrame, tau: Int = 6): DataFrame = {
+  def phashNearDups(docs: DataFrame, tau: Int = 6, nBands: Int = 4): DataFrame = {
     val ph = phash64(imageFeatures(packImage(docs), 8, 8).toDF()
-        .select(col("doc_id"), col("feat")))
+        .select(col("doc_id"), col("feat")), nBands)
       .localCheckpoint(true)
-    val bands = ph.select(col("doc_id"), explode(array((0 until 4).map(k =>
+    val bands = ph.select(col("doc_id"), explode(array((0 until nBands).map(k =>
         struct(lit(k).as("band"), col(s"b$k").as("bval"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
     val cand = bands.as("x").join(bands.as("y"),
@@ -287,11 +300,11 @@ object MultimodalOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val ha = ph.select((col("doc_id").as("a") +:
-      (0 until 4).map(k => col(s"b$k").as(s"xa$k"))): _*)
+      (0 until nBands).map(k => col(s"b$k").as(s"xa$k"))): _*)
     val hb = ph.select((col("doc_id").as("b") +:
-      (0 until 4).map(k => col(s"b$k").as(s"xb$k"))): _*)
+      (0 until nBands).map(k => col(s"b$k").as(s"xb$k"))): _*)
     cand.join(ha, Seq("a")).join(hb, Seq("b"))
-      .withColumn("hamming", (0 until 4).map(k =>
+      .withColumn("hamming", (0 until nBands).map(k =>
         expr(s"bit_count(xa$k ^ xb$k)").cast("long")).reduce(_ + _))
       .where(col("hamming") <= tau)
       .select(col("a"), col("b"), col("hamming"))

@@ -874,6 +874,23 @@ object SolverOps {
       .toDF("n_assigned", "total_units")
   }
 
+  /** Kernel-width dispatch for [[lapAuctionDistributed]] (the same
+    * floor-measured protocol as [[eigshBlockAuto]]; VERDICT r11 item 8).
+    * The trade: the n² kernel BUILD (`lap.ms_kernel`) is nearly
+    * T-insensitive (the n² generator scan dominates; the bounded heap is
+    * O(T) per partial), but a kernel too THIN starves the auction — its
+    * ε-CS fixed point misses optimal columns, so every phase burns the
+    * full `maxRepair` column-generation re-auctions. Probe floors
+    * (ScaleProbe `lap`, fresh-JVM 2-rep minima, planted-dual fixture;
+    * SCALE.md `laptopt` rows): n=1e4 T=8/16/32/64 →
+    * 19.0/14.4/13.7/14.6 s (T=8: 8 repair iters; others 0); n=2e4
+    * T=8/16/32 → 94.4/19.9/20.7 s (T=8 again 8 repairs — catastrophic,
+    * 4.7× the T=16 floor). T=16 and T=32 tie at 1e4 and T=16 edges at
+    * 2e4 (kernel shuffle volume T·n doubles for no repair win: 7 vs
+    * 13 MB), so the dispatch stays flat at 16 — the knob's value was
+    * proving 8 is a cliff and 32+ buys nothing, not moving the default. */
+  def lapTopTAuto(n: Int): Int = 16
+
   /** Distributed LAP: kernelized auction with a distributed optimality
     * certificate — the scale-out form of the reference's device auction/
     * Hungarian (solver/linear_assignment.cuh:60). The n×n cost matrix is
@@ -903,10 +920,11 @@ object SolverOps {
     * EVERY phase keyed, the kernel never collected — the form for n where
     * even n·T rows shouldn't visit one node.
     */
-  def lapAuctionDistributed(spark: SparkSession, n: Int, topT: Int = 16,
+  def lapAuctionDistributed(spark: SparkSession, n: Int, topT: Int = 0,
       maxRepair: Int = 8, priceJoinThreshold: Int = 10000,
       costExpr: Option[org.apache.spark.sql.Column] = None,
       keyedFinal: Boolean = false, keyedPhases: Boolean = false): DataFrame = {
+    val kernelT = if (topT > 0) topT else lapTopTAuto(n)
     val costM = 1000000L
     // costExpr: any integer-valued expression over (i, j) — a stored
     // (i, j, cost) table drops in the same way. Default = the hash fixture.
@@ -931,7 +949,7 @@ object SolverOps {
     // where the generator produces the rows, and the diagonal is generated
     // directly (n rows) instead of filtered out of n².
     val topk = fullCosts.groupBy(col("i"))
-      .agg(graft.functions.TopKAgg.topKMin(col("c"), col("j"), topT).as("top"))
+      .agg(graft.functions.TopKAgg.topKMin(col("c"), col("j"), kernelT).as("top"))
       .select(col("i"), explode(graft.functions.TopKAgg.decodeTopK(col("top"))).as("e"))
       .select(col("i"), col("e.j").as("j"), col("e.c").as("c"))
     val diagRows = spark.range(n)
@@ -1228,14 +1246,23 @@ object SolverOps {
     val pMin = priceDf.agg(min(col("p"))).head().getDouble(0)
     val capDf = kernelDf.where(col("i") =!= col("j"))
       .groupBy(col("i")).agg(max(col("c")).as("cap"))
+    // SOUNDNESS (ADVICE r11): capDf/boundDf joins must never DROP a row —
+    // a row with no off-diagonal kernel entry (topT=1, or a degenerate
+    // kernel) has no conservative cap, so its bound is +inf and it MUST
+    // take the exact re-scan; an inner join here would silently certify
+    // it. Left-join with +inf defaults, anchored on profits (every
+    // assigned row) so a row absent from the kernel entirely still
+    // surfaces as a suspect.
     val boundDf = kernelDf.join(broadcast(priceDf), Seq("j"))
       .groupBy(col("i")).agg(max(-col("c") - col("p")).as("bk"))
-      .join(capDf, Seq("i"))
-      .select(col("i"), greatest(col("bk"), -col("cap") - lit(pMin)).as("bound"))
+      .join(capDf, Seq("i"), "left")
+      .select(col("i"), greatest(col("bk"),
+        -coalesce(col("cap"), lit(Double.NegativeInfinity)) - lit(pMin)).as("bound"))
     graft.Instrument.inc("lap.certificate_kernel_scans")
     graft.Instrument.inc("lap.certificate_entries", kernelDf.count())
-    val suspects = boundDf.join(profits.select(col("i"), col("profit")), Seq("i"))
-      .where(col("bound") - col("profit") > eps + 1e-9)
+    val suspects = profits.select(col("i"), col("profit"))
+      .join(boundDf, Seq("i"), "left")
+      .where(coalesce(col("bound"), lit(Double.PositiveInfinity)) - col("profit") > eps + 1e-9)
       .select(col("i")).collect().map(_.getLong(0))
     graft.Instrument.inc("lap.certificate_suspect_rows", suspects.length.toLong)
     val violations =

@@ -83,6 +83,15 @@ object DispatchProps extends Properties("SizeDispatch") {
     Prop(SolverOps.eigshBlockAuto(1000000L, 1000000L, 22, 25) == 1) :| "k-room clamp",
     Prop(SolverOps.eigshBlockAuto(1000000L, 1000000L, 3, 5) == 1) :| "m-room clamp")
 
+  // VERDICT r11 item 8: LAP kernel width T, floor-measured (SCALE.md
+  // round-12 `laptopt`): T=8 starves the auction into maxRepair
+  // column-generation loops (4.7x cliff at n=2e4), T=32+ doubles kernel
+  // shuffle volume for zero repair win — T=16 is floor-best flat.
+  property("LAP kernel-width dispatch: measured flat 16") =
+    forAll(Gen.choose(1, 10000000)) { n =>
+      Prop(SolverOps.lapTopTAuto(n) == 16) :| s"n=$n"
+    }
+
   property("eigshSmallestAuto: small-nnz tier equals the driver-local path") = {
     // 30-node chain Laplacian — closed-form spectrum; auto must take the
     // local tier below 1e6 nnz and agree exactly with eigshSmallest

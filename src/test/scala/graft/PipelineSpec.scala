@@ -505,6 +505,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
   }
 
+  test("pHash band-width knob: pigeonhole recall floor holds at every width") {
+    // For nBands bands, ANY pair within Hamming distance nBands-1 must
+    // match at least one band exactly (pigeonhole) and therefore appear
+    // in the candidate output. Verified against ground-truth hammings
+    // computed from phash64 itself, at all three supported widths.
+    import spark.implicits._
+    val base = ('a' to 'z').mkString * 25
+    val docs = (0L until 8L).map { i =>
+      val t = i match {
+        case 1 => base                        // identical to 0
+        case 3 => "Q" + base.substring(1)     // near-dup of 0/1
+        case j if j % 2 == 0 => base.reverse.drop(j.toInt) + base.take(j.toInt)
+        case j => (base + j).reverse
+      }
+      (i, t, "s")
+    }.toDF("doc_id", "text", "source")
+    val feats = graft.operators.MultimodalOps
+      .imageFeatures(graft.operators.MultimodalOps.packImage(docs), 8, 8)
+      .toDF().select(col("doc_id"), col("feat"))
+    for (nb <- Seq(2, 4, 8)) {
+      val ph = graft.operators.MultimodalOps.phash64(feats, nb).collect()
+        .map(r => r.getLong(0) -> (1 until nb + 1).map(r.getLong).toArray).toMap
+      def ham(a: Long, b: Long): Int = (0 until nb)
+        .map(k => java.lang.Long.bitCount(ph(a)(k) ^ ph(b)(k))).sum
+      val truthFloor = (for {
+        a <- 0L until 8L; b <- (a + 1) until 8L if ham(a, b) <= nb - 1
+      } yield (a, b)).toSet
+      assert(truthFloor.nonEmpty, s"fixture has no close pair at nBands=$nb")
+      val got = graft.operators.MultimodalOps.phashNearDups(docs, 64, nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val missed = truthFloor.diff(got)
+      assert(missed.isEmpty, s"nBands=$nb lost guaranteed-recall pairs: $missed")
+      // and the confirm stage agrees with ground truth on a found pair
+      val withH = graft.operators.MultimodalOps.phashNearDups(docs, 64, nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      truthFloor.foreach(p => assert(withH(p) == ham(p._1, p._2).toLong))
+    }
+  }
+
   test("BPE encode: piece histogram matches the hand-traced final vocab") {
     import spark.implicits._
     // same fixture as the training test: merges (a,a),(a,b),(aa,ab) fold
