@@ -11,7 +11,12 @@ import graft.functions.ArrayMath._
 class ArrayMathSpec extends AnyFunSuite {
   import TestSpark._
 
-  private lazy val v = graft.Tables.vectors(spark, sf).cache()
+  // NOT cached: caching registers the exact `vectors` plan subtree, and
+  // Catalyst splices the InMemoryRelation into ANY concurrent suite's
+  // query over the same table — ColumnarSeamSpec's kernel-rule test then
+  // (correctly) sees no columnar scan to match (r12 suite-run flake).
+  // sf0.001 data; the re-reads are microseconds.
+  private lazy val v = graft.Tables.vectors(spark, sf)
 
   test("norm inequalities hold on every row: linf <= l2 <= l1 <= sqrt(d)*l2") {
     val bad = v.select(

@@ -53,6 +53,10 @@ class ColumnarSeamSpec extends AnyFunSuite {
     // the vectorized parquet reader's batches — and every value must be
     // byte-identical to a completely unextended session's row path.
     val s = TestSpark.spark // kernel rule active
+    // another suite may have cached Tables.vectors — an InMemoryRelation
+    // child is not a columnar scan, so the kernel rule would (correctly)
+    // not fire and this test would see zero batches (r12 suite-run flake)
+    s.catalog.clearCache()
     val q = SparkEntry.queries("mat_gemv_native")
     graft.Instrument.reset()
     val viaKernel = q(s, TestSpark.sf).collect()
