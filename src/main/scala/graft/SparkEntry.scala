@@ -127,28 +127,34 @@ private object RelationalQueries extends graft.queries.QueryGroup {
     "rel_top3_mktsegment" ->
       """WITH rev AS (
         |  SELECT c_mktsegment, c_custkey,
-        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_c4
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2)
-        |SELECT c_mktsegment, c_custkey, round(rev, 2) AS revenue, rnk
-        |FROM (SELECT c_mktsegment, c_custkey, rev,
+        |SELECT c_mktsegment, c_custkey,
+        |       round(((rev_c4 + 50) // 100) / 100.0, 2) AS revenue, rnk
+        |FROM (SELECT c_mktsegment, c_custkey, rev_c4,
         |             row_number() OVER (PARTITION BY c_mktsegment
-        |                                ORDER BY rev DESC, c_custkey) AS rnk
+        |                                ORDER BY rev_c4 DESC, c_custkey) AS rnk
         |      FROM rev)
         |WHERE rnk <= 3""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base,
+        |  round(((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |              (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100)
+        |        / 100.0, 2) AS sum_disc_price,
+        |  round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) AS avg_disc,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "rel_revenue_per_nation" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |              (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100)
+        |        / 100.0, 2) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

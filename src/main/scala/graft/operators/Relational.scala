@@ -25,32 +25,50 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
     val c  = Tables.customer(spark, dir)
+    // revenue accumulates in EXACT integer 10⁻⁴-dollar units (prices and
+    // discounts are 2-decimal by construction): a float Σ ep·(1−disc) is
+    // accumulation-order sensitive, and at sf1 DuckDB's parallel SUM
+    // landed one customer's revenue on the other side of a half-cent
+    // boundary BETWEEN TWO RUNS of the same oracle (round-12 sweep
+    // finding — the oracle flapped, not Spark). Integer units make the
+    // sum and the rank order bit-exact on both engines; display = the
+    // identical halfup-to-cents + /100.0 path rel_window_frames uses.
+    val revC4 = sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
     val rev = li
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .agg(revC4.as("rev_c4"))
     val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("rev").desc, col("c_custkey").asc)
+      .orderBy(col("rev_c4").desc, col("c_custkey").asc)
     rev.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)
       .select(col("c_mktsegment"), col("c_custkey"),
-        round(col("rev"), 2).as("revenue"), col("rnk"))
+        round(expr("(rev_c4 + 50) div 100") / 100.0, 2).as("revenue"), col("rnk"))
   }
 
   /** TPC-H Q1-shaped pricing summary: the `map_reduce` / grouped-fold shape
     * (reference: linalg/map_reduce.cuh:86 fused with a keyed reduction).
     * Partial aggregation is map-side; one shuffle on the 6-valued group key.
     */
-  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    // same integer-cents accumulation as top3PerMktsegment: these are the
+    // suite's LARGEST float sums (1M+ rows per group at sf1), where
+    // parallel-sum accumulation order can flap the rounded display digit
+    val epC = round(col("l_extendedprice") * 100, 0).cast("long")
+    val dP = round(col("l_discount") * 100, 0).cast("long")
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(sum(epC) / 100.0, 2).as("sum_base"),
+        round(expr("(sum((cast(round(l_extendedprice * 100, 0) as bigint)) * " +
+          "(100 - cast(round(l_discount * 100, 0) as bigint))) + 50) div 100") / 100.0, 2)
+          .as("sum_disc_price"),
+        round(sum(dP) / lit(100.0) / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("cnt"))
+  }
 
   /** Revenue per nation through the full dimension chain; dims broadcast. */
   def revenuePerNation(spark: SparkSession, dir: String): DataFrame = {
@@ -64,7 +82,11 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      // integer-cents accumulation (see top3PerMktsegment) — exact and
+      // order-insensitive on both engines
+      .agg(round(expr("(sum((cast(round(l_extendedprice * 100, 0) as bigint)) * " +
+        "(100 - cast(round(l_discount * 100, 0) as bigint))) + 50) div 100") / 100.0, 2)
+        .as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
