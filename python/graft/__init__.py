@@ -66,13 +66,16 @@ def graft_session(master="local[4]", classes=None, shuffle_partitions=4):
             .getOrCreate())
 
 
-_api_checked = False
+# keyed by the JVM view instance, not a module-global boolean (ADVICE r12):
+# a probe passed against one JVM must not bless a LATER replacement session
+# whose JVM lacks graft on its classpath. Holding the object (identity
+# check) rather than id() avoids stale-id reuse after the old view is GC'd.
+_api_checked_jvms = []
 
 
 def _api(spark):
-    global _api_checked
     api = getattr(spark._jvm, "graft.PyApi")
-    if _api_checked:
+    if any(v is spark._jvm for v in _api_checked_jvms):
         return api
     # py4j resolves unknown classes lazily to a JavaPackage — probe once so
     # a session started WITHOUT graft on its classpath (getOrCreate reuse:
@@ -80,7 +83,7 @@ def _api(spark):
     # message instead of an opaque 'JavaPackage is not callable' later
     try:
         api.queryNames()
-        _api_checked = True
+        _api_checked_jvms.append(spark._jvm)
     except TypeError:
         raise RuntimeError(
             "graft.PyApi is not on this JVM's classpath. The SparkSession "

@@ -14,6 +14,29 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_REPS=1 for a quick single-pass run while iterating.
   */
 object Bench {
+  /** Fixed CPU-bound canary (VERDICT r12 item 1b): a single-thread xorshift
+    * checksum loop (~1 s on a healthy core, zero allocation, zero I/O),
+    * measured before every rep and after the last. It decides "host
+    * degraded" vs "code regressed" WITHOUT floors: the loop never changes,
+    * so its time is a pure host-epoch probe — a run whose canary sits 1.5×
+    * over the floor-epoch canary is drifted hardware, not a regression.
+    * The canary min is archived in the floor file under "__canary__" so
+    * vs_floor consumers can normalize across epochs. */
+  def canary(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 400000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) System.err.println("[bench] canary checksum collision")
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,7 +82,9 @@ object Bench {
     // more work, or just run slower? Max across reps: deterministic
     // algorithms agree rep-to-rep, so any spread is itself a finding.
     val counterAcc = scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val perRep: Seq[Seq[(String, Double)]] = (1 to reps).map { rep =>
+      canaries += canary()
       names.map { case (name, fn) =>
         Instrument.reset()
         val t0 = System.nanoTime()
@@ -80,6 +105,8 @@ object Bench {
         name -> (if (ok) dt else -dt)
       }
     }
+    canaries += canary()
+    val canaryMin = canaries.min
     val repTotals = perRep.map(_.map(t => math.abs(t._2)).sum)
     val results: Seq[(String, Double)] = names.map { case (name, _) =>
       val ts = perRep.map(_.toMap.apply(name)).sorted
@@ -126,14 +153,38 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
     val okResults = results.filter(_._2 > 0).toMap
-    val newFloor: Map[String, Double] = (priorFloor.keySet ++ okResults.keySet).map { k =>
-      k -> math.min(priorFloor.getOrElse(k, Double.MaxValue),
-        okResults.getOrElse(k, Double.MaxValue))
+    // EPOCH RESET (VERDICT r12 item 1a): the rolling-min floor file mixed
+    // r6-r10-epoch numbers with fresh ones, so on a drifted host the summed
+    // floor_total became unreachable and vs_floor stopped distinguishing
+    // "host degraded" from "code regressed". SPARK_GRAFT_FLOOR_RESET=1
+    // replaces the ENTIRE floor set with this run's per-query best-of-reps
+    // (min across passes, the quiet-host estimate a median can't beat) —
+    // one epoch, one host, one commit. The canary min is stored alongside
+    // under "__canary__" so the next epoch shift is detectable without
+    // another full reset.
+    val floorReset = sys.env.get("SPARK_GRAFT_FLOOR_RESET").contains("1")
+    val okMin: Map[String, Double] = names.map(_._1).flatMap { name =>
+      val ts = perRep.map(_.toMap.apply(name)).filter(_ > 0)
+      if (ts.nonEmpty) Some(name -> ts.min) else None
     }.toMap
+    val floorCanary = priorFloor.get("__canary__")
+    val newFloor: Map[String, Double] =
+      if (floorReset) okMin + ("__canary__" -> canaryMin)
+      else {
+        val merged = (priorFloor.keySet ++ okResults.keySet - "__canary__").map { k =>
+          k -> math.min(priorFloor.getOrElse(k, Double.MaxValue),
+            okResults.getOrElse(k, Double.MaxValue))
+        }.toMap
+        merged + ("__canary__" -> math.min(canaryMin, floorCanary.getOrElse(canaryMin)))
+      }
     val floorTotal = okResults.keys.flatMap(newFloor.get).sum
     val okTotal = okResults.values.sum
     val vsFloor = if (floorTotal > 0) okTotal / floorTotal else 1.0
-    val contended = vsFloor > 1.2
+    // canary ratio vs the floor epoch: >1 means the host is slower NOW than
+    // when the floors were measured — a uniform vs_floor excess that
+    // matches canary_vs_floor is hardware drift, not a code regression
+    val canaryVsFloor = floorCanary.filter(_ > 0).map(canaryMin / _)
+    val contended = vsFloor > 1.2 && !floorReset
     if (only.isEmpty && okResults.nonEmpty)
       try {
         val body = newFloor.toSeq.sortBy(_._1)
@@ -146,7 +197,9 @@ object Bench {
       jstr(q) + ":" + cs.toSeq.sortBy(_._1)
         .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"idle":$idle,"floor_total":${f"$floorTotal%.1f"},"vs_floor":${f"$vsFloor%.3f"},"contended":$contended,"commit":${jstr(RunStamp.commit)},"ts":${jstr(RunStamp.ts)},"errors":$errJson,"counters":$countersJson,"queries":$qs,"sf":"$sfDir"}"""
+    val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val canaryVsJson = canaryVsFloor.map(r => f"$r%.3f").getOrElse("null")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"idle":$idle,"floor_total":${f"$floorTotal%.1f"},"vs_floor":${f"$vsFloor%.3f"},"contended":$contended,"floor_reset":$floorReset,"canary":$canaryJson,"canary_min":${f"$canaryMin%.3f"},"canary_vs_floor":$canaryVsJson,"commit":${jstr(RunStamp.commit)},"ts":${jstr(RunStamp.ts)},"errors":$errJson,"counters":$countersJson,"queries":$qs,"sf":"$sfDir"}"""
     // The harness records only the TAIL of the output, so the full ~4KB
     // per-query line gets truncated at the start and fails to parse. Emit
     // the full line first (archive: also written to BENCH_LOCAL.json),

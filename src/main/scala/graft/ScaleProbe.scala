@@ -433,6 +433,30 @@ object ScaleProbe {
           require(tb > 0.9 && tb < 1.0, s"lossy slice-8 score out of band: $tb")
           f""""mode":"trust","n":$n,"score":$tb,"batched_sec":$tBatched%.1f,"lossless_score":$tl,"lossless_sec":$tLossless%.1f"""
         }
+      case "lapexec" =>
+        // EXECUTOR-RESIDENT auction (VERDICT r12 item 5): the whole
+        // ε-schedule runs inside the task holding the kernel partition —
+        // one Spark job for all phases+rounds vs keyedPhases' per-round
+        // job bill. Same planted dual, so Σu+Σv verifies exactly; the
+        // keyed certificate still proves optimality independently.
+        val u = pmod(col("i") * 13, lit(500L))
+        val v = pmod(col("j") * 7, lit(300L))
+        val noise = pmod(xxhash64(col("i"), col("j"), lit("lapPB")), lit(1000000L)) + 1
+        val c = when(col("j") === pmod(col("i") * 2001L, lit(n)), u + v)
+          .otherwise(u + v + noise)
+        require(BigInt(2001).gcd(BigInt(n)) == 1, s"2001 must be coprime to $n")
+        graft.Instrument.reset()
+        val row = graft.operators.SolverOps.lapAuctionDistributed(
+          spark, n.toInt, priceJoinThreshold = 0, costExpr = Some(c),
+          execPhases = true).head()
+        val expect = (0L until n).map(i => (i * 13) % 500).sum +
+          (0L until n).map(j => (j * 7) % 300).sum
+        require(row.getLong(0) == n && row.getLong(1) == expect,
+          s"exec LAP wrong: got (${row.getLong(0)}, ${row.getLong(1)}), want ($n, $expect)")
+        val snap = graft.Instrument.snapshot()
+        require(snap.getOrElse("lap.keyed_fallbacks", 0L) == 0L,
+          s"exec solve fell back to the driver: $snap")
+        s""""mode":"lapexec","n":$n,"total_cost":${row.getLong(1)},"exec_phases":${snap.getOrElse("lap.exec_phases", 0L)},"ms_kernel":${snap.getOrElse("lap.ms_kernel", 0L)},"ms_exec_solve":${snap.getOrElse("lap.ms_exec_solve", 0L)},"ms_certificate":${snap.getOrElse("lap.ms_certificate", 0L)}"""
       case "lapkeyedfull" =>
         // END-TO-END keyed phases (round 10): every ε-scaling phase runs
         // with DataFrame-resident state and the kernel is never collected

@@ -134,7 +134,8 @@ private object RelationalQueries extends graft.queries.QueryGroup {
         |  JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2)
         |SELECT c_mktsegment, c_custkey,
-        |       round(((rev_c4 + 50) // 100) / 100.0, 2) AS revenue, rnk
+        |       round((CASE WHEN rev_c4 < 0 THEN -((50 - rev_c4) // 100)
+        |              ELSE (rev_c4 + 50) // 100 END) / 100.0, 2) AS revenue, rnk
         |FROM (SELECT c_mktsegment, c_custkey, rev_c4,
         |             row_number() OVER (PARTITION BY c_mktsegment
         |                                ORDER BY rev_c4 DESC, c_custkey) AS rnk
@@ -144,16 +145,24 @@ private object RelationalQueries extends graft.queries.QueryGroup {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base,
-        |  round(((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
-        |              (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100)
+        |  round((CASE WHEN sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |                       (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) < 0
+        |         THEN -((50 - sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |                          (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))) // 100)
+        |         ELSE (sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |                   (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100 END)
         |        / 100.0, 2) AS sum_disc_price,
         |  round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) AS avg_disc,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "rel_revenue_per_nation" ->
       """SELECT r_name, n_name,
-        |  round(((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
-        |              (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100)
+        |  round((CASE WHEN sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |                       (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) < 0
+        |         THEN -((50 - sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |                          (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))) // 100)
+        |         ELSE (sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |                   (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) + 50) // 100 END)
         |        / 100.0, 2) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem

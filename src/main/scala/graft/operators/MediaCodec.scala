@@ -229,11 +229,15 @@ object MediaCodec {
 
   def decodeViaImageIO(payload: Array[Byte]): Image = {
     // sniff the two formats this pipeline packs so their readers can be
-    // reused; anything else falls back to the registry scan
+    // reused; anything else falls back to the registry scan. Each guard
+    // covers exactly the bytes inspected (ADVICE r12: the old jpeg guard
+    // read 2 bytes behind a >=3 check, png 2 behind >=8); readers live for
+    // the executor thread's lifetime by design — bounded per-(thread,
+    // format) growth, 2 formats, reclaimed with the thread.
     val fmt =
-      if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+      if (payload.length >= 2 && (payload(0) & 0xff) == 0x89 &&
         payload(1) == 'P'.toByte) "png"
-      else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+      else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
         (payload(1) & 0xff) == 0xd8) "jpeg"
       else null
     val img =

@@ -17,6 +17,17 @@ import graft.Tables
   */
 object Relational {
 
+  /** HALF_UP 10⁻⁴-dollar units → cents, sign-aware (ADVICE r12): Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, so the naive
+    * `(x + 50) div 100` diverges between engine and oracle on NEGATIVE
+    * sums. Half-away-from-zero via the mirrored form keeps the dividend
+    * nonnegative on both branches, where truncation == floor — the engines
+    * agree for every sign, and the value is unchanged for the nonnegative
+    * sums TPC-H data produces. The SQL twins in SparkEntry carry the same
+    * CASE expression. */
+  private def halfUpC4(x: String): String =
+    s"if(($x) < 0, -((50 - ($x)) div 100), (($x) + 50) div 100)"
+
   /** Flagship: per-mktsegment top-3 customers by revenue.
     * lineitem ⋈ orders ⋈ customer → groupBy-sum → window top-k
     * (SURVEY.md §7 phase 1; select_k mapping of matrix/select_k.cuh:75).
@@ -45,7 +56,7 @@ object Relational {
     rev.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)
       .select(col("c_mktsegment"), col("c_custkey"),
-        round(expr("(rev_c4 + 50) div 100") / 100.0, 2).as("revenue"), col("rnk"))
+        round(expr(halfUpC4("rev_c4")) / 100.0, 2).as("revenue"), col("rnk"))
   }
 
   /** TPC-H Q1-shaped pricing summary: the `map_reduce` / grouped-fold shape
@@ -63,8 +74,8 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(epC) / 100.0, 2).as("sum_base"),
-        round(expr("(sum((cast(round(l_extendedprice * 100, 0) as bigint)) * " +
-          "(100 - cast(round(l_discount * 100, 0) as bigint))) + 50) div 100") / 100.0, 2)
+        round(expr(halfUpC4("sum((cast(round(l_extendedprice * 100, 0) as bigint)) * " +
+          "(100 - cast(round(l_discount * 100, 0) as bigint)))")) / 100.0, 2)
           .as("sum_disc_price"),
         round(sum(dP) / lit(100.0) / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("cnt"))
@@ -84,8 +95,8 @@ object Relational {
       .groupBy(col("r_name"), col("n_name"))
       // integer-cents accumulation (see top3PerMktsegment) — exact and
       // order-insensitive on both engines
-      .agg(round(expr("(sum((cast(round(l_extendedprice * 100, 0) as bigint)) * " +
-        "(100 - cast(round(l_discount * 100, 0) as bigint))) + 50) div 100") / 100.0, 2)
+      .agg(round(expr(halfUpC4("sum((cast(round(l_extendedprice * 100, 0) as bigint)) * " +
+        "(100 - cast(round(l_discount * 100, 0) as bigint)))")) / 100.0, 2)
         .as("revenue"),
         count(lit(1)).as("n_items"))
   }

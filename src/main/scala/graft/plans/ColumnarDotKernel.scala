@@ -69,6 +69,14 @@ object ColumnarDotKernel {
   final case class Fold(op: Int, idx: Int, floatLanes: Boolean,
       rhs: FoldRhs, roundScale: Option[Int]) extends OutCol
 
+  /** Fused unit-normalize of input column `idx` (lanes float-widened when
+    * `floatLanes`) — ARRAY<DOUBLE> output, the batch twin of
+    * [[graft.functions.ArrayUnitNorm]]. This is the lane that puts the
+    * kernel inside the PRODUCTION embedding pipelines (VERDICT r12 item 3):
+    * every dedup/ANN pre-pass projects `unit(vec)` directly over the
+    * parquet scan. */
+  final case class UnitCol(idx: Int, floatLanes: Boolean) extends OutCol
+
   sealed trait FoldRhs extends Serializable
   /** Unary fold (normsq) — no right operand. */
   case object UnaryRhs extends FoldRhs
@@ -133,6 +141,13 @@ object ColumnarDotKernel {
     case _ => None
   }
 
+  private def unitOf(e: Expression, inputs: Seq[Attribute]): Option[UnitCol] = e match {
+    case graft.functions.ArrayUnitNorm(v) =>
+      inputOf(v, inputs).map { case (i, f) => UnitCol(i, f) }
+    case Alias(e2, _) => unitOf(e2, inputs)
+    case _ => None
+  }
+
   /** Match a whole projection list; None unless EVERY output column is a
     * supported shape and at least one is a real fold kernel. */
   def matchProject(projectList: Seq[NamedExpression],
@@ -144,10 +159,11 @@ object ColumnarDotKernel {
       case Alias(a: AttributeReference, _) =>
         val i = inputs.indexWhere(_.exprId == a.exprId)
         if (i >= 0) Some(Pass(i)) else None
-      case Alias(e, _) => foldOf(e, inputs)
+      case Alias(e, _) => foldOf(e, inputs).orElse(unitOf(e, inputs))
       case _ => None
     }
-    if (cols.forall(_.isDefined) && cols.exists(_.exists(_.isInstanceOf[Fold])))
+    if (cols.forall(_.isDefined) &&
+        cols.exists(_.exists(c => c.isInstanceOf[Fold] || c.isInstanceOf[UnitCol])))
       Some(cols.map(_.get))
     else None
   }
@@ -236,6 +252,57 @@ case class GraftDotKernelExec(
         graft.Instrument.inc("colkernel.rows", n.toLong)
         val vecs: Array[ColumnVector] = outCols.map {
           case Pass(i) => batch.column(i)
+          case UnitCol(i, fl) =>
+            // batch twin of ArrayUnitNorm.evalArray: strict left-fold Σx²,
+            // sqrt, per-lane divide; pass-through (lanes copied verbatim,
+            // float lanes widened — the Cast below the norm in the row
+            // plan) on a null lane or an exactly-zero norm. Bit-identity
+            // vs the row path is pinned in ColumnarSeamSpec.
+            val src = batch.column(i)
+            val out = new OnHeapColumnVector(n, ArrayType(DoubleType, true))
+            val lanes = out.arrayData()
+            var offset = 0
+            var r = 0
+            while (r < n) {
+              if (src.isNullAt(r)) out.putNull(r)
+              else {
+                val xa = src.getArray(r)
+                val m = xa.numElements()
+                lanes.reserve(offset + m)
+                var s = 0.0
+                var anyNull = false
+                var k = 0
+                while (k < m && !anyNull) {
+                  if (xa.isNullAt(k)) anyNull = true
+                  else {
+                    val v = if (fl) xa.getFloat(k).toDouble else xa.getDouble(k)
+                    s += v * v
+                    k += 1
+                  }
+                }
+                val nrm = math.sqrt(s)
+                if (anyNull || nrm == 0.0) {
+                  var j = 0
+                  while (j < m) {
+                    if (xa.isNullAt(j)) lanes.putNull(offset + j)
+                    else lanes.putDouble(offset + j,
+                      if (fl) xa.getFloat(j).toDouble else xa.getDouble(j))
+                    j += 1
+                  }
+                } else {
+                  var j = 0
+                  while (j < m) {
+                    lanes.putDouble(offset + j,
+                      (if (fl) xa.getFloat(j).toDouble else xa.getDouble(j)) / nrm)
+                    j += 1
+                  }
+                }
+                out.putArray(r, offset, m)
+                offset += m
+              }
+              r += 1
+            }
+            out: ColumnVector
           case Fold(op, i, flX, rhs, rnd) =>
             val src = batch.column(i)
             val (src2, flY, w) = rhs match {

@@ -166,6 +166,23 @@ object MatrixQueries extends QueryGroup {
     "mat_reciprocal" -> ((s, d) => MatrixOps.reciprocalRowSums(s, d)),
     "mat_scatter" -> ((s, d) => MatrixOps.scatterRowSums(s, d, 500L)),
     "mat_row_weighted_mean" -> ((s, d) => MatrixOps.rowWeightedMean(s, d)),
+    // fp16 STORAGE lanes (VERDICT r12 item 7): FLOAT → binary16 bit
+    // pattern (RNE) → FLOAT, per lane. hbits is the unsigned SHORT bit
+    // pattern (the value that round-trips parquet as a 2-byte column),
+    // dec the exactly-decoded value; the oracle replays IEEE 754 RNE
+    // arithmetic in SQL (floor(log2) + a ±1 exponent correction, exact
+    // tie detection — power-of-two divides are exact in doubles).
+    // Domain: finite in-half-range values (the embeddings table);
+    // Inf/NaN handling is spec-pinned JVM-side in Fp16Spec instead.
+    "mat_fp16_roundtrip" -> ((s, d) => {
+      import graft.functions.Fp16
+      graft.Tables.embeddings(s, d).where(col("vec_id") < 500)
+        .select(col("vec_id").as("id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("id"), col("pos"),
+          Fp16.toHalf(col("x")).cast("long").bitwiseAND(lit(65535L)).as("hbits"),
+          Fp16.fromHalf(Fp16.toHalf(col("x"))).cast("double").as("dec"))
+    }),
   )
 
   private val castLanes = "list_transform(embedding, f -> CAST(f AS DOUBLE))"
@@ -437,5 +454,60 @@ object MatrixQueries extends QueryGroup {
          |    p -> p[1] * p[2])) / $wsum, 6) AS wmean
          |FROM embeddings""".stripMargin
     },
+    // binary16 RNE replayed in SQL: exponent guess = floor(log2|x|) with a
+    // ±1 correction (libm boundary misrounds), mantissa = |x| scaled by an
+    // EXACT power of two into [1024, 2048) (so the 0.5-tie test is exact —
+    // a float widened to double divided by 2^k keeps ≤ 24 significant
+    // bits), round-half-even, then carry/subnormal cases mirror
+    // Fp16.floatToHalf branch for branch.
+    "mat_fp16_roundtrip" ->
+      """WITH lanes AS (
+        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings WHERE vec_id < 500),
+        |sgn AS (
+        |  SELECT id, pos, x, abs(x) AS a,
+        |         CASE WHEN signbit(x) THEN 1 ELSE 0 END AS s
+        |  FROM lanes),
+        |guess AS (
+        |  SELECT *, CASE WHEN a = 0 THEN -25
+        |                 WHEN a >= power(2.0, -14) THEN CAST(floor(log2(a)) AS BIGINT)
+        |                 ELSE -15 END AS eg
+        |  FROM sgn),
+        |fixed AS (
+        |  SELECT *, CASE
+        |      WHEN eg >= -14 AND a * power(2.0, 10 - eg) >= 2048 THEN eg + 1
+        |      WHEN eg >= -14 AND a * power(2.0, 10 - eg) < 1024 AND eg > -14 THEN eg - 1
+        |      WHEN eg >= -14 AND a * power(2.0, 10 - eg) < 1024 THEN -15
+        |      ELSE eg END AS e
+        |  FROM guess),
+        |scaled AS (
+        |  SELECT *, CASE WHEN e = -25 THEN 0.0
+        |                 WHEN e >= -14 THEN a * power(2.0, 10 - e)
+        |                 ELSE a * power(2.0, 24) END AS v
+        |  FROM fixed),
+        |rne AS (
+        |  SELECT *, CAST(CASE
+        |      WHEN v - floor(v) > 0.5 THEN floor(v) + 1
+        |      WHEN v - floor(v) < 0.5 THEN floor(v)
+        |      WHEN CAST(floor(v) AS BIGINT) % 2 = 0 THEN floor(v)
+        |      ELSE floor(v) + 1 END AS BIGINT) AS k
+        |  FROM scaled),
+        |fin AS (
+        |  SELECT id, pos, s,
+        |    CASE WHEN e = -25 OR k = 0 THEN 0
+        |         WHEN e < -14 AND k < 1024 THEN k
+        |         WHEN e < -14 THEN 1024
+        |         WHEN k >= 2048 THEN (e + 1 + 15) * 1024
+        |         ELSE (e + 15) * 1024 + (k - 1024) END AS mag,
+        |    CASE WHEN e = -25 OR k = 0 THEN 0.0
+        |         WHEN e < -14 AND k < 1024 THEN k * power(2.0, -24)
+        |         WHEN e < -14 THEN power(2.0, -14)
+        |         WHEN k >= 2048 THEN power(2.0, e + 1)
+        |         ELSE k * power(2.0, e - 10) END AS mdec
+        |  FROM rne)
+        |SELECT id, pos, CAST(s * 32768 + mag AS BIGINT) AS hbits,
+        |       CASE WHEN s = 1 THEN -mdec ELSE mdec END AS dec
+        |FROM fin""".stripMargin,
   )
 }

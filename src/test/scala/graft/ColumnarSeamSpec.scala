@@ -168,6 +168,94 @@ class ColumnarSeamSpec extends AnyFunSuite {
     }
   }
 
+  ctest("unit-norm kernel lane: bit-identical to the row path, fires inside the production neardup query") {
+    // VERDICT r12 item 3: the kernel family's first PRODUCTION consumer.
+    // pipe_embed_neardup's pre-normalization projects ArrayUnitNorm
+    // directly over the vectorized parquet scan (float lanes), so
+    // GraftDotKernelRule must replace it with the batch kernel — and the
+    // full query's results must equal a bare (row-path) session's.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = TestSpark.spark
+    s.catalog.clearCache()
+    // (a) edge-case fixture, double lanes: clean / zero vector / null
+    // array / null lane (pass-through) / empty array (norm 0 pass-through)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(DoubleType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(0L, Seq(3.0, -4.0)),                  // norm 5 → (.6, -.8)
+      Row(1L, Seq(0.0, 0.0, 0.0)),              // zero → pass-through
+      Row(2L, null),                            // null array → null
+      Row(3L, Seq(1.0, null, 3.0)),             // null lane → pass-through
+      Row(4L, Seq.empty[Any]))                  // empty → pass-through
+    val dir = java.nio.file.Files.createTempDirectory("unitkernel").toString
+    s.createDataFrame(s.sparkContext.parallelize(rows.map(r =>
+      Row(r.get(0), Option(r.get(1)).map(_.asInstanceOf[Seq[Any]]).orNull)), 1), schema)
+      .write.mode("overwrite").parquet(dir)
+    def unitOf(sess: SparkSession) = {
+      val df = sess.read.parquet(dir).select(col("id"),
+        graft.functions.ArrayUnitNorm.unit(col("vec")).as("uv"))
+      (df, df.collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None
+          else Some(r.getSeq[Any](1).map(v => Option(v)
+            .map(d => java.lang.Double.doubleToRawLongBits(d.asInstanceOf[Double])))))
+      }.sortBy(_._1).toSeq)
+    }
+    graft.Instrument.reset()
+    val (kdf, viaKernel) = unitOf(s)
+    val snapUnit = graft.Instrument.snapshot()
+    assert(snapUnit.getOrElse("colkernel.batches", 0L) > 0L,
+      s"unit-norm projection never crossed the batch kernel: $snapUnit")
+    val uplan = kdf.queryExecution.executedPlan.toString
+    assert(uplan.contains("GraftDotKernel") && !uplan.contains("!GraftDotKernel"),
+      s"kernel node missing or invalid:\n$uplan")
+    // (b) the production query itself: kernel fires AND results match bare
+    val nd = SparkEntry.queries("pipe_embed_neardup")
+    graft.Instrument.reset()
+    val ndKernel = nd(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    val snapNd = graft.Instrument.snapshot()
+    assert(snapNd.getOrElse("colkernel.batches", 0L) > 0L,
+      s"production neardup query never crossed the batch kernel: $snapNd")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val bare = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val (_, viaRows) = unitOf(bare)
+      assert(viaKernel == viaRows, s"unit kernel/row mismatch:\n$viaKernel\nvs\n$viaRows")
+      val byId = viaKernel.toMap
+      assert(byId(0L).get.map(_.get) ==
+        Seq(3.0 / 5.0, -4.0 / 5.0).map(java.lang.Double.doubleToRawLongBits),
+        "clean row must normalize to (0.6, -0.8) exactly")
+      assert(byId(1L).get.map(_.get) ==
+        Seq(0.0, 0.0, 0.0).map(java.lang.Double.doubleToRawLongBits),
+        "zero vector must pass through unchanged")
+      assert(byId(2L).isEmpty, "null array must stay null")
+      assert(byId(3L).get == Seq(
+        Some(java.lang.Double.doubleToRawLongBits(1.0)), None,
+        Some(java.lang.Double.doubleToRawLongBits(3.0))),
+        "null-lane array must pass through unchanged, null lane preserved")
+      assert(byId(4L).get.isEmpty, "empty array must pass through empty")
+      graft.Instrument.reset()
+      val ndRows = nd(bare, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+      assert(graft.Instrument.snapshot().getOrElse("colkernel.batches", 0L) == 0L,
+        "bare session must not have the kernel")
+      assert(ndKernel == ndRows,
+        s"neardup kernel/row mismatch: ${ndKernel.take(3)} vs ${ndRows.take(3)}")
+      assert(ndKernel.nonEmpty, "neardup fixture must find at least one pair")
+    } finally {
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+  }
+
   ctest("batch dot kernel null semantics match ArrayDot on ragged and null lanes") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
