@@ -783,7 +783,9 @@ object ScaleProbe {
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
         val bare = SparkSession.builder()
-          .master(s"local[$cpus]")
+          // same master as the kernel session (incl. local-cluster) so the
+          // row/kernel comparison shares executors and serialization
+          .master(master)
           .config("spark.sql.shuffle.partitions", cpus)
           .config("spark.ui.enabled", "false")
           .getOrCreate()
