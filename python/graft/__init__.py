@@ -70,7 +70,12 @@ def graft_session(master="local[4]", classes=None, shuffle_partitions=4):
 # a probe passed against one JVM must not bless a LATER replacement session
 # whose JVM lacks graft on its classpath. Holding the object (identity
 # check) rather than id() avoids stale-id reuse after the old view is GC'd.
+# Bounded (ADVICE r13): dedup on append + a small cap, so a long-lived
+# process cycling many sessions neither grows this without bound nor pins
+# more than the last few gateways against GC (JVMView is not weakly
+# referenceable through py4j proxies, so a WeakSet is not an option).
 _api_checked_jvms = []
+_API_CHECKED_MAX = 8
 
 
 def _api(spark):
@@ -83,7 +88,9 @@ def _api(spark):
     # message instead of an opaque 'JavaPackage is not callable' later
     try:
         api.queryNames()
-        _api_checked_jvms.append(spark._jvm)
+        if not any(v is spark._jvm for v in _api_checked_jvms):
+            _api_checked_jvms.append(spark._jvm)
+            del _api_checked_jvms[:-_API_CHECKED_MAX]
     except TypeError:
         raise RuntimeError(
             "graft.PyApi is not on this JVM's classpath. The SparkSession "

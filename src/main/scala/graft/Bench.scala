@@ -73,6 +73,16 @@ object Bench {
     // negative. Per-rep totals are recorded alongside so a contended rep
     // is visible in the archive instead of silently averaged away.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // TIME BUDGET (VERDICT r13 item 1b): BENCH_r13 died rc:124 because 3
+    // fixed reps overran the driver window and the artifact printed only at
+    // the very end. After each completed rep, if elapsed + a projected next
+    // rep would exceed the budget, stop repping and emit with what we have.
+    // Default 1500 s of bench wall time — the driver window minus sbt
+    // compile + JVM startup headroom (r12 passed at ~1940 s total).
+    val timeBudget = sys.env.get("SPARK_GRAFT_TIME_BUDGET_S")
+      .map(_.toDouble).getOrElse(1500.0)
+    val tRun0 = System.nanoTime()
+    def elapsedRun: Double = (System.nanoTime() - tRun0) / 1e9
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -83,9 +93,22 @@ object Bench {
     // algorithms agree rep-to-rep, so any spread is itself a finding.
     val counterAcc = scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
-    val perRep: Seq[Seq[(String, Double)]] = (1 to reps).map { rep =>
+    // STREAMING ARTIFACT (VERDICT r13 item 1a): per-rep (and every 25
+    // queries) the COMPLETE running JSON line is re-printed — the driver
+    // parser takes the last line, so a timeout mid-rep still yields the
+    // medians of everything measured so far instead of nothing. perRep is
+    // mutable and the final line is just the last emit (partial=false).
+    val perRep = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.LinkedHashMap[String, Double]]()
+    var budgetStopped = false
+    var repsDone = 0
+    val repIt = (1 to reps).iterator
+    while (repIt.hasNext && !budgetStopped) {
+      val rep = repIt.next()
       canaries += canary()
-      names.map { case (name, fn) =>
+      val cur = scala.collection.mutable.LinkedHashMap[String, Double]()
+      perRep += cur
+      names.zipWithIndex.foreach { case ((name, fn), qi) =>
         Instrument.reset()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
@@ -96,21 +119,43 @@ object Bench {
         }
         spark.catalog.clearCache()
         val dt = (System.nanoTime() - t0) / 1e9
+        // one attributable tick per query (VERDICT r13 item 1c): a future
+        // kill's last stderr line names the query it died inside
+        System.err.println(f"[bench] rep $rep ${qi + 1}/${names.length} $name t=$dt%.2f s")
         val snap = Instrument.snapshot()
         if (snap.nonEmpty) {
           val prev = counterAcc.getOrElse(name, Map.empty)
           counterAcc(name) = (prev.keySet ++ snap.keySet).map(k =>
             k -> math.max(prev.getOrElse(k, 0L), snap.getOrElse(k, 0L))).toMap
         }
-        name -> (if (ok) dt else -dt)
+        cur(name) = if (ok) dt else -dt
+        if ((qi + 1) % 25 == 0 && (qi + 1) < names.length)
+          emitLine(partial = true)
+      }
+      repsDone += 1
+      if (repIt.hasNext) {
+        emitLine(partial = true)
+        val lastRepTime = cur.values.map(math.abs).sum + canaries.last
+        if (elapsedRun + 1.05 * lastRepTime > timeBudget) {
+          budgetStopped = true
+          System.err.println(f"[bench] TIME BUDGET: stopping after rep $repsDone " +
+            f"(elapsed $elapsedRun%.0f s + projected $lastRepTime%.0f s > budget $timeBudget%.0f s)")
+        }
       }
     }
     canaries += canary()
+    emitLine(partial = false)
+
+    // Everything below closes over the mutable state above; partial emits
+    // skip floor/archive writes (measurement incomplete), the final emit
+    // performs them under the same conditions as before.
+    def emitLine(partial: Boolean): Unit = {
     val canaryMin = canaries.min
-    val repTotals = perRep.map(_.map(t => math.abs(t._2)).sum)
-    val results: Seq[(String, Double)] = names.map { case (name, _) =>
-      val ts = perRep.map(_.toMap.apply(name)).sorted
-      name -> ts((ts.length - 1) / 2) // lower-median of the signed times
+    val repTotals = perRep.toSeq.map(_.values.map(math.abs).sum)
+    val results: Seq[(String, Double)] = names.flatMap { case (name, _) =>
+      val ts = perRep.toSeq.flatMap(_.get(name)).sorted
+      if (ts.isEmpty) None
+      else Some(name -> ts((ts.length - 1) / 2)) // lower-median of the signed times
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -120,7 +165,7 @@ object Bench {
       case '\t' => "\\t"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    if (errors.nonEmpty)
+    if (!partial && errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} QUERY FAILURE(S): ${errors.keys.mkString(", ")}")
     val failedMedians = results.count(_._2 < 0)
     val repsJson = repTotals.map(t => f"$t%.1f").mkString("[", ",", "]")
@@ -132,7 +177,8 @@ object Bench {
     // on back-to-back otherwise-idle runs), and the per-query medians
     // (lower-median of 3) already discard it — the flag should measure
     // CONTENTION, not warm-up
-    val idleReps = if (repTotals.length >= 3) repTotals.drop(1) else repTotals
+    val doneTotals = repTotals.take(repsDone) // exclude a mid-rep partial total
+    val idleReps = if (doneTotals.length >= 3) doneTotals.drop(1) else doneTotals
     val idle = idleReps.nonEmpty && {
       val med = idleReps.sorted.apply((idleReps.length - 1) / 2)
       idleReps.forall(t => math.abs(t - med) <= 0.15 * med)
@@ -164,7 +210,7 @@ object Bench {
     // another full reset.
     val floorReset = sys.env.get("SPARK_GRAFT_FLOOR_RESET").contains("1")
     val okMin: Map[String, Double] = names.map(_._1).flatMap { name =>
-      val ts = perRep.map(_.toMap.apply(name)).filter(_ > 0)
+      val ts = perRep.toSeq.flatMap(_.get(name)).filter(_ > 0)
       if (ts.nonEmpty) Some(name -> ts.min) else None
     }.toMap
     val floorCanary = priorFloor.get("__canary__")
@@ -184,9 +230,21 @@ object Bench {
     // when the floors were measured — a uniform vs_floor excess that
     // matches canary_vs_floor is hardware drift, not a code regression
     val canaryVsFloor = floorCanary.filter(_ > 0).map(canaryMin / _)
-    val contended = vsFloor > 1.2 && !floorReset
-    if (only.isEmpty && okResults.nonEmpty)
+    // ADVICE r13: the reset suppression of `contended` is only honest when
+    // the floor file is actually rewritten — a filtered (only-set) or
+    // partial run never writes floors, so its comparison is still against
+    // the old epoch and must keep the flag live.
+    val floorRewrites = !partial && only.isEmpty && okResults.nonEmpty
+    val contended = vsFloor > 1.2 && !(floorReset && floorRewrites)
+    if (floorRewrites)
       try {
+        if (floorReset) {
+          val dropped = (priorFloor.keySet - "__canary__").diff(okMin.keySet)
+          if (dropped.nonEmpty)
+            System.err.println(s"[bench] FLOOR RESET drops ${dropped.size} " +
+              s"quer${if (dropped.size == 1) "y" else "ies"} with no passing rep: " +
+              dropped.toSeq.sorted.mkString(", "))
+        }
         val body = newFloor.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
         java.nio.file.Files.writeString(floorPath, body)
@@ -199,7 +257,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val canaryVsJson = canaryVsFloor.map(r => f"$r%.3f").getOrElse("null")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"rep_totals":$repsJson,"idle":$idle,"floor_total":${f"$floorTotal%.1f"},"vs_floor":${f"$vsFloor%.3f"},"contended":$contended,"floor_reset":$floorReset,"canary":$canaryJson,"canary_min":${f"$canaryMin%.3f"},"canary_vs_floor":$canaryVsJson,"commit":${jstr(RunStamp.commit)},"ts":${jstr(RunStamp.ts)},"errors":$errJson,"counters":$countersJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"reps_done":$repsDone,"partial":$partial,"budget_stop":$budgetStopped,"elapsed_s":${f"$elapsedRun%.1f"},"rep_totals":$repsJson,"idle":$idle,"floor_total":${f"$floorTotal%.1f"},"vs_floor":${f"$vsFloor%.3f"},"contended":$contended,"floor_reset":$floorReset,"canary":$canaryJson,"canary_min":${f"$canaryMin%.3f"},"canary_vs_floor":$canaryVsJson,"commit":${jstr(RunStamp.commit)},"ts":${jstr(RunStamp.ts)},"errors":$errJson,"counters":$countersJson,"queries":$qs,"sf":"$sfDir"}"""
     // The harness records only the TAIL of the output, so the full ~4KB
     // per-query line gets truncated at the start and fails to parse. Emit
     // the full line first (archive: also written to BENCH_LOCAL.json),
@@ -215,23 +273,24 @@ object Bench {
     // loaded-host artifact (36 queries >2x their unchanged floors) and
     // could have been tuned against. Print the line (driver contract) but
     // refuse the archive write and say so loudly.
-    if (only.isEmpty && !contended)
+    if (!partial && only.isEmpty && !contended)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"BENCH_LOCAL_$sfTag.json"), line)
       catch { case _: Throwable => () }
-    else if (contended)
+    else if (!partial && contended)
       System.err.println(f"[bench] CONTENDED RUN (total $okTotal%.1f s = $vsFloor%.2fx floor " +
         f"$floorTotal%.1f s): archive NOT written — re-run on an idle host")
     val top = results.sortBy(r => -math.abs(r._2)).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"queries":$top,"sf":"$sfDir","note":"median of $reps passes per query; top40 by |t|, negative = FAILED in a majority of passes; full per-query dict in BENCH_LOCAL_<sf>.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"reps_done":$repsDone,"partial":$partial,"queries":$top,"sf":"$sfDir","note":"median of $reps passes per query; top40 by |t|, negative = FAILED in a majority of passes; full per-query dict in BENCH_LOCAL_<sf>.json"}"""
     println(line)
     println(compact)
     System.out.flush()
     System.err.println(line)
     System.err.println(compact)
     System.err.flush()
+    } // emitLine
     spark.stop()
   }
 }
