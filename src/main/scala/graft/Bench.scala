@@ -53,6 +53,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ObjectHashAggregate (every typed Aggregator: TopKAgg, VectorAgg, HLL)
+      // falls back to SORTING its remaining input after 128 distinct keys per
+      // partition — the default turns the LAP kernel's 1e8-row top-T scan into
+      // a 1e8-row sort. 2e5 keys × (2k+1) doubles ≈ 50 MB/partition worst case
+      // at k=16: memory-sane on any executor sized for 100 MB-1 GB partitions,
+      // and scale-independent (state is keys×k, not data-sized). Override via
+      // SPARK_GRAFT_OBJ_AGG_KEYS for smaller executors.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "200000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

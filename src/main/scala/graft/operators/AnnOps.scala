@@ -293,6 +293,11 @@ object AnnOps {
     import graft.functions.TopKAgg
     val pts = points.select(col("id"), col("vec")).localCheckpoint(true)
     val n = pts.count()
+    // loop knobs (r14, guide §2): the beam loop ran `rounds` join+TopK
+    // stages at session width with AQE replanning — width/AQE/codegen now
+    // track the point count (the nnDescent convention; at real scale the
+    // width is the real one). Result materialized inside the scope.
+    graft.GraftSession.withLoopKnobs(points.sparkSession, n) {
     val q = pts.where(col("id") < nQueries)
       .select(col("id").as("qid"), col("vec").as("qv")).localCheckpoint(true)
     val edges = graph.select(col("src").as("node"), col("dst"))
@@ -322,5 +327,7 @@ object AnnOps {
         Window.partitionBy(col("qid")).orderBy(col("e.c").asc, col("e.j").asc)))
       .select(col("qid"), col("e.j").as("node"),
         (round(col("e.c"), 4) + 0.0).as("dist"), col("rnk"))
+      .localCheckpoint(true)
+    }
   }
 }

@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Loop-knob scope for every iterative driver here (r14, guide §2):
+    * shuffle width tracks the materialized edge set instead of the session
+    * default (a 1000-edge fixture must not schedule 32-task waves per
+    * round; a billion-edge graph keeps full width), AQE's per-round
+    * replanning is dropped, and below the measured janino crossover the
+    * loop runs interpreted (GraftSession.withLoopKnobs). The body's result
+    * is materialized INSIDE the scope so the tail rounds that no
+    * checkpoint covered don't execute later at the restored width.
+    * `sized` must already be checkpointed — its count is then one cheap
+    * cached-partition pass, amortized over the loop's rounds. */
+  private def withGraphLoop(sized: DataFrame, atLeast: Long = 0L)
+      (body: => DataFrame): DataFrame =
+    graft.GraftSession.withLoopKnobs(sized.sparkSession,
+      math.max(atLeast, sized.count())) {
+      body.localCheckpoint(true)
+    }
+
   /** PageRank after `iters` synchronous rounds over the DISTINCT edge
     * set: r_{t+1}(v) = (1−d)/N + d·Σ_{u→v} r_t(u)/outdeg(u).
     * Returns (node, r) for all n nodes (isolated ones settle at (1−d)/N).
@@ -33,6 +50,7 @@ object GraphOps {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("od"))
       .localCheckpoint(true)
     val nodes = spark.range(n).select(col("id").as("node"))
+    withGraphLoop(e, atLeast = n) {
     var r = nodes.select(col("node"), lit(1.0 / n).as("r"))
     for (i <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("node"))
@@ -50,6 +68,7 @@ object GraphOps {
       if (i % 5 == 0 && i < iters) r = r.localCheckpoint(true)
     }
     r
+    }
   }
 
   /** Synchronous label-propagation community detection (Raghavan et al.
@@ -73,6 +92,7 @@ object GraphOps {
       .where(col("src") =!= col("dst"))
     val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
+    withGraphLoop(und, atLeast = n) {
     var labels = spark.range(n).select(col("id").as("node"), col("id").as("label"))
     for (_ <- 1 to rounds) {
       val votes = und
@@ -87,6 +107,7 @@ object GraphOps {
         .localCheckpoint(true)
     }
     labels
+    }
   }
 
   /** Common-neighbor link prediction: for every vertex pair at distance
@@ -135,7 +156,9 @@ object GraphOps {
       und.select(col("a").as("node"))
         .unionByName(und.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    var und = canonicalUndirected(edges).localCheckpoint(true)
+    val und0 = canonicalUndirected(edges).localCheckpoint(true)
+    withGraphLoop(und0) {
+    var und = und0
     for (_ <- 1 to rounds) {
       val keep = degrees(und).where(col("deg") >= k).select(col("node"))
       und = und
@@ -145,6 +168,7 @@ object GraphOps {
         .localCheckpoint(true)
     }
     degrees(und)
+    }
   }
 
   /** Deterministic DeepWalk-style random walks (Perozzi et al., KDD'14):
@@ -170,6 +194,7 @@ object GraphOps {
     val adj = und.select(col("a").as("m"), col("b").as("x"))
       .unionByName(und.select(col("b").as("m"), col("a").as("x")))
       .localCheckpoint(true)
+    withGraphLoop(adj) {
     var frontier = adj.select(col("m")).distinct()
       .select(col("m").as("walk"), col("m").as("node"))
     var out = frontier.select(col("walk"), lit(0).as("step"), col("node"))
@@ -187,6 +212,7 @@ object GraphOps {
         frontier.select(col("walk"), lit(t).as("step"), col("node")))
     }
     out
+    }
   }
 
   /** node2vec biased second-order walks (Grover & Leskovec, KDD'16):
@@ -219,6 +245,7 @@ object GraphOps {
       lit(1).as("near"))
     // prev = start at t=1: no self-loops, and every candidate neighbors
     // cur = prev, so the first step degrades to the uniform pick
+    withGraphLoop(adj) {
     var frontier = adj.select(col("m")).distinct()
       .select(col("m").as("walk"), col("m").as("prev"), col("m").as("node"))
     var out = frontier.select(col("walk"), lit(0).as("step"), col("node"))
@@ -243,6 +270,7 @@ object GraphOps {
         frontier.select(col("walk"), lit(t).as("step"), col("node")))
     }
     out
+    }
   }
 
   /** Exact t-hop neighborhood function: |B_t(v)| for t = 0..maxT over
@@ -258,6 +286,7 @@ object GraphOps {
     val adj = und.select(col("a").as("m"), col("b").as("x"))
       .unionByName(und.select(col("b").as("m"), col("a").as("x")))
       .localCheckpoint(true)
+    withGraphLoop(adj) {
     var ball = adj.select(col("m")).distinct()
       .select(col("m").as("v"), col("m").as("u"))
     var sizes = ball.groupBy(col("v")).agg(count(lit(1)).as("size"))
@@ -272,6 +301,7 @@ object GraphOps {
           .select(col("v").as("node"), lit(t).as("t"), col("size")))
     }
     sizes
+    }
   }
 
   /** HyperBall (Boldi & Vigna, 2013): the APPROXIMATE neighborhood
@@ -304,6 +334,7 @@ object GraphOps {
         when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w))).as("rank"))
       .localCheckpoint(true)
     // state: one row per node per OCCUPIED register (absent = rank 0)
+    withGraphLoop(adj) {
     var state = own.select(col("u").as("v"), col("reg"), col("rank"))
     for (t <- 1 to maxT) {
       state = state
@@ -314,6 +345,7 @@ object GraphOps {
       if (t % 4 == 0 && t < maxT) state = state.localCheckpoint(true)
     }
     hllEstimate(state, m).select(col("node"), round(col("est"), 4).as("est"))
+    }
   }
 
   /** Per-node HLL cardinality estimate from (v, reg, rank) register rows
@@ -358,6 +390,7 @@ object GraphOps {
         pmod(h32(concat_ws(":", col("u"), lit(seed), lit("hbj"))), lit(m)).as("reg"),
         when(w === 0L, lit(33L)).otherwise(lit(33L) - length(bin(w))).as("rank"))
       .localCheckpoint(true)
+    withGraphLoop(adj) {
     def nfRow(t: Int) = hllEstimate(state, m)
       .agg(sum(col("est")).as("nf")).select(lit(t).as("t"), col("nf"))
     var out = nfRow(0)
@@ -371,6 +404,7 @@ object GraphOps {
       out = out.unionByName(nfRow(t))
     }
     out
+    }
   }
 
   /** Truncated harmonic centrality from the exact ball census:
@@ -441,6 +475,7 @@ object GraphOps {
       .localCheckpoint(true)
     val nSeeds = lit(s.count().toDouble)
     val restart = col("is_seed") / nSeeds * lit(1.0 - damping)
+    withGraphLoop(e, atLeast = n) {
     var r = nodes.select(col("node"), (col("is_seed") / nSeeds).as("r"))
     for (i <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("node"))
@@ -453,6 +488,7 @@ object GraphOps {
       if (i % 5 == 0 && i < iters) r = r.localCheckpoint(true)
     }
     r.select(col("node"), col("r"))
+    }
   }
 
   /** HITS hubs & authorities (Kleinberg '99), `iters` synchronous
@@ -472,6 +508,7 @@ object GraphOps {
   def hits(edges: DataFrame, n: Long, iters: Int): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    withGraphLoop(e, atLeast = n) {
     var h = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("h"))
     var a = h.select(col("node"), col("h").as("a")) // placeholder until iter 1
@@ -494,6 +531,7 @@ object GraphOps {
       .select(col("node"),
         (coalesce(col("h"), lit(0.0)) / col("__th")).as("h"),
         (coalesce(col("a"), lit(0.0)) / col("__ta")).as("a"))
+    }
   }
 
   /** k-truss peeling: `rounds` SYNCHRONOUS rounds of "drop every edge
@@ -506,7 +544,9 @@ object GraphOps {
     * its 3 edges with one union + keyed count; the oracle replays the
     * rounds with the INDEPENDENT brute wedge formulation. */
   def kTruss(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
-    var und = canonicalUndirected(edges).localCheckpoint(true)
+    val und0 = canonicalUndirected(edges).localCheckpoint(true)
+    withGraphLoop(und0) {
+    var und = und0
     for (_ <- 1 to rounds) {
       val deg = und.select(col("a").as("node"))
         .unionByName(und.select(col("b").as("node")))
@@ -540,6 +580,7 @@ object GraphOps {
         .localCheckpoint(true)
     }
     und
+    }
   }
 
   /** Triangle counting with DEGREE ORDERING (the scalable formulation —

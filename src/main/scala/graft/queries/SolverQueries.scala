@@ -251,11 +251,13 @@ object SolverQueries extends QueryGroup {
       eigsDf(s, SolverOps.eigshSmallestAuto(bigDiagFixture(s), 100000L, 3))
     }),
     "solver_lap" -> ((s, d) => SolverOps.lapAssignmentSummary(s, 50)),
-    // keyedFinal: the last ε-phase runs with DataFrame-resident prices/
-    // assignments (lapKeyedPhase) — the distributed-state auction path;
-    // the certificate still guarantees the exact optimum either way
+    // auto tier (r14): n·T = 8.5e3 → driver Gauss-Seidel + typedLit-price
+    // certificate. The previous keyedFinal=true spent ~7 s in 16 keyed
+    // Jacobi rounds on a 500-row problem — pure per-round job latency; the
+    // keyed-phase path stays covered by Solver2Spec, and the certificate
+    // guarantees the same exact optimum in every tier.
     "solver_lap_dist" -> ((s, d) =>
-      SolverOps.lapAuctionDistributed(s, 500, keyedFinal = true)),
+      SolverOps.lapAuctionDistributed(s, 500)),
     "solver_lap_planted" -> ((s, d) => {
       // 4×-the-n scale-evidence row with a REAL oracle at any n: plant a
       // dual certificate. c(i,j) = u_i + v_j + s(i,j) with s ≥ 0 and
@@ -295,11 +297,14 @@ object SolverQueries extends QueryGroup {
       val noise = pmod(xxhash64(col("i"), col("j"), lit("lapPB")), lit(1000000L)) + 1
       val c = when(col("j") === pmod(col("i") * 2001, lit(nB)), u + v)
         .otherwise(u + v + noise)
-      // keyedFinal (round 10): final ε-phase AND certificate run against
-      // DataFrame-resident state — no price array on the driver at n=1e4;
-      // the certificate consumes the keyed state table directly
+      // auto tier (r14, VERDICT r13 item 5): n·T = 1.7e5 → the exec-resident
+      // auction — the WHOLE ε-schedule in one task holding the coalesced
+      // kernel, no price array on the driver (the property keyedFinal=true
+      // bought), but ONE Spark job instead of coarse driver phases + 7 keyed
+      // Jacobi rounds (~5.5 s of round-trip latency at this n). The keyed
+      // certificate still consumes the state table directly.
       SolverOps.lapAuctionDistributed(s, nB.toInt, priceJoinThreshold = 0,
-        costExpr = Some(c), keyedFinal = true)
+        costExpr = Some(c))
     }),
     "solver_rsvd_sparse" -> ((s, d) => {
       // closed-form rank-8 fixture (exact σ, SQL oracle); the real-data

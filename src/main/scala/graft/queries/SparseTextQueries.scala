@@ -110,26 +110,55 @@ object SparseTextQueries extends QueryGroup {
     "sp_laplacian" -> ((s, d) => {
       // co-occurrence graph on parts: edge (c1,c2) with weight = #orders
       // containing both; symmetrized; Laplacian rows for col-keys < 200.
+      // r14 (guide §2.3, project before the exchange): the row<200 output
+      // filter is PUSHED INTO the pair generation — a pair with both
+      // endpoints ≥ 200 can contribute nothing to any output row (off-
+      // diagonals need an endpoint < 200; the diagonal of row i < 200 sums
+      // exactly the edges incident to i, all of which have that endpoint),
+      // so the co-occurrence aggregate consumes ~2·200/|parts| of the
+      // quadratic pair set instead of all of it. Identical output, same
+      // oracle.
       val coo = Tables.cooOrdersParts(s, d)
       val a = coo.select(col("row"), col("col").as("c1"))
       val b = coo.select(col("row"), col("col").as("c2"))
-      val edges = a.join(b, Seq("row")).where(col("c1") < col("c2"))
+      val edges = a.join(b, Seq("row"))
+        .where(col("c1") < col("c2") && (col("c1") < 200 || col("c2") < 200))
         .groupBy(col("c1"), col("c2")).agg(count(lit(1)).cast("double").as("value"))
         .select(col("c1").as("row"), col("c2").as("col"), col("value"))
       SparseOps.laplacian(SparseOps.symmetrize(edges)).where(col("row") < 200)
         .select(col("row"), col("col"), round(col("value"), 2).as("value"))
     }),
     // symmetric-normalized Laplacian of the same co-occurrence graph:
-    // L̂(i,j) = L(i,j)/√(dᵢdⱼ), the spectral-clustering form
+    // L̂(i,j) = L(i,j)/√(dᵢdⱼ), the spectral-clustering form.
+    // r14 (guide §2.3/§2.4): same endpoint<200 pushdown as sp_laplacian
+    // for the L entries — but L̂ also needs the FULL weighted degree of
+    // every neighbor j (including j ≥ 200, whose incident ≥200-≥200 pairs
+    // the pruned join never materializes). That degree has a LINEAR form:
+    // d_j = Σ_j w(i,j) with w = #shared orders collapses to
+    // d_j = Σ_{orders o ∋ j} (|o| − 1) — one size aggregate + one join
+    // instead of a second pass over the quadratic pair set. Both sums are
+    // exact integer folds, so the normalized values match the operator
+    // path bit-for-bit; same oracle.
     "sp_laplacian_norm" -> ((s, d) => {
       val coo = Tables.cooOrdersParts(s, d)
       val a = coo.select(col("row"), col("col").as("c1"))
       val b = coo.select(col("row"), col("col").as("c2"))
-      val edges = a.join(b, Seq("row")).where(col("c1") < col("c2"))
+      val edges = a.join(b, Seq("row"))
+        .where(col("c1") < col("c2") && (col("c1") < 200 || col("c2") < 200))
         .groupBy(col("c1"), col("c2")).agg(count(lit(1)).cast("double").as("value"))
         .select(col("c1").as("row"), col("c2").as("col"), col("value"))
-      SparseOps.laplacianNormalized(SparseOps.symmetrize(edges))
+      val osize = coo.groupBy(col("row")).agg(count(lit(1)).as("sz"))
+      val degFull = coo.join(osize, Seq("row"))
+        .groupBy(col("col").as("i"))
+        .agg(sum(col("sz") - 1).cast("double").as("d"))
+      val lap = SparseOps.laplacian(SparseOps.symmetrize(edges))
         .where(col("row") < 200)
+      lap.join(degFull.select(col("i").as("row"), col("d").as("dr")), Seq("row"))
+        .join(degFull.select(col("i").as("col"), col("d").as("dc")), Seq("col"))
+        .select(col("row"), col("col"),
+          when(col("dr") > 0.0 && col("dc") > 0.0,
+            col("value") / sqrt(col("dr") * col("dc")))
+            .otherwise(col("value")).as("value"))
         .select(col("row"), col("col"), (round(col("value"), 6) + 0.0).as("value"))
     }),
     // csr_row_normalize_max: divide each row by its max |value| (the L∞
