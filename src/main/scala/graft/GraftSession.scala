@@ -19,6 +19,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed-Aggregator groupBys (TopKAgg/VectorAgg/HLL) must not fall back
+      // to sorting their input past 128 distinct keys per partition — state
+      // is keys × k scalars, so 2e5 keys is memory-sane at any scale (the
+      // Bench session documents the sizing; same knob here for parity)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "200000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -27,6 +28,14 @@ import org.apache.spark.sql.types.{DataType, FloatType, ShortType}
   * no boxing, no fallback — and compose with the fused-array family.
   */
 case class FloatToHalf(child: Expression) extends UnaryExpression {
+  // analysis-time type check (ADVICE r13): applying toHalf to a DOUBLE
+  // column must fail with a readable error, not a runtime
+  // ClassCastException (the HdrBucket form — ExpectsInputTypes'
+  // AbstractDataType is private[sql])
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == FloatType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"TO_HALF requires a FLOAT child, got ${child.dataType.catalogString}")
   override def dataType: DataType = ShortType
   override def nullSafeEval(a: Any): Any =
     Fp16.floatToHalf(a.asInstanceOf[Float])
@@ -38,6 +47,10 @@ case class FloatToHalf(child: Expression) extends UnaryExpression {
 }
 
 case class HalfToFloat(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ShortType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"FROM_HALF requires a SMALLINT child, got ${child.dataType.catalogString}")
   override def dataType: DataType = FloatType
   override def nullSafeEval(a: Any): Any =
     Fp16.halfToFloat(a.asInstanceOf[Short])

@@ -316,9 +316,11 @@ object AnnOps {
       val expand = top.join(edges, Seq("node"))
         .select(col("qid"), col("dst").as("node"))
         .where(col("node") =!= col("qid")).distinct()
+      // lazy: materialized by the next round's TopK aggregate (or the
+      // final one) — saves one dedicated materialization job per round
       visited = visited.unionByName(score(expand))
         .groupBy(col("qid"), col("node")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     visited.groupBy(col("qid"))
       .agg(TopKAgg.topKMin(col("d"), col("node"), k).as("flat"))

@@ -577,15 +577,21 @@ object SolverOps {
     * fire; [[eigshSmallestSharded]] remains the restart-capable path.
     */
   def eigshSmallestShardedBlock(coo: DataFrame, n: Long, k: Int, m: Int = 25,
-      seed: Long = 3, b: Int = 2): Seq[Double] = {
+      seed: Long = 3, b: Int = 2, tol: Double = 1e-9): Seq[Double] = {
     import breeze.linalg.{eigSym, norm, DenseMatrix, DenseVector}
     import graft.functions.{ArrayMath, VectorAgg}
     val spark = coo.sparkSession
+    // rows-per-task divisor: probe knob (SPARK_GRAFT_EIGSH_ROWS_PER_TASK)
+    // so the width/latency trade is measurable without a rebuild
+    val rowsPerTask = sys.env.get("SPARK_GRAFT_EIGSH_ROWS_PER_TASK")
+      .map(_.toLong).getOrElse(25000L)
     val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, n / 25000L)).toInt
+      spark.sparkContext.defaultParallelism.toLong, n / rowsPerTask)).toInt
     // same knob rationale as eigshShardedCore: width tracks n, AQE off in
     // the step loop, interpreted execution below the janino crossover
-    val codegenKnobs = if (n <= 2000000L) Seq(
+    val codegenOff = sys.env.get("SPARK_GRAFT_EIGSH_CODEGEN")
+      .map(_ != "1").getOrElse(n <= 2000000L)
+    val codegenKnobs = if (codegenOff) Seq(
       "spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") else Seq.empty
     graft.GraftSession.withConfs(spark, (Seq(
@@ -641,6 +647,7 @@ object SolverOps {
         }
         (mMap, rEff, r, math.sqrt(dropped))
       }
+      val tSetup0 = System.nanoTime()
       val g0Pairs = for { a <- 0 until b; c <- a until b } yield (a, c)
       val g0Aggs = g0Pairs.map { case (a, c) => sum(col(s"x$a") * col(s"x$c")) }
       val g0Row = raw0.agg(g0Aggs.head, g0Aggs.tail: _*).head()
@@ -650,10 +657,13 @@ object SolverOps {
         .localCheckpoint(true)
       var lanes = b0 // total lanes; the newest curB of them are unmeasured
       var curB = b0
+      graft.Instrument.inc("eigsh.ms_setup", (System.nanoTime() - tSetup0) / 1000000L)
       val h = DenseMatrix.zeros[Double](cap + b, cap + b)
       var result: Seq[Double] = null
       var done = false
       while (!done) {
+        graft.Instrument.inc("eigsh.block_steps")
+        val tStep0 = System.nanoTime()
         // ---- measure the newest block [lanes-curB, lanes) ----
         val j0 = lanes - curB
         val qj = basis.select(col("i").as("col") +:
@@ -668,6 +678,8 @@ object SolverOps {
         val c1Aggs = (0 until curB).map(t =>
           VectorAgg.axpySum(col("qs"), col(s"w$t")).as(s"c$t"))
         val r1 = df.agg(c1Aggs.head, c1Aggs.tail: _*).head()
+        graft.Instrument.inc("eigsh.ms_r1", (System.nanoTime() - tStep0) / 1000000L)
+        val tR2 = System.nanoTime()
         val c1 = (0 until curB).map(t => r1.getSeq[Double](t).toArray)
         val w1 = df.select(col("i") +: col("qs") +: (0 until curB).map(t =>
           (col(s"w$t") - ArrayMath.dot(col("qs"), typedLit(c1(t).toSeq))).as(s"w$t")): _*)
@@ -676,6 +688,7 @@ object SolverOps {
           VectorAgg.axpySum(col("qs"), col(s"w$t")).as(s"c$t")) ++
           gPairs.map { case (a, c) => sum(col(s"w$a") * col(s"w$c")).as(s"g${a}_$c") }
         val r2 = w1.agg(aggs2.head, aggs2.tail: _*).head()
+        graft.Instrument.inc("eigsh.ms_r2", (System.nanoTime() - tR2) / 1000000L)
         val c2 = (0 until curB).map(t => r2.getSeq[Double](t).toArray)
         (0 until curB).foreach { t =>
           (0 until lanes).foreach { s =>
@@ -702,7 +715,12 @@ object SolverOps {
             val kept = if (rNew == 0) 0.0 else norm(rEff * yTail)
             kept + dropBound * norm(yTail)
           }.max
-          if (maxBound < 1e-9) { result = ord.map(_._1).toSeq; done = true }
+          // tol is the RESIDUAL bound ‖A·Vy − θ·Vy‖; the eigenvalue error
+          // obeys Kato-Temple |θ − λ| ≤ bound²/gap, so a caller that knows
+          // its spectral gap may pass a looser tol with a still-certified
+          // value (measured on the n=1e5 diag fixture the bound decays
+          // ~250× per block step — tol 1e-5 saves 2 of ~9 steps)
+          if (maxBound < tol) { result = ord.map(_._1).toSeq; done = true }
         }
         if (!done) {
           if (rNew == 0 || lanes + rNew > cap) done = true // RR fallback below

@@ -732,7 +732,11 @@ object TextOps {
     * broadcast join, linear in corpus size. Returns (doc_id, nll,
     * n_bigrams) for docs with ≥ 2 tokens. */
   def bigramNll(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
-    val toks = tokenize(docs).where(size(col("tokens")) >= 2)
+    // tokenize ONCE (r14, guide §1.2): the unigram table below previously
+    // re-ran the regex split over the whole corpus — one checkpointed
+    // tokenization now feeds both the bigram and unigram counts
+    val toksAll = tokenize(docs).localCheckpoint(true)
+    val toks = toksAll.where(size(col("tokens")) >= 2)
     val bi = toks.select(col("doc_id"),
       explode(transform(sequence(lit(0), size(col("tokens")) - 2),
         i => struct(element_at(col("tokens"), i + 1).as("w1"),
@@ -742,7 +746,7 @@ object TextOps {
       .agg(count(lit(1)).cast("double").as("tf"))
       .localCheckpoint(true)
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
-    val uni = tokenize(docs).select(col("doc_id"), explode(col("tokens")).as("w"))
+    val uni = toksAll.select(col("doc_id"), explode(col("tokens")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).cast("double").as("cw"))
       .localCheckpoint(true)
     val tot = uni.agg(sum(col("cw")).as("t"))

@@ -494,13 +494,20 @@ object MatrixQueries extends QueryGroup {
         |      ELSE floor(v) + 1 END AS BIGINT) AS k
         |  FROM scaled),
         |fin AS (
+        |  -- explicit overflow leg (ADVICE r13): |x| at/above the RNE
+        |  -- boundary 65520 (and ±Inf) maps to the Inf pattern 0x7C00,
+        |  -- mirroring Fp16.floatToHalf — out-of-range lanes in a future
+        |  -- fixture then compare correctly instead of mismatching
+        |  -- confusingly (NaN lanes remain a loud mismatch by design)
         |  SELECT id, pos, s,
-        |    CASE WHEN e = -25 OR k = 0 THEN 0
+        |    CASE WHEN a >= 65520 OR isinf(a) THEN 31744
+        |         WHEN e = -25 OR k = 0 THEN 0
         |         WHEN e < -14 AND k < 1024 THEN k
         |         WHEN e < -14 THEN 1024
         |         WHEN k >= 2048 THEN (e + 1 + 15) * 1024
         |         ELSE (e + 15) * 1024 + (k - 1024) END AS mag,
-        |    CASE WHEN e = -25 OR k = 0 THEN 0.0
+        |    CASE WHEN a >= 65520 OR isinf(a) THEN CAST('infinity' AS DOUBLE)
+        |         WHEN e = -25 OR k = 0 THEN 0.0
         |         WHEN e < -14 AND k < 1024 THEN k * power(2.0, -24)
         |         WHEN e < -14 THEN power(2.0, -14)
         |         WHEN k >= 2048 THEN power(2.0, e + 1)

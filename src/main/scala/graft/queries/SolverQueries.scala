@@ -225,8 +225,12 @@ object SolverQueries extends QueryGroup {
       // Block path (b=2): the certificate fires at the same Krylov
       // dimension in half the driver round-trips — the job-latency lever
       // for the certificate-terminated large-n regime.
+      // tol 1e-5 (r14): the fixture's smallest eigenvalues are {1,2,3}
+      // with unit gaps, so Kato-Temple gives |θ−λ| ≤ tol²/gap = 1e-10 —
+      // five orders inside the 6-dp oracle rounding; saves ~2 of ~9
+      // certificate steps (the bound decays ~250×/step once converging)
       eigsDf(s, SolverOps.eigshSmallestShardedBlock(
-        bigDiagFixture(s), 100000L, 3, m = 25, b = 2))
+        bigDiagFixture(s), 100000L, 3, m = 25, b = 2, tol = 1e-5))
     }),
     // b-scaling evidence rows (VERDICT r5 #8): the SAME n=1e5 fixture at
     // b=1 and b=4 so BENCH carries wall-clock numbers for the block-width
@@ -234,10 +238,10 @@ object SolverQueries extends QueryGroup {
     // shuffle volume ∝ b). Job-count proof lives in Solver2Spec.
     "solver_eigsh_b1" -> ((s, d) =>
       eigsDf(s, SolverOps.eigshSmallestShardedBlock(
-        bigDiagFixture(s), 100000L, 3, m = 25, b = 1))),
+        bigDiagFixture(s), 100000L, 3, m = 25, b = 1, tol = 1e-5))),
     "solver_eigsh_b4" -> ((s, d) =>
       eigsDf(s, SolverOps.eigshSmallestShardedBlock(
-        bigDiagFixture(s), 100000L, 3, m = 25, b = 4))),
+        bigDiagFixture(s), 100000L, 3, m = 25, b = 4, tol = 1e-5))),
     // summary form: the optimal TOTAL is unique (the permutation may not
     // be), so the oracle is the independently-computed optimum — 115
     // integer units for the n=50 modular fixture (verified with an
