@@ -111,6 +111,7 @@ object Bench {
       scala.collection.mutable.LinkedHashMap[String, Double]]()
     var budgetStopped = false
     var repsDone = 0
+    var lastEmitNs = System.nanoTime()
     val repIt = (1 to reps).iterator
     while (repIt.hasNext && !budgetStopped) {
       val rep = repIt.next()
@@ -138,8 +139,14 @@ object Bench {
             k -> math.max(prev.getOrElse(k, 0L), snap.getOrElse(k, 0L))).toMap
         }
         cur(name) = if (ok) dt else -dt
-        if ((qi + 1) % 25 == 0 && (qi + 1) < names.length)
+        // cadence: every 25 queries OR 30 s since the last emit — a
+        // filtered (SPARK_GRAFT_ONLY) run of a few slow queries must also
+        // leave a parseable line behind if the harness kills it mid-rep
+        if ((qi + 1) < names.length &&
+            ((qi + 1) % 25 == 0 || (System.nanoTime() - lastEmitNs) / 1e9 > 30.0)) {
           emitLine(partial = true)
+          lastEmitNs = System.nanoTime()
+        }
       }
       repsDone += 1
       if (repIt.hasNext) {

@@ -1563,6 +1563,17 @@ object SolverOps {
     import graft.functions.{ArrayMath, VectorAgg}
     val l = k + p
     val edges = coo.select(col("row"), col("col"), col("value")).localCheckpoint(true)
+    // loop-knob-lite (r14): the 4 spmm passes + 2 Gram aggregates are a
+    // fixed-shape chain whose exchanges carry ≤ nnz rows — width tracks the
+    // edge count and AQE replanning is dropped; codegen stays ON (the
+    // flattened outer-product HOFs are interpreted either way, and the
+    // chain runs once per call so janino compiles once, not per step).
+    val nnzParts = math.max(1L, math.min(
+      coo.sparkSession.sparkContext.defaultParallelism.toLong,
+      edges.count() / 25000L)).toInt
+    graft.GraftSession.withConfs(coo.sparkSession,
+      "spark.sql.shuffle.partitions" -> nnzParts.toString,
+      "spark.sql.adaptive.enabled" -> "false") {
     def spmmPass(m: DataFrame, vecs: DataFrame, joinKey: String, outKey: String) =
       m.join(vecs.withColumnRenamed("id", joinKey), Seq(joinKey))
         .groupBy(col(outKey).as("id"))
@@ -1614,6 +1625,7 @@ object SolverOps {
     val t = w.t * sMat * w
     breeze.linalg.eigSym((t + t.t) / 2.0).eigenvalues.toArray.sorted.reverse
       .take(k).map(e => math.sqrt(math.max(e, 0.0))).toSeq
+    } // withConfs
   }
 
   /** Single-linkage hierarchical clustering: build the MST, cut the k−1
