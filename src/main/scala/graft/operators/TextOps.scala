@@ -734,8 +734,9 @@ object TextOps {
   def bigramNll(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
     // tokenize ONCE (r14, guide §1.2): the unigram table below previously
     // re-ran the regex split over the whole corpus — one checkpointed
-    // tokenization now feeds both the bigram and unigram counts
-    val toksAll = tokenize(docs).localCheckpoint(true)
+    // tokenization now feeds both the bigram and unigram counts (lazy:
+    // the bigram aggregate's job pays the materialization)
+    val toksAll = tokenize(docs).localCheckpoint(false)
     val toks = toksAll.where(size(col("tokens")) >= 2)
     val bi = toks.select(col("doc_id"),
       explode(transform(sequence(lit(0), size(col("tokens")) - 2),
