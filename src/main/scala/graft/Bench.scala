@@ -300,9 +300,17 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"reps_done":$repsDone,"partial":$partial,"queries":$top,"sf":"$sfDir","note":"median of $reps passes per query; top40 by |t|, negative = FAILED in a majority of passes; full per-query dict in BENCH_LOCAL_<sf>.json"}"""
-    println(line)
-    println(compact)
-    System.out.flush()
+    // Partial (mid-run) emissions go to STDERR ONLY: stdout rides sbt's
+    // logger thread, so interleaving the same ~18 KB line on both streams
+    // gives a merged capture two chances per emit to corrupt it mid-line
+    // (observed on a `> file 2>&1` run). One stream per partial line keeps
+    // every line atomic (println is synchronized per stream); the FINAL
+    // emission keeps the dual print — the driver contract's stdout line.
+    if (!partial) {
+      println(line)
+      println(compact)
+      System.out.flush()
+    }
     System.err.println(line)
     System.err.println(compact)
     System.err.flush()
