@@ -103,10 +103,14 @@ object Bench {
     val counterAcc = scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     // STREAMING ARTIFACT (VERDICT r13 item 1a): per-rep (and every 25
-    // queries) the COMPLETE running JSON line is re-printed — the driver
-    // parser takes the last line, so a timeout mid-rep still yields the
-    // medians of everything measured so far instead of nothing. perRep is
-    // mutable and the final line is just the last emit (partial=false).
+    // queries / 30 s) the COMPLETE running JSON line is re-printed to
+    // STDERR ONLY (ADVICE r14: a stdout-only consumer sees no mid-rep
+    // partials — the harness captures streams separately, and partials
+    // dual-printed corrupted merged `> f 2>&1` captures). The driver
+    // parser takes the last line of its stream, so a timeout mid-rep
+    // still yields the medians of everything measured so far instead of
+    // nothing. perRep is mutable; the final emit (partial=false) keeps
+    // the contract's dual stdout+stderr print, full per-query dict LAST.
     val perRep = scala.collection.mutable.ArrayBuffer[
       scala.collection.mutable.LinkedHashMap[String, Double]]()
     var budgetStopped = false
@@ -299,20 +303,29 @@ object Bench {
     val top = results.sortBy(r => -math.abs(r._2)).take(40)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"reps_done":$repsDone,"partial":$partial,"queries":$top,"sf":"$sfDir","note":"median of $reps passes per query; top40 by |t|, negative = FAILED in a majority of passes; full per-query dict in BENCH_LOCAL_<sf>.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedMedians,"reps":$reps,"reps_done":$repsDone,"partial":$partial,"queries":$top,"sf":"$sfDir","note":"median of $reps passes per query; top40 by |t|, negative = FAILED in a majority of passes; full per-query dict also in BENCH_LOCAL_<sf>.json"}"""
+    // Emission order (VERDICT r14 item 2): the driver's last-line parse fed
+    // PERF only the top-40 compact dict, so the FULL per-query line now
+    // prints LAST and the compact preview first. (The round-4 "harness
+    // records only the tail" comment that motivated compact-last was a
+    // misdiagnosis — the r03/r04 parse failures were sbt's "[info] " stdout
+    // prefix, fixed by outputStrategy := StdoutOutput; the driver parses
+    // stdout lines, and the 2000-char tail in BENCH_r*.json is a display
+    // artifact.)
     // Partial (mid-run) emissions go to STDERR ONLY: stdout rides sbt's
     // logger thread, so interleaving the same ~18 KB line on both streams
     // gives a merged capture two chances per emit to corrupt it mid-line
     // (observed on a `> file 2>&1` run). One stream per partial line keeps
     // every line atomic (println is synchronized per stream); the FINAL
-    // emission keeps the dual print — the driver contract's stdout line.
+    // emission keeps the dual print — the driver contract's stdout line,
+    // full dict last on both streams.
     if (!partial) {
-      println(line)
       println(compact)
+      println(line)
       System.out.flush()
     }
-    System.err.println(line)
     System.err.println(compact)
+    System.err.println(line)
     System.err.flush()
     } // emitLine
     spark.stop()

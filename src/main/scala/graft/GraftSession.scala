@@ -22,7 +22,16 @@ object GraftSession {
       // typed-Aggregator groupBys (TopKAgg/VectorAgg/HLL) must not fall back
       // to sorting their input past 128 distinct keys per partition — state
       // is keys × k scalars, so 2e5 keys is memory-sane at any scale (the
-      // Bench session documents the sizing; same knob here for parity)
+      // Bench session documents the sizing; same knob here for parity).
+      // CAVEAT (ADVICE r14): the sizing argument covers small fixed
+      // per-key state (TopKAgg k≈16 ⇒ ~50 MB/partition worst case).
+      // Aggregates with array-valued per-key state (VectorAgg.vectorSum /
+      // axpySum keyed by a wide domain, d-length arrays per key — the
+      // SparseOps.spmm shape) can hold 2e5 keys × d doubles before
+      // spilling: at d=64 that is ~100 MB/partition. Executors smaller
+      // than the 100 MB–1 GB/partition sizing should lower
+      // SPARK_GRAFT_OBJ_AGG_KEYS (the spill fallback stays correct,
+      // just sorted — this knob trades memory for never-sort).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "200000"))
       .config("spark.ui.enabled", "false")

@@ -865,7 +865,12 @@ object ScaleProbe {
       bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
     } catch { case _: Throwable => Thread.sleep(500) }
     val sh = s""""shuffle_stages":${shuffleStages.get},"shuffle_write_mb":${shuffleBytes.get / (1024 * 1024)}"""
-    println(s"""{"probe":{$result,$sh,"sec":$dt}}""")
+    // all Instrument counters ride along (r15): probes of counter-
+    // instrumented operators (eigsh step split, LAP phases) report their
+    // attribution without a bench run
+    val counters = graft.Instrument.snapshot().toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"probe":{$result,$sh,"sec":$dt,"counters":$counters}}""")
     spark.stop()
   }
 }

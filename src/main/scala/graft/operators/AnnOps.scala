@@ -293,14 +293,28 @@ object AnnOps {
     import graft.functions.TopKAgg
     val pts = points.select(col("id"), col("vec")).localCheckpoint(true)
     val n = pts.count()
+    // eager edge materialization (r15, guide §1.2 — don't compute it
+    // twice): `graph` is typically an unmaterialized kNN-graph BUILD (an
+    // n² join + per-src window), and every beam round's expand join
+    // re-executed that whole DAG — 6 rounds = 6 graph builds, at the
+    // loop's 1-partition interpreted width to boot. Checkpointing the
+    // edge list once runs the build a single time at session width
+    // (one-shot DAG: codegen + AQE stay on for it) and the rounds scan
+    // the materialized edges.
+    val edges = graph.select(col("src").as("node"), col("dst"))
+      .localCheckpoint(true)
+    val e = edges.count()
     // loop knobs (r14, guide §2): the beam loop ran `rounds` join+TopK
     // stages at session width with AQE replanning — width/AQE/codegen now
-    // track the point count (the nnDescent convention; at real scale the
-    // width is the real one). Result materialized inside the scope.
-    graft.GraftSession.withLoopKnobs(points.sparkSession, n) {
+    // track the data (the nnDescent convention; at real scale the width
+    // is the real one). Sized by max(points, edges) (ADVICE r14): the
+    // per-round shuffle carries the expanded frontier (~queries·beam·
+    // degree rows ≤ edge count per hop) plus the visited set, which can
+    // exceed the point count by the average degree. Result materialized
+    // inside the scope.
+    graft.GraftSession.withLoopKnobs(points.sparkSession, math.max(n, e)) {
     val q = pts.where(col("id") < nQueries)
       .select(col("id").as("qid"), col("vec").as("qv")).localCheckpoint(true)
-    val edges = graph.select(col("src").as("node"), col("dst"))
     def score(cand: DataFrame): DataFrame =
       cand.join(pts.select(col("id").as("node"), col("vec").as("nv")), Seq("node"))
         .join(q, Seq("qid"))

@@ -23,8 +23,15 @@ object DedupOps {
       countDistinct(md5(col("text"))).as("n_unique"))
 
   /** Distinct 3-token shingles per doc: (doc_id, hs = h32(shingle)). */
-  def shingles(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokenize(docs).where(size(col("tokens")) >= 3)
+  def shingles(docs: DataFrame): DataFrame =
+    shinglesOf(TextOps.tokenize(docs))
+
+  /** [[shingles]] over an already-tokenized (doc_id, tokens) table — so a
+    * caller that needs BOTH the token arrays and the shingles (SNM's sort
+    * key + verify) tokenizes once (r15, guide §1.2; the bigramNll
+    * lesson). */
+  def shinglesOf(toksIn: DataFrame): DataFrame = {
+    val toks = toksIn.where(size(col("tokens")) >= 3)
     toks.select(col("doc_id"), explode(
         transform(sequence(lit(0), size(col("tokens")) - 3),
           i => concat_ws(" ", element_at(col("tokens"), i + 1),
@@ -266,7 +273,11 @@ object DedupOps {
     * sort position. */
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val toks = TextOps.tokenize(docs)
+    // tokenize ONCE (r15, guide §1.2): the sort key and the shingle
+    // verify both consume the token arrays — previously two independent
+    // regex-tokenize passes over the corpus
+    val tk = TextOps.tokenize(docs).localCheckpoint(true)
+    val toks = tk
       .select(col("doc_id"), array_join(
         slice(array_sort(array_distinct(col("tokens"))), 1, 4), " ").as("skey"))
     // distributed global rank (TeraSort shape) — a bare ORDER-only
@@ -283,7 +294,7 @@ object DedupOps {
       .select(col("a"), (col("rn") + col("off")).as("rn"))
       .join(ranked.select(col("doc_id").as("b"), col("rn")), Seq("rn"))
       .select(col("a"), col("b"))
-    val sh = shingles(docs).localCheckpoint(true)
+    val sh = shinglesOf(tk).localCheckpoint(true)
     jaccardOf(cand, sh).where(col("jac") >= threshold)
   }
 

@@ -383,15 +383,15 @@ object SolverOps {
     import breeze.linalg.{eigSym, DenseMatrix}
     import graft.functions.{ArrayMath, VectorAgg}
     val spark = coo.sparkSession
-    // partition count tracks n: tiny fixtures run single-task jobs (the
-    // per-step driver loop is job-latency bound), huge n gets the full
-    // parallelism — same knob the SpMV dispatch note in eigshSmallest uses
-    // ~25k coordinate rows per task: each step's jobs do interpreted HOF
-    // lane math per row, so they are compute-bound well before 100k rows —
-    // but tiny fixtures must stay single-task (driver loop is job-latency
-    // bound there)
+    // partition count tracks the per-row WORK, not just n (r15, same
+    // cells-per-task model as the block path): each step's jobs do
+    // interpreted lane math over the m-wide basis arrays, so size by
+    // n·m cells / 25k — tiny fixtures still run single-task jobs (the
+    // per-step driver loop is job-latency bound there), compute-bound
+    // n reaches full parallelism 25× earlier (measured on the n=1e5
+    // block fixture: 4 → 25-32 partitions halves the step).
     val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, n / 25000L)).toInt
+      spark.sparkContext.defaultParallelism.toLong, n * m / 25000L)).toInt
     // shuffle width must track n too: the driver loop issues ~2 jobs per
     // step, and at the default width every 30-row exchange schedules a
     // full-width task wave — pure scheduler overhead at small n, the right
@@ -581,12 +581,20 @@ object SolverOps {
     import breeze.linalg.{eigSym, norm, DenseMatrix, DenseVector}
     import graft.functions.{ArrayMath, VectorAgg}
     val spark = coo.sparkSession
-    // rows-per-task divisor: probe knob (SPARK_GRAFT_EIGSH_ROWS_PER_TASK)
-    // so the width/latency trade is measurable without a rebuild
-    val rowsPerTask = sys.env.get("SPARK_GRAFT_EIGSH_ROWS_PER_TASK")
+    // cells-per-task divisor (r15, VERDICT r14 item 1): the loop's per-row
+    // work is lanes-wide array math (CGS folds + axpy buffers), so the
+    // width heuristic sizes by CELLS (rows × basis width m+b), not rows —
+    // rows/25000 undersized the compute-bound step 8× at n=1e5 (probed:
+    // 4 partitions ≈ 650 ms/step r1, 25-32 partitions ≈ 300-430 ms/step;
+    // 1 partition 2.3× worse, so this is CPU row work, not scheduling).
+    // Still capped at cluster parallelism — not a local-core constant.
+    // Probe knob (SPARK_GRAFT_EIGSH_ROWS_PER_TASK, cells/task) kept so
+    // the trade stays measurable without a rebuild.
+    val cellsPerTask = sys.env.get("SPARK_GRAFT_EIGSH_ROWS_PER_TASK")
       .map(_.toLong).getOrElse(25000L)
     val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, n / rowsPerTask)).toInt
+      spark.sparkContext.defaultParallelism.toLong,
+      n * (m + b) / cellsPerTask)).toInt
     // same knob rationale as eigshShardedCore: width tracks n, AQE off in
     // the step loop, interpreted execution below the janino crossover
     val codegenOff = sys.env.get("SPARK_GRAFT_EIGSH_CODEGEN")
@@ -675,20 +683,42 @@ object SolverOps {
           .select(col("i") +: col("qs") +: (0 until curB).map(t =>
             coalesce(col(s"w$t"), lit(0.0)).as(s"w$t")): _*)
           .localCheckpoint(false)
+        // ONE action per step (r15, VERDICT r14 item 1 — batch r1+r2 into
+        // one job chain): the CGS1 coefficients c1 = Σ qs·w are computed
+        // as a 1-row broadcast subtree and crossJoined back, so the CGS2
+        // pass consumes them WITHOUT a driver round-trip — per step this
+        // drops one action submission + one Catalyst pass (measured
+        // ~100-170 ms/step of the ~400-700 ms step at n=1e5). The per-row
+        // arithmetic is unchanged: w − ArrayDot(qs, c1_t) over the SAME
+        // c1 values, same row order (BroadcastNestedLoopJoin streams the
+        // probe side in place), so partial-aggregate folds are
+        // bit-identical to the two-action form. c1 itself rides back on
+        // the same collected row via first() (every joined row carries
+        // the identical broadcast array).
         val c1Aggs = (0 until curB).map(t =>
-          VectorAgg.axpySum(col("qs"), col(s"w$t")).as(s"c$t"))
-        val r1 = df.agg(c1Aggs.head, c1Aggs.tail: _*).head()
-        graft.Instrument.inc("eigsh.ms_r1", (System.nanoTime() - tStep0) / 1000000L)
-        val tR2 = System.nanoTime()
-        val c1 = (0 until curB).map(t => r1.getSeq[Double](t).toArray)
-        val w1 = df.select(col("i") +: col("qs") +: (0 until curB).map(t =>
-          (col(s"w$t") - ArrayMath.dot(col("qs"), typedLit(c1(t).toSeq))).as(s"w$t")): _*)
+          VectorAgg.axpySum(col("qs"), col(s"w$t")).as(s"c1_$t"))
+        val c1Row = df.agg(c1Aggs.head, c1Aggs.tail: _*)
+        val w1 = df.crossJoin(broadcast(c1Row))
+          .select(col("i") +: col("qs") +: (0 until curB).map(t =>
+            (col(s"w$t") - graft.functions.ArrayDot.dot(col("qs"), col(s"c1_$t")))
+              .as(s"w$t")) ++: (0 until curB).map(t => col(s"c1_$t")): _*)
         val gPairs = for { a <- 0 until curB; c <- a until curB } yield (a, c)
         val aggs2 = (0 until curB).map(t =>
           VectorAgg.axpySum(col("qs"), col(s"w$t")).as(s"c$t")) ++
-          gPairs.map { case (a, c) => sum(col(s"w$a") * col(s"w$c")).as(s"g${a}_$c") }
-        val r2 = w1.agg(aggs2.head, aggs2.tail: _*).head()
-        graft.Instrument.inc("eigsh.ms_r2", (System.nanoTime() - tR2) / 1000000L)
+          gPairs.map { case (a, c) => sum(col(s"w$a") * col(s"w$c")).as(s"g${a}_$c") } ++
+          (0 until curB).map(t => first(col(s"c1_$t")).as(s"c1f_$t"))
+        // plan-vs-execute attribution (r15): force the action's own
+        // QueryExecution first, so ms_r1_plan isolates driver-side
+        // Catalyst work from the jobs. collect()(0) (not head()) keeps
+        // the forced plan the one the action runs — head() builds a
+        // fresh limit-1 QueryExecution and would re-plan.
+        val r2Ds = w1.agg(aggs2.head, aggs2.tail: _*)
+        r2Ds.queryExecution.executedPlan
+        graft.Instrument.inc("eigsh.ms_r1_plan", (System.nanoTime() - tStep0) / 1000000L)
+        val r2 = r2Ds.collect()(0)
+        graft.Instrument.inc("eigsh.ms_r1", (System.nanoTime() - tStep0) / 1000000L)
+        val nG = gPairs.length
+        val c1 = (0 until curB).map(t => r2.getSeq[Double](curB + nG + t).toArray)
         val c2 = (0 until curB).map(t => r2.getSeq[Double](t).toArray)
         (0 until curB).foreach { t =>
           (0 until lanes).foreach { s =>
@@ -726,12 +756,24 @@ object SolverOps {
           if (rNew == 0 || lanes + rNew > cap) done = true // RR fallback below
           else {
             // deflation-aware expansion: r ≤ curB new orthonormal lanes
-            // from Q_new = (W₁ − V·C₂)·M
-            val w2 = (0 until curB).map(t =>
-              col(s"w$t") - ArrayMath.dot(col("qs"), typedLit(c2(t).toSeq)))
+            // from Q_new = (W₁ − V·C₂)·M, derived from the CHECKPOINTED
+            // df with c1/c2 as literals (NOT from w1 — its broadcast-c1
+            // subtree would re-execute the c1 aggregate when the next
+            // step materializes the basis). Arithmetic order identical
+            // to the in-plan form: (w − dot(qs,c1)) − dot(qs,c2).
+            // The w2 columns are ALIASED in their own projection level
+            // (r15): inlined as expressions they were re-evaluated once
+            // per NEW lane (curB·rNew dot folds per row instead of curB —
+            // the b=4 path paid 16 where 4 suffice; CollapseProject
+            // leaves multi-use non-cheap aliases alone, so the level
+            // survives optimization). Evaluated once per lane.
+            val w2d = df.select(col("i") +: col("qs") +: (0 until curB).map(t =>
+              ((col(s"w$t") - ArrayMath.dot(col("qs"), typedLit(c1(t).toSeq)))
+                - ArrayMath.dot(col("qs"), typedLit(c2(t).toSeq)))
+                .as(s"w2_$t")): _*)
             val newLanes = (0 until rNew).map(u =>
-              (0 until curB).map(t => w2(t) * mMap(t, u)).reduce(_ + _))
-            basis = w1.select(col("i"),
+              (0 until curB).map(t => col(s"w2_$t") * mMap(t, u)).reduce(_ + _))
+            basis = w2d.select(col("i"),
               concat(col("qs"), array(newLanes: _*)).as("qs")).localCheckpoint(false)
             lanes += rNew
             curB = rNew
@@ -1558,7 +1600,7 @@ object SolverOps {
     * d-vector partials (vector_sum) — the spmm shape that scales.
     */
   def rsvdSparse(coo: DataFrame, k: Int, p: Int = 5, seed: Long = 7,
-      colDomain: Option[DataFrame] = None): Seq[Double] = {
+      colDomain: Option[DataFrame] = None, knownNnz: Long = -1L): Seq[Double] = {
     import breeze.linalg.DenseMatrix
     import graft.functions.{ArrayMath, VectorAgg}
     val l = k + p
@@ -1568,9 +1610,13 @@ object SolverOps {
     // edge count and AQE replanning is dropped; codegen stays ON (the
     // flattened outer-product HOFs are interpreted either way, and the
     // chain runs once per call so janino compiles once, not per step).
+    // knownNnz ≥ 0 skips the sizing count() (VERDICT r14 item 10 —
+    // callers with a dimension-known fixture thread it; the width knob
+    // only needs the order of magnitude, but an exact count is free when
+    // the caller has one).
     val nnzParts = math.max(1L, math.min(
       coo.sparkSession.sparkContext.defaultParallelism.toLong,
-      edges.count() / 25000L)).toInt
+      (if (knownNnz >= 0L) knownNnz else edges.count()) / 25000L)).toInt
     graft.GraftSession.withConfs(coo.sparkSession,
       "spark.sql.shuffle.partitions" -> nnzParts.toString,
       "spark.sql.adaptive.enabled" -> "false") {

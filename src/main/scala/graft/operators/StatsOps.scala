@@ -756,21 +756,29 @@ object StatsOps {
       vals: org.apache.spark.rdd.RDD[Double], qs: Seq[Double]): Seq[Double] = {
     val n = vals.count()
     require(n > 0, "exactQuantilesOf: empty input")
-    val sorted = vals.sortBy(identity).zipWithIndex()
-      .map { case (v, i) => (i, v) }
-    val targets = qs.flatMap { q =>
-      val p = q * (n - 1)
-      Seq(math.floor(p).toLong, math.ceil(p).toLong)
-    }.distinct.toSet
-    val bc = vals.sparkContext.broadcast(targets)
-    val picked = sorted.filter { case (i, _) => bc.value.contains(i) }
-      .collect().toMap
-    qs.map { q =>
-      val p = q * (n - 1)
-      val lo = picked(math.floor(p).toLong)
-      val hi = picked(math.ceil(p).toLong)
-      lo + (hi - lo) * (p - math.floor(p))
-    }
+    // persist the sorted run (r15, guide §1.2 — don't sort twice):
+    // zipWithIndex's internal per-partition count materializes the sort
+    // once, and without the persist the filter().collect() re-fetched the
+    // shuffle and re-sorted every partition a second time
+    val sortedV = vals.sortBy(identity)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sorted = sortedV.zipWithIndex()
+        .map { case (v, i) => (i, v) }
+      val targets = qs.flatMap { q =>
+        val p = q * (n - 1)
+        Seq(math.floor(p).toLong, math.ceil(p).toLong)
+      }.distinct.toSet
+      val bc = vals.sparkContext.broadcast(targets)
+      val picked = sorted.filter { case (i, _) => bc.value.contains(i) }
+        .collect().toMap
+      qs.map { q =>
+        val p = q * (n - 1)
+        val lo = picked(math.floor(p).toLong)
+        val hi = picked(math.ceil(p).toLong)
+        lo + (hi - lo) * (p - math.floor(p))
+      }
+    } finally sortedV.unpersist(false)
   }
 
   /** Robust location/scale summary: median, IQR, MAD (median absolute

@@ -160,10 +160,47 @@ object TextOps {
       .select(col("doc_id").as("doc_a"), col("term"), col("u").as("ua"))
     val b = u.join(evalIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("doc_b"), col("term"), col("u").as("ub"))
-    sumPairSims(
-      broadcast(a).join(b, Seq("term"))
-        .select(col("doc_a"), col("doc_b"), (col("ua") * col("ub")).as("p")),
-      tau)
+    // size dispatch (VERDICT r14 item 3, guide §3.2 — reduce the big side
+    // before shuffling): the brute term join's contribution volume is
+    // Σ_t dfEval(t)·dfTrain(t), which on a template-heavy corpus grows
+    // quadratically in corpus size while the output stays tiny. Above the
+    // measured crossover the Bayardo prefix index prunes the high-df
+    // template terms from candidate generation (lossless — identical
+    // output, same oracle); below it the brute form's two fewer passes
+    // win. The signal is the unit-vector row count (u is checkpointed, so
+    // the count is one cached-partition pass): at 5k docs/170k rows
+    // (sf0.1) brute ≈ prefix within noise; the 50k-doc probe is where
+    // candidates dominate (SCALE.md r15 row). Env override for probes.
+    val crossover = sys.env.get("SPARK_GRAFT_XCOS_PREFIX_ROWS")
+      .map(_.toLong).getOrElse(1000000L)
+    if (u.count() <= crossover)
+      sumPairSims(
+        broadcast(a).join(b, Seq("term"))
+          .select(col("doc_a"), col("doc_b"), (col("ua") * col("ub")).as("p")),
+        tau)
+    else {
+      // Bayardo prefix filter, cross-corpus form: a pair (a, b) with
+      // sim ≥ tau has its FIRST shared term (rarest-df global order)
+      // indexed by BOTH sides (suffix-norm bound, see
+      // [[allPairsCosinePrefix]]), so the candidate equi-join on the two
+      // indexes cannot miss a qualifying pair. Candidates are verified
+      // against the full vectors — identical output to the brute form.
+      val idx = prefixIndex(u, tau).localCheckpoint(true)
+      val idxA = idx.join(evalIds, Seq("doc_id"))
+        .select(col("doc_id").as("doc_a"), col("term"))
+      val idxB = idx.join(evalIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("doc_b"), col("term"))
+      val cand = broadcast(idxA).join(idxB, Seq("term"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      // verification keeps the decontamination asymmetry: both attach
+      // joins broadcast the small side (candidates; eval term table), so
+      // the train corpus still never shuffles — only candidate-pair
+      // contributions reach the pair-sum exchange
+      val contrib = b.join(broadcast(cand), Seq("doc_b"))
+        .join(broadcast(a), Seq("doc_a", "term"))
+        .select(col("doc_a"), col("doc_b"), (col("ua") * col("ub")).as("p"))
+      sumPairSims(contrib, tau)
+    }
   }
 
   /** Top-k cosine neighbors per document (sparse text-side similarity
@@ -175,9 +212,16 @@ object TextOps {
     * partition key is the doc, so no global sort exists at any scale. */
   def cosineTopK(docs: DataFrame, tau: Double, k: Int): DataFrame = {
     val p = allPairsCosine(docs, tau)
-    val sym = p.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("sim"))
-      .unionByName(
-        p.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("sim")))
+    // symmetrize by exploding each pair into both directions instead of
+    // unioning two reads of `p` (r15, guide §1.2): the union form embeds
+    // the whole allpairs DAG twice in one action — ReuseExchange dedups
+    // the shuffles but the final aggregate + filter stages still ran
+    // twice. Same rows out, one execution.
+    val sym = p.select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("nbr")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))).as("e"),
+        col("sim"))
+      .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"), col("sim"))
     val bySim = Window.partitionBy(col("doc_id"))
       .orderBy(col("sim").desc, col("nbr"))
     sym.select(col("doc_id"), col("nbr"), col("sim"),

@@ -314,7 +314,7 @@ object SolverQueries extends QueryGroup {
       // closed-form rank-8 fixture (exact σ, SQL oracle); the real-data
       // variant (cooOrdersParts, 20k-column Ω) lives in Solver2Spec
       val sv = SolverOps.rsvdSparse(rsvdSparseFixture(s), 5,
-        colDomain = Some(s.range(8).select(col("id"))))
+        colDomain = Some(s.range(8).select(col("id"))), knownNnz = 200000L)
       s.createDataFrame(sv.zipWithIndex.map { case (v, i) =>
         (i, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) })
         .toDF("i", "sigma")
