@@ -639,6 +639,55 @@ object ScaleProbe {
             s"prefix path missed planted copies: $plantedFound of ${n / 100}")
           s""""mode":"allpairszipf","n_docs":$n,$pe,$pi,$p2,"planted_found":$plantedFound"""
         }
+      case "xcoszipf" =>
+        // cross-corpus cosine (decontamination) twin of allpairszipf
+        // (VERDICT r14 item 3): zipfian vocabulary, eval side = 2% of
+        // docs (doc_id % 50 == 0). idf mass concentrates on rare terms,
+        // so the prefix index drops the high-df head and the COST-BASED
+        // dispatch must pick the pruned candidate join on its own
+        // (xcos.prefix == 1, candEst·16 < bruteEst — both recorded).
+        // The forced-brute leg at the same n gives the head-to-head and
+        // the exact-equality check (prefix filtering is lossless).
+        import graft.operators.TextOps
+        val v = 10000.0
+        def wordsFor(idc: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(29)), j => {
+            val u = (pmod(TextOps.h32(concat_ws(":", idc, j, lit("zipf"))),
+              lit(1000000L)).cast("double") + 0.5) / 1000000.0
+            val r = ceil(pow(lit(v), u)).cast("long")
+            concat_ws("", lit("w"), r.cast("string"))
+          })
+        def text(idc: org.apache.spark.sql.Column) =
+          concat_ws(" ", flatten(transform(wordsFor(idc), w => array(w, w))))
+        // 1% planted copies of eval docs into the train side so the
+        // ≥0.8 cross-split answer is non-vacuous
+        val docs = spark.range(n)
+          .select(col("id").as("doc_id"), text(col("id")).as("text"))
+          .unionByName(spark.range(n / 100).select((col("id") + n).as("doc_id"),
+            text(pmod(col("id") * 50L, lit(n))).as("text")))
+          .localCheckpoint(true)
+        val evalPred = pmod(col("doc_id"), lit(50L)) === 0 && col("doc_id") < n
+        def leg(forceTo: Option[String]): (Long, Double, Map[String, Long]) = {
+          forceTo match {
+            case Some(f) => sys.props("graft.xcos.force") = f
+            case None => sys.props.remove("graft.xcos.force")
+          }
+          graft.Instrument.reset()
+          val t = System.nanoTime()
+          val out = TextOps.crossCorpusCosine(docs, evalPred, 0.8)
+            .localCheckpoint(true)
+          val c = out.count()
+          (c, (System.nanoTime() - t) / 1e9, graft.Instrument.snapshot())
+        }
+        try {
+          val (nAuto, sAuto, snap) = leg(None) // unforced: the dispatch decides
+          val (nBrute, sBrute, _) = leg(Some("brute"))
+          require(nAuto == nBrute,
+            s"prefix/auto output differs from brute: $nAuto vs $nBrute rows")
+          require(snap.getOrElse("xcos.prefix", 0L) == 1L,
+            s"dispatch did not pick prefix: $snap")
+          s""""mode":"xcoszipf","n_docs":$n,"rows":$nAuto,"sec_auto_prefix":$sAuto,"sec_brute":$sBrute,"u_rows":${snap.getOrElse("xcos.u_rows", -1L)},"brute_est":${snap.getOrElse("xcos.brute_est", -1L)},"cand_est":${snap.getOrElse("xcos.cand_est", -1L)}"""
+        } finally sys.props.remove("graft.xcos.force")
       case "lshdedup" =>
         // MinHash-LSH dedup at synthetic-corpus scale: n base docs of 40
         // hash-drawn words (50k vocab), plus two planted duplicate classes
@@ -852,7 +901,7 @@ object ScaleProbe {
         require(c2 <= c4 && c4 <= c8 && h2 <= h4 && h4 <= h8,
           s"band refinement monotonicity broken: cand $c2/$c4/$c8 hit $h2/$h4/$h8")
         f""""mode":"phash","n":$nDocs,"planted":$planted,"cand_b2":$c2,"recall_b2":${h2.toDouble / planted}%.3f,"sec_b2":$t2%.1f,"cand_b4":$c4,"recall_b4":${h4.toDouble / planted}%.3f,"sec_b4":$t4%.1f,"cand_b8":$c8,"recall_b8":${h8.toDouble / planted}%.3f,"sec_b8":$t8%.1f"""
-      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | hyperball | silhouette | lanefold | allpairs | allpairszipf | lshdedup | zorder | stream | trust | lapkeyed | cg | colranks | colkernel | phash)")
+      case other => sys.error(s"unknown mode $other (lap | eigsh | ballcover | graphann | graphopt | lpa | hyperball | silhouette | lanefold | allpairs | allpairszipf | xcoszipf | lshdedup | zorder | stream | trust | lapkeyed | cg | colranks | colkernel | phash)")
     }
     val dt = (System.nanoTime() - t0) / 1e9
     // drain the listener bus before snapshotting the shuffle counters — a

@@ -296,13 +296,16 @@ object AnnOps {
     // eager edge materialization (r15, guide §1.2 — don't compute it
     // twice): `graph` is typically an unmaterialized kNN-graph BUILD (an
     // n² join + per-src window), and every beam round's expand join
-    // re-executed that whole DAG — 6 rounds = 6 graph builds, at the
-    // loop's 1-partition interpreted width to boot. Checkpointing the
-    // edge list once runs the build a single time at session width
-    // (one-shot DAG: codegen + AQE stay on for it) and the rounds scan
-    // the materialized edges.
-    val edges = graph.select(col("src").as("node"), col("dst"))
-      .localCheckpoint(true)
+    // re-executed that whole DAG — 6 rounds = 6 graph builds. The build
+    // itself materializes INSIDE a loop-knob scope sized by the point
+    // count (probed: at session width with codegen+AQE the one-shot
+    // n=500 build costs ~1 s of janino+wave latency, more than the six
+    // interpreted re-runs it replaces — fixture-size builds want the
+    // same narrow interpreted regime as the loop; at real scale the knob
+    // gives full width anyway).
+    val edges = graft.GraftSession.withLoopKnobs(points.sparkSession, n) {
+      graph.select(col("src").as("node"), col("dst")).localCheckpoint(true)
+    }
     val e = edges.count()
     // loop knobs (r14, guide §2): the beam loop ran `rounds` join+TopK
     // stages at session width with AQE replanning — width/AQE/codegen now

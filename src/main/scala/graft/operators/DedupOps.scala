@@ -273,11 +273,12 @@ object DedupOps {
     * sort position. */
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    // tokenize ONCE (r15, guide §1.2): the sort key and the shingle
-    // verify both consume the token arrays — previously two independent
-    // regex-tokenize passes over the corpus
-    val tk = TextOps.tokenize(docs).localCheckpoint(true)
-    val toks = tk
+    // NOTE (r15, tried and REVERTED): checkpointing one shared tokenize
+    // pass for the sort key + shingle verify measured SLOWER at sf0.1
+    // (2.90 → 3.19 s) — serializing the full token arrays costs more
+    // than the second regex pass they replace. The two consumers keep
+    // independent fused tokenize projections.
+    val toks = TextOps.tokenize(docs)
       .select(col("doc_id"), array_join(
         slice(array_sort(array_distinct(col("tokens"))), 1, 4), " ").as("skey"))
     // distributed global rank (TeraSort shape) — a bare ORDER-only
@@ -294,7 +295,7 @@ object DedupOps {
       .select(col("a"), (col("rn") + col("off")).as("rn"))
       .join(ranked.select(col("doc_id").as("b"), col("rn")), Seq("rn"))
       .select(col("a"), col("b"))
-    val sh = shinglesOf(tk).localCheckpoint(true)
+    val sh = shingles(docs).localCheckpoint(true)
     jaccardOf(cand, sh).where(col("jac") >= threshold)
   }
 

@@ -182,19 +182,14 @@ object SpectralOps {
     val n = v.count()
     val nLm = if (numLandmarks > 0) numLandmarks
       else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    // width/AQE knobs (r15, VERDICT r14 item 7; the rsvdSparse convention,
-    // guide §2): this is a fixed-shape ~10-job chain whose widest exchange
-    // carries the n×√n landmark-distance table — at fixture scale the
-    // session's 32-task waves + per-job AQE replanning were pure latency.
-    // Width tracks n·nLm (scale-adaptive, capped at cluster parallelism,
-    // NOT a local-core constant); codegen stays ON (one-shot chain, janino
-    // compiles once per stage — the rsvdSparse measurement).
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      n * nLm / 25000L)).toInt
-    graft.GraftSession.withConfs(spark,
-      "spark.sql.shuffle.partitions" -> parts.toString,
-      "spark.sql.adaptive.enabled" -> "false") {
+    // NO width/AQE knobs here (r15, VERDICT r14 item 7 — tried and
+    // REVERTED): sizing width by the n×√n landmark table (n·nLm/25k → 5
+    // partitions at sf0.1, AQE off) regressed the query 3.1 → 17.1 s,
+    // because the dominant stage is the ball-member pair generation whose
+    // volume is Σ_i |ball(i, τ_i)| ≫ n·nLm and data-dependent — exactly
+    // the shape AQE's runtime coalescing/width exists for. Session width
+    // + AQE stays; the measured trim for this operator came from the
+    // objAgg threshold (r14) instead.
     // 1. exact embedded-space kNN (ball-cover prune; ties (d, j) as oracle)
     val embKnn = DistanceOps.ballCoverKnn(
         v.select(col("id"), col("emb").as("vec")), k, nLm)
@@ -243,12 +238,8 @@ object SpectralOps {
     val ranks = pairD.join(below, Seq("i", "j"), "left")
       .select((coalesce(col("cnt"), lit(0L)) + 1L).as("r_orig"))
     val norm = 2.0 / (n.toDouble * k * (2L * n - 3L * k - 1L))
-    // materialized INSIDE the knob scope (1 row) — a lazy return would
-    // execute the whole chain later at the restored session width
     ranks.agg(sum(greatest(col("r_orig") - k, lit(0L))).as("pen"))
       .select(round(lit(1.0) - lit(norm) * col("pen"), 6).as("trustworthiness"))
-      .localCheckpoint(true)
-    } // withConfs
   }
 
   /** Full-pairwise trustworthiness over any (id, vec, emb) table — the n²

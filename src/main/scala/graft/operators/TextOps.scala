@@ -160,46 +160,76 @@ object TextOps {
       .select(col("doc_id").as("doc_a"), col("term"), col("u").as("ua"))
     val b = u.join(evalIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("doc_b"), col("term"), col("u").as("ub"))
-    // size dispatch (VERDICT r14 item 3, guide §3.2 — reduce the big side
-    // before shuffling): the brute term join's contribution volume is
-    // Σ_t dfEval(t)·dfTrain(t), which on a template-heavy corpus grows
-    // quadratically in corpus size while the output stays tiny. Above the
-    // measured crossover the Bayardo prefix index prunes the high-df
-    // template terms from candidate generation (lossless — identical
-    // output, same oracle); below it the brute form's two fewer passes
-    // win. The signal is the unit-vector row count (u is checkpointed, so
-    // the count is one cached-partition pass): at 5k docs/170k rows
-    // (sf0.1) brute ≈ prefix within noise; the 50k-doc probe is where
-    // candidates dominate (SCALE.md r15 row). Env override for probes.
+    // two-stage size dispatch (VERDICT r14 item 3, guide §3.2 — reduce
+    // the big side before shuffling). Stage 1: below the u-row crossover
+    // the brute broadcast-term join runs with no extra jobs (fixture fast
+    // path — at sf0.1 brute 5.3 s vs forced-prefix 10.0 s, pruning
+    // overhead loses). Stage 2, above it: a COST-BASED choice from exact
+    // per-term df splits, because a row count alone cannot tell a
+    // selective corpus (where Bayardo candidates collapse) from template
+    // soup (measured at sf1: u = 7.5e5 rows but the candidate set is
+    // ~1e8 pairs — forced prefix OOM'd a broadcast and loses anyway,
+    // brute ≈ 195 s is the honest floor there). bruteEst = Σ_t nE·nT
+    // over the full term table is the brute join's exact output volume;
+    // candEst is the same sum over the PREFIX INDEX — the candidate
+    // join's exact pre-distinct volume. Prefix runs only when its
+    // candidate volume is an order of magnitude under brute (margin
+    // absorbs the per-candidate verify factor ≈ eval doc length).
+    // Env override for probes/tests.
     val crossover = sys.env.get("SPARK_GRAFT_XCOS_PREFIX_ROWS")
       .map(_.toLong).getOrElse(1000000L)
-    if (u.count() <= crossover)
-      sumPairSims(
-        broadcast(a).join(b, Seq("term"))
-          .select(col("doc_a"), col("doc_b"), (col("ua") * col("ub")).as("p")),
-        tau)
+    // SPARK_GRAFT_XCOS_FORCE=prefix|brute (or -Dgraft.xcos.force=...)
+    // pins the path for equivalence tests and probes (both paths share
+    // the oracle); the system property wins so an in-process probe can
+    // flip legs without re-exec
+    val force = sys.props.get("graft.xcos.force")
+      .orElse(sys.env.get("SPARK_GRAFT_XCOS_FORCE"))
+    val uRows = u.count()
+    graft.Instrument.inc("xcos.u_rows", uRows)
+    def brute() = sumPairSims(
+      broadcast(a).join(b, Seq("term"))
+        .select(col("doc_a"), col("doc_b"), (col("ua") * col("ub")).as("p")),
+      tau)
+    if (force.contains("brute") || (force.isEmpty && uRows <= crossover)) brute()
     else {
-      // Bayardo prefix filter, cross-corpus form: a pair (a, b) with
-      // sim ≥ tau has its FIRST shared term (rarest-df global order)
-      // indexed by BOTH sides (suffix-norm bound, see
-      // [[allPairsCosinePrefix]]), so the candidate equi-join on the two
-      // indexes cannot miss a qualifying pair. Candidates are verified
-      // against the full vectors — identical output to the brute form.
+      val evalB = broadcast(evalIds.withColumn("isE", lit(1)))
+      def volumeOf(tbl: DataFrame): Long =
+        tbl.join(evalB, Seq("doc_id"), "left")
+          .groupBy(col("term")).agg(
+            sum(when(col("isE").isNotNull, 1L).otherwise(0L)).as("ne"),
+            sum(when(col("isE").isNull, 1L).otherwise(0L)).as("nt"))
+          .agg(coalesce(sum(col("ne") * col("nt")), lit(0L))).head().getLong(0)
       val idx = prefixIndex(u, tau).localCheckpoint(true)
-      val idxA = idx.join(evalIds, Seq("doc_id"))
-        .select(col("doc_id").as("doc_a"), col("term"))
-      val idxB = idx.join(evalIds, Seq("doc_id"), "left_anti")
-        .select(col("doc_id").as("doc_b"), col("term"))
-      val cand = broadcast(idxA).join(idxB, Seq("term"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      // verification keeps the decontamination asymmetry: both attach
-      // joins broadcast the small side (candidates; eval term table), so
-      // the train corpus still never shuffles — only candidate-pair
-      // contributions reach the pair-sum exchange
-      val contrib = b.join(broadcast(cand), Seq("doc_b"))
-        .join(broadcast(a), Seq("doc_a", "term"))
-        .select(col("doc_a"), col("doc_b"), (col("ua") * col("ub")).as("p"))
-      sumPairSims(contrib, tau)
+      val bruteEst = volumeOf(u)
+      val candEst = volumeOf(idx)
+      graft.Instrument.inc("xcos.brute_est", bruteEst)
+      graft.Instrument.inc("xcos.cand_est", candEst)
+      if (!force.contains("prefix") && candEst * 16 >= bruteEst) brute()
+      else {
+        graft.Instrument.inc("xcos.prefix")
+        // Bayardo prefix filter, cross-corpus form: a pair (a, b) with
+        // sim ≥ tau has its FIRST shared term (rarest-df global order)
+        // indexed by BOTH sides (suffix-norm bound, see
+        // [[allPairsCosinePrefix]]), so the candidate equi-join on the
+        // two indexes cannot miss a qualifying pair. Candidates are
+        // verified against the full vectors — identical output to the
+        // brute form (oracle-shared; verified forced at sf0.01).
+        val idxA = idx.join(evalIds, Seq("doc_id"))
+          .select(col("doc_id").as("doc_a"), col("term"))
+        val idxB = idx.join(evalIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("doc_b"), col("term"))
+        val cand = broadcast(idxA).join(idxB, Seq("term"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        // candidate attach via shuffled-hash (NOT a broadcast: the
+        // candidate set's size is data-dependent — template soup
+        // measured ~1e8 pairs and OOM'd a broadcast build; shuffling b
+        // here moves the TERM TABLE (nnz rows), never the corpus); the
+        // eval term table stays the broadcast side.
+        val contrib = b.join(cand.hint("shuffle_hash"), Seq("doc_b"))
+          .join(broadcast(a), Seq("doc_a", "term"))
+          .select(col("doc_a"), col("doc_b"), (col("ua") * col("ub")).as("p"))
+        sumPairSims(contrib, tau)
+      }
     }
   }
 
