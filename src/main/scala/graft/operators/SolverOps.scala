@@ -773,8 +773,15 @@ object SolverOps {
                 .as(s"w2_$t")): _*)
             val newLanes = (0 until rNew).map(u =>
               (0 until curB).map(t => col(s"w2_$t") * mMap(t, u)).reduce(_ + _))
+            // NO checkpoint on the expanded basis (r15): it is a cheap
+            // projection over the CHECKPOINTED df, so next step's two
+            // consumers (qj — column-pruned to just the new lanes — and
+            // the full concat feeding df_{t+1}) recompute ~2·curB dot
+            // folds per row instead of paying an n×lanes serialize +
+            // storage churn per step. Lineage stays one level (df is a
+            // LogicalRDD leaf).
             basis = w2d.select(col("i"),
-              concat(col("qs"), array(newLanes: _*)).as("qs")).localCheckpoint(false)
+              concat(col("qs"), array(newLanes: _*)).as("qs"))
             lanes += rNew
             curB = rNew
           }
